@@ -1,0 +1,63 @@
+"""Stream / engine configuration.
+
+The reference models this as a ConfiguredAirbyteCatalog — per-stream sync
+mode, cursor field, primary key (airbyte-protocol.md:365-417,
+airbyte_cdk/python/airbyte_cdk/sources/streams/core.py:228-279). We have one
+stream (the tokenized-sequences table), so the catalog collapses to two
+dataclasses.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Destination sync modes (airbyte-protocol.md:404-417). append_dedup is the
+# reference's "incremental | append + dedup" — final table unique per PK.
+SYNC_APPEND = "append"
+SYNC_OVERWRITE = "overwrite"
+SYNC_APPEND_DEDUP = "append_dedup"
+
+
+@dataclass(frozen=True)
+class StreamConfig:
+    """One replicated stream == one lake table.
+
+    Mirrors ConfiguredAirbyteStream: name, primary key, cursor field,
+    destination sync mode (airbyte-protocol.md:365-417).
+    """
+
+    name: str = "tokenseq"
+    primary_key: str = "doc_id"
+    cursor_field: str = "lsn"
+    sync_mode: str = SYNC_APPEND_DEDUP
+    # Lake layout: final table bucketed by hash(primary_key) % num_buckets so
+    # MERGE rewrites only affected buckets and dedup shuffles align.
+    num_buckets: int = 32
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Replay-loop tuning knobs.
+
+    ``batch_events`` is the micro-batch size — the analog of the reference's
+    checkpoint cadence (state every 10,000 records, DebeziumIteratorConstants
+    .java:11-15) and flush batch (FormatConfig.java:22). We checkpoint once
+    per committed batch: commit and checkpoint are one atomic unit.
+    """
+
+    batch_events: int = 1_000_000
+    vocab_size: int = 50_257
+    max_tokens: int = 2_048
+    # Validation policy: rows with bad payloads are repaired + flagged in
+    # _ab_meta.errors, never dropped (error-capture pattern of
+    # BigQuerySqlGenerator.java:544-566).
+    validate_tokens: bool = True
+    # Dedup strategy: "agg" = max_by hash aggregate (map-side partial combine,
+    # skew-immune — the default); "window" = reference-shaped row_number()
+    # window (kept for parity testing); "salted" = explicit two-phase
+    # salt + partial + global (demonstrates the manual skew answer).
+    dedup_strategy: str = "agg"
+    salt_buckets: int = 16
+    # Write parallelism for the per-bucket CoW rewrite.
+    write_partitions: int | None = None

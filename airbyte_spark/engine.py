@@ -1,0 +1,366 @@
+"""CdcEngine — the sync loop, Spark-first.
+
+The reference's whole read->dedup->upsert pipeline
+(AbstractSource.read -> stdout JSON -> AsyncStreamConsumer ->
+TypeAndDedupeTransaction, SURVEY.md §3) collapses here to, per micro-batch:
+
+    delta = changelog.filter(lsn > last AND lsn <= hi)      # pushdown scan
+    delta = validate(delta)                                  # pandas UDF
+    winners = lww_dedup(metadata(delta))                     # hash agg
+    merge_upsert(table, winners)                             # bucket CoW
+    checkpoint(hi)                                           # after commit
+
+Exactly-once: batch_id = hash(stream, lo, hi) is stamped into the commit
+summary; replay consults snapshot history before applying, so a crash
+between commit and checkpoint write re-skips the batch (the reference gates
+state emission on durable writes the same way —
+GlobalAsyncStateManager.java:35-54). Bounded replay: the target LSN is
+captured at sync start (CdcTargetPosition.java:17-30) — events past it wait
+for the next sync.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, FloatType, IntegerType, LongType, StructType
+
+from airbyte_spark import schemas as S
+from airbyte_spark.checkpoint import Checkpoint, load_checkpoint, save_checkpoint
+from airbyte_spark.config import EngineConfig, StreamConfig
+from airbyte_spark.functions.validate import apply_validation
+from airbyte_spark.lake.table import LakeTable
+from airbyte_spark.lineage import LineageLog, log_metric
+from airbyte_spark.operators.dedup import lww_dedup
+from airbyte_spark.operators.merge import merge_upsert
+from airbyte_spark.operators.metadata import inject_cdc_metadata
+
+_SOURCE_ONLY_COLS = {"op", "lsn", "ts_ms", "source_partition"}
+
+
+class SchemaEvolutionError(ValueError):
+    """Non-additive schema change — requires a soft reset (rebuild from log),
+    per DefaultTyperDeduper.java:160-165."""
+
+
+def _batch_id(stream: str, lo: int, hi: int) -> str:
+    return hashlib.sha256(f"{stream}:{lo}:{hi}".encode()).hexdigest()[:20]
+
+
+_WIDENINGS = {
+    ("integer", "long"): True,
+    ("float", "double"): True,
+    ("integer", "double"): True,
+}
+
+
+class CdcEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        stream: StreamConfig | None = None,
+        cfg: EngineConfig | None = None,
+    ):
+        self.spark = spark
+        self.root = root
+        self.stream = stream or StreamConfig()
+        self.cfg = cfg or EngineConfig()
+        self.table_root = os.path.join(root, self.stream.name)
+        self.checkpoint_path = os.path.join(root, "checkpoint.json")
+        os.makedirs(root, exist_ok=True)
+        self.lineage = LineageLog(root)
+
+    # ------------------------------------------------------------- lifecycle
+
+    @property
+    def table(self) -> LakeTable:
+        return LakeTable.load(self.spark, self.table_root)
+
+    def create_table(self, schema: StructType | None = None) -> LakeTable:
+        schema = schema or S.tokenseq_schema()
+        return LakeTable.create(
+            self.spark,
+            self.table_root,
+            schema,
+            primary_key=self.stream.primary_key,
+            num_buckets=self.stream.num_buckets,
+            cursor_col=S.COL_LSN,
+        )
+
+    def bootstrap(self, seed: DataFrame) -> int | None:
+        """Initial snapshot load (phase 1 of snapshot-then-tail,
+        MySqlInitialReadUtil.java:171-180). ``seed`` carries payload columns
+        + (lsn, ts_ms). Idempotent via the bootstrap batch id."""
+        table = self.table
+        bid = _batch_id(self.stream.name, -1, 0)
+        if table.find_batch(bid) is not None:
+            return None
+        t0 = time.monotonic()
+        df = seed.withColumn("op", F.lit(S.OP_INSERT))
+        if "source_partition" not in df.columns:
+            df = df.withColumn("source_partition", F.lit(0))
+        if self.cfg.validate_tokens:
+            df = apply_validation(df, self.cfg.vocab_size)
+        else:
+            df = df.withColumn(S.COL_META, F.lit(None).cast(S.META_TYPE))
+        df = inject_cdc_metadata(df)
+        cols = table.snapshot().schema.fieldNames()
+        version = table.write_and_commit(
+            df.select(*cols),
+            replace_buckets=range(self.stream.num_buckets),
+            summary={"operation": "bootstrap", "batch_id": bid},
+            write_partitions=self.cfg.write_partitions,
+        )
+        rows = sum(f.rows for f in table.snapshot(version).files)
+        ckpt = load_checkpoint(self.checkpoint_path) or Checkpoint()
+        ckpt.table_schema_version = table.snapshot(version).schema_version
+        ckpt.batches.append(bid)
+        save_checkpoint(self.checkpoint_path, ckpt)
+        log_metric(
+            "bootstrap_committed",
+            rows=rows,
+            snapshot=version,
+            wall_ms=int((time.monotonic() - t0) * 1000),
+        )
+        return version
+
+    # -------------------------------------------------------- schema evolve
+
+    def _maybe_evolve_schema(self, source_schema: StructType) -> None:
+        """Additive evolution: new payload columns appended, int->long /
+        float->double widening. Anything else raises (soft-reset territory).
+        Semantics of AlterTableReport.java:10-25 +
+        BigQuerySqlGenerator.java:300-348 buildAlterTableReport."""
+        table = self.table
+        snap = table.snapshot()
+        current = snap.schema
+        cur_by_name = {f.name: f for f in current.fields}
+        changed = False
+        new_fields = list(current.fields)
+        for f in source_schema.fields:
+            if f.name in _SOURCE_ONLY_COLS:
+                continue
+            if f.name not in cur_by_name:
+                # new payload column — insert before the engine metadata cols
+                insert_at = next(
+                    i for i, x in enumerate(new_fields) if x.name in S.ENGINE_COLS
+                )
+                new_fields.insert(insert_at, f.__class__(f.name, f.dataType, True))
+                changed = True
+                continue
+            cur_t = cur_by_name[f.name].dataType.simpleString()
+            new_t = f.dataType.simpleString()
+            if cur_t == new_t:
+                continue
+            if _WIDENINGS.get((cur_t, new_t)):
+                idx = next(i for i, x in enumerate(new_fields) if x.name == f.name)
+                new_fields[idx] = f.__class__(f.name, f.dataType, True)
+                changed = True
+            elif _WIDENINGS.get((new_t, cur_t)):
+                continue  # source narrower than table — scans upcast, fine
+            else:
+                raise SchemaEvolutionError(
+                    f"non-additive change on column {f.name}: {cur_t} -> {new_t}"
+                )
+        if changed:
+            new_schema = StructType(new_fields)
+            v = table.commit_metadata_only(
+                summary={"operation": "evolve-schema"}, new_schema=new_schema
+            )
+            log_metric(
+                "schema_evolved",
+                snapshot=v,
+                schema_version=table.snapshot(v).schema_version,
+            )
+
+    # --------------------------------------------------------------- replay
+
+    def _open_source(self, changelog: DataFrame | str) -> DataFrame:
+        if isinstance(changelog, str):
+            return self.spark.read.option("mergeSchema", "true").parquet(changelog)
+        return changelog
+
+    def replay(
+        self,
+        changelog: DataFrame | str,
+        batch_events: int | None = None,
+        max_batches: int | None = None,
+    ) -> dict:
+        """Bounded replay of the change stream up to its current max LSN.
+
+        Resumable: progress below the checkpoint (or any batch id already in
+        snapshot summaries) is skipped. Returns summary stats.
+        """
+        source = self._open_source(changelog)
+        self._maybe_evolve_schema(source.schema)
+        batch_events = batch_events or self.cfg.batch_events
+
+        ckpt = load_checkpoint(self.checkpoint_path) or Checkpoint()
+        last = ckpt.max_committed_lsn
+        target = source.agg(F.max("lsn")).first()[0]
+        if target is None or target <= last:
+            # "future state": nothing to do, checkpoint echoed unchanged
+            # (connector-acceptance test_incremental.py:238-305).
+            log_metric("replay_noop", last_committed_lsn=last, target_lsn=target)
+            return {"batches": 0, "events": 0, "last_committed_lsn": last}
+        ckpt.target_lsn = target
+        save_checkpoint(self.checkpoint_path, ckpt)
+
+        t0 = time.monotonic()
+        total_events = 0
+        n_batches = 0
+        lo = last
+        while lo < target:
+            hi = min(lo + batch_events, target)
+            total_events += self._apply_batch(source, lo, hi)
+            lo = hi
+            n_batches += 1
+            if max_batches is not None and n_batches >= max_batches:
+                break
+        wall = time.monotonic() - t0
+        stats = {
+            "batches": n_batches,
+            "events": total_events,
+            "wall_s": round(wall, 3),
+            "events_per_sec": round(total_events / wall, 1) if wall > 0 else None,
+            "last_committed_lsn": (load_checkpoint(self.checkpoint_path) or Checkpoint()).max_committed_lsn,
+        }
+        log_metric("replay_done", **stats)
+        return stats
+
+    def _align_to_table(self, batch: DataFrame, table_schema: StructType) -> DataFrame:
+        """Project the batch to source cols + the table's payload columns
+        (missing -> NULL, narrower types upcast)."""
+        batch_cols = set(batch.columns)
+        out = [F.col(c) for c in ("op", "lsn", "ts_ms", "source_partition")]
+        for f in table_schema.fields:
+            if f.name in S.ENGINE_COLS or f.name == "op":
+                continue
+            if f.name in batch_cols:
+                out.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                out.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return batch.select(*out)
+
+    def _apply_batch(self, source: DataFrame, lo: int, hi: int) -> int:
+        """Apply the (lo, hi] LSN range as one atomic commit. Returns events read."""
+        table = self.table
+        bid = _batch_id(self.stream.name, lo, hi)
+        ckpt = load_checkpoint(self.checkpoint_path) or Checkpoint()
+
+        existing = table.find_batch(bid)
+        if existing is not None:
+            # crash happened between commit and checkpoint — reconcile only.
+            if hi > ckpt.max_committed_lsn:
+                ckpt.max_committed_lsn = hi
+                if bid not in ckpt.batches:
+                    ckpt.batches.append(bid)
+                save_checkpoint(self.checkpoint_path, ckpt)
+            log_metric("batch_skipped_already_applied", batch_id=bid, snapshot=existing)
+            return 0
+
+    # NOTE: filter on the cursor — Catalyst pushes it into the parquet scan
+    # (PushedFilters), so already-applied files are pruned, the analog of the
+    # reference's `_airbyte_loaded_at IS NULL` work marker (SURVEY.md §4).
+        t0 = time.monotonic()
+        snap_schema = table.snapshot().schema
+        batch = source.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
+        batch = self._align_to_table(batch, snap_schema)
+        if self.cfg.validate_tokens:
+            batch = apply_validation(batch, self.cfg.vocab_size)
+        else:
+            batch = batch.withColumn(S.COL_META, F.lit(None).cast(S.META_TYPE))
+        enriched = inject_cdc_metadata(batch)
+
+        winners = lww_dedup(
+            enriched,
+            key=self.stream.primary_key,
+            strategy=self.cfg.dedup_strategy,
+            salt_buckets=self.cfg.salt_buckets,
+        ).persist()
+        try:
+            # per-partition lineage agg (tiny result, collected)
+            part_stats = (
+                winners.groupBy("source_partition")
+                .agg(
+                    F.min("lsn").alias("min_lsn"),
+                    F.max("lsn").alias("max_lsn"),
+                    F.count("*").alias("rows"),
+                )
+                .collect()
+            )
+            if not part_stats:
+                log_metric("batch_empty", batch_id=bid, start_lsn=lo, end_lsn=hi)
+                ckpt.max_committed_lsn = hi
+                save_checkpoint(self.checkpoint_path, ckpt)
+                return 0
+
+            version = merge_upsert(
+                self.table,
+                winners,
+                summary={
+                    "operation": "merge",
+                    "batch_id": bid,
+                    "start_lsn": lo,
+                    "end_lsn": hi,
+                },
+                dedup_strategy=self.cfg.dedup_strategy,
+                write_partitions=self.cfg.write_partitions,
+            )
+        finally:
+            winners.unpersist()
+
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        rows_applied = sum(int(r["rows"]) for r in part_stats)
+        self.lineage.append(
+            [
+                {
+                    "batch_id": bid,
+                    "source_partition": int(r["source_partition"]),
+                    "start_lsn": int(r["min_lsn"]),
+                    "end_lsn": int(r["max_lsn"]),
+                    "rows_applied": int(r["rows"]),
+                    "commit_snapshot_id": int(version),
+                    "wall_ms": wall_ms,
+                }
+                for r in part_stats
+            ]
+        )
+
+        ckpt.max_committed_lsn = hi
+        ckpt.table_schema_version = self.table.snapshot().schema_version
+        ckpt.batches.append(bid)
+        for r in part_stats:
+            p = str(int(r["source_partition"]))
+            cur = ckpt.per_partition.get(p, {"last_lsn": 0, "rows_applied": 0})
+            cur["last_lsn"] = max(cur["last_lsn"], int(r["max_lsn"]))
+            cur["rows_applied"] = cur["rows_applied"] + int(r["rows"])
+            ckpt.per_partition[p] = cur
+        save_checkpoint(self.checkpoint_path, ckpt)
+
+        log_metric(
+            "batch_committed",
+            batch_id=bid,
+            start_lsn=lo,
+            end_lsn=hi,
+            rows_applied=rows_applied,
+            snapshot=version,
+            wall_ms=wall_ms,
+            events_per_sec=round((hi - lo) / (wall_ms / 1000.0), 1) if wall_ms else None,
+        )
+        return hi - lo
+
+    # ----------------------------------------------------------------- read
+
+    def read_final(self) -> DataFrame:
+        """The deduped final table: tombstones filtered (they are retained in
+        storage for ordering — BigQuerySqlGenerator.java:577-586)."""
+        return self.table.scan().filter(F.col(S.COL_DELETED_AT).isNull())
+
+    def read_raw(self) -> DataFrame:
+        return self.table.scan()

@@ -1,0 +1,467 @@
+"""LakeTable — snapshot-isolated, bucket-partitioned parquet tables.
+
+Layout on disk::
+
+    <root>/
+      snapshots/v00000001.json     # manifest: schema(s), file list, summary
+      snapshots/v00000002.json
+      data/v2-b00007-0.parquet     # immutable data files, named by snapshot
+
+A *snapshot* is the unit of atomicity. Committing snapshot N+1 is an
+exclusive-create (``O_CREAT|O_EXCL``) of ``snapshots/v{N+1}.json`` — exactly
+the optimistic CAS Iceberg's Hadoop catalog uses. Losers of a race get
+``CommitConflict`` and must re-plan on the new current snapshot. Data files
+are written *before* the commit; a failed commit leaves only unreferenced
+orphans (GC'able), never a torn table.
+
+Reference parity:
+- temp-table-then-promote append (IcebergConsumer.java:160-195) -> here every
+  commit is the promote step;
+- commit summary stamping for exactly-once (the reference gates state
+  emission on durable writes, GlobalAsyncStateManager.java:35-54) -> we
+  record ``batch_id`` + LSN range in the snapshot summary, so replay skips
+  already-applied batches even if the checkpoint file was lost;
+- schema evolution (AlterTableReport.java:10-25; DefaultTyperDeduper
+  .java:144-165) -> additive columns + int->long widening are metadata-only:
+  each data file records the schema_version it was written under, and scans
+  cast per file-group to the current schema.
+
+Scale notes (100 TB): data files are plain parquet readable by any engine;
+file pruning is manifest-driven (bucket + min/max cursor per file), which is
+O(files) driver work — at very large file counts the manifest would itself
+become a parquet dataset (Iceberg's manifest-list design); the commit
+protocol and scan logic would not change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Iterable
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructType
+
+SNAPSHOT_DIR = "snapshots"
+DATA_DIR = "data"
+BUCKET_COL = "_bucket"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the same snapshot version first."""
+
+
+@dataclass
+class DataFile:
+    path: str  # relative to table root
+    bucket: int
+    rows: int
+    schema_version: int
+    min_cursor: int | None = None
+    max_cursor: int | None = None
+
+    def to_json(self) -> dict:
+        return {
+            "path": self.path,
+            "bucket": self.bucket,
+            "rows": self.rows,
+            "schema_version": self.schema_version,
+            "min_cursor": self.min_cursor,
+            "max_cursor": self.max_cursor,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "DataFile":
+        return DataFile(
+            path=d["path"],
+            bucket=d["bucket"],
+            rows=d["rows"],
+            schema_version=d["schema_version"],
+            min_cursor=d.get("min_cursor"),
+            max_cursor=d.get("max_cursor"),
+        )
+
+
+@dataclass
+class Snapshot:
+    version: int
+    parent: int | None
+    schema_version: int
+    # all schemas ever written, keyed by schema_version (as str for JSON)
+    schemas: dict[str, dict]
+    spec: dict
+    files: list[DataFile]
+    summary: dict
+
+    @property
+    def schema(self) -> StructType:
+        return StructType.fromJson(self.schemas[str(self.schema_version)])
+
+    def schema_for(self, schema_version: int) -> StructType:
+        return StructType.fromJson(self.schemas[str(schema_version)])
+
+    def to_json(self) -> dict:
+        return {
+            "version": self.version,
+            "parent": self.parent,
+            "schema_version": self.schema_version,
+            "schemas": self.schemas,
+            "spec": self.spec,
+            "files": [f.to_json() for f in self.files],
+            "summary": self.summary,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Snapshot":
+        return Snapshot(
+            version=d["version"],
+            parent=d["parent"],
+            schema_version=d["schema_version"],
+            schemas=d["schemas"],
+            spec=d["spec"],
+            files=[DataFile.from_json(f) for f in d["files"]],
+            summary=d["summary"],
+        )
+
+
+def _snapshot_path(root: str, version: int) -> str:
+    return os.path.join(root, SNAPSHOT_DIR, f"v{version:08d}.json")
+
+
+class LakeTable:
+    """A snapshot-isolated table; all mutation goes through commits."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # ------------------------------------------------------------------ DDL
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        root: str,
+        schema: StructType,
+        primary_key: str,
+        num_buckets: int,
+        cursor_col: str | None = None,
+    ) -> "LakeTable":
+        """Create an empty table (snapshot v1, no files)."""
+        os.makedirs(os.path.join(root, SNAPSHOT_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
+        t = LakeTable(spark, root)
+        snap = Snapshot(
+            version=1,
+            parent=None,
+            schema_version=1,
+            schemas={"1": schema.jsonValue()},
+            spec={
+                "bucket_by": primary_key,
+                "num_buckets": num_buckets,
+                "cursor_col": cursor_col,
+            },
+            files=[],
+            summary={"operation": "create"},
+        )
+        t._write_snapshot(snap)
+        return t
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        d = os.path.join(root, SNAPSHOT_DIR)
+        return os.path.isdir(d) and any(
+            f.startswith("v") and f.endswith(".json") for f in os.listdir(d)
+        )
+
+    @staticmethod
+    def load(spark: SparkSession, root: str) -> "LakeTable":
+        if not LakeTable.exists(root):
+            raise FileNotFoundError(f"no LakeTable at {root}")
+        return LakeTable(spark, root)
+
+    # ----------------------------------------------------------- snapshots
+
+    def current_version(self) -> int:
+        d = os.path.join(self.root, SNAPSHOT_DIR)
+        versions = [
+            int(f[1:-5])
+            for f in os.listdir(d)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        if not versions:
+            raise FileNotFoundError(f"no snapshots in {d}")
+        return max(versions)
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = self.current_version() if version is None else version
+        with open(_snapshot_path(self.root, v)) as fh:
+            return Snapshot.from_json(json.load(fh))
+
+    def history(self) -> list[Snapshot]:
+        return [self.snapshot(v) for v in range(1, self.current_version() + 1)]
+
+    def find_batch(self, batch_id: str) -> int | None:
+        """Return the snapshot version that applied ``batch_id``, if any.
+
+        This is the crash-safe idempotence check: even if the checkpoint
+        file was lost, an already-committed batch is visible here (analog of
+        the reference's 'state only emitted once records are durable',
+        GlobalAsyncStateManager.java:100-141).
+        """
+        for snap in self.history():
+            if snap.summary.get("batch_id") == batch_id:
+                return snap.version
+        return None
+
+    def _write_snapshot(self, snap: Snapshot) -> None:
+        path = _snapshot_path(self.root, snap.version)
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(snap.to_json(), fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, path)  # atomic exclusive-create == CAS
+        except FileExistsError as e:
+            raise CommitConflict(
+                f"snapshot v{snap.version} already committed by another writer"
+            ) from e
+        finally:
+            os.unlink(tmp)
+
+    # ----------------------------------------------------------------- read
+
+    def bucket_expr(self, col_name: str | None = None):
+        spec = self.snapshot().spec
+        pk = col_name or spec["bucket_by"]
+        return F.pmod(F.xxhash64(F.col(pk)), F.lit(spec["num_buckets"])).cast("int")
+
+    def scan(
+        self,
+        buckets: Iterable[int] | None = None,
+        version: int | None = None,
+        min_cursor_gt: int | None = None,
+    ) -> DataFrame:
+        """Read the table at a snapshot; optionally prune to buckets and/or
+        files whose max cursor exceeds ``min_cursor_gt``.
+
+        Pruning is manifest-driven (exact file list handed to the parquet
+        reader), so no directory listing and no reading of irrelevant files
+        — the moral equivalent of Iceberg split planning.
+        """
+        snap = self.snapshot(version)
+        current = snap.schema
+        files = snap.files
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f.bucket in bset]
+        if min_cursor_gt is not None:
+            files = [
+                f for f in files if f.max_cursor is None or f.max_cursor > min_cursor_gt
+            ]
+        if not files:
+            return self.spark.createDataFrame([], current)
+
+        # Group by write-schema; cast each group to the current schema.
+        by_sv: dict[int, list[str]] = {}
+        for f in files:
+            by_sv.setdefault(f.schema_version, []).append(
+                os.path.join(self.root, f.path)
+            )
+        parts: list[DataFrame] = []
+        for sv, paths in sorted(by_sv.items()):
+            write_schema = snap.schema_for(sv)
+            df = self.spark.read.schema(write_schema).parquet(*paths)
+            projected = [
+                (
+                    F.col(fld.name).cast(fld.dataType)
+                    if fld.name in write_schema.fieldNames()
+                    else F.lit(None).cast(fld.dataType)
+                ).alias(fld.name)
+                for fld in current.fields
+            ]
+            parts.append(df.select(*projected))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ---------------------------------------------------------------- write
+
+    def _collect_file_stats(
+        self, staging_dir: str, new_version: int, schema_version: int, cursor_col: str | None
+    ) -> list[DataFile]:
+        """Move staged parquet out of Spark's partitioned output into the
+        data dir with snapshot-scoped names; harvest footer stats."""
+        out: list[DataFile] = []
+        for entry in sorted(os.listdir(staging_dir)):
+            if not entry.startswith(f"{BUCKET_COL}="):
+                continue
+            bucket = int(entry.split("=", 1)[1])
+            bdir = os.path.join(staging_dir, entry)
+            seq = 0
+            for part in sorted(os.listdir(bdir)):
+                if not part.endswith(".parquet"):
+                    continue
+                rel = os.path.join(DATA_DIR, f"v{new_version}-b{bucket:05d}-{seq}.parquet")
+                dst = os.path.join(self.root, rel)
+                os.replace(os.path.join(bdir, part), dst)
+                meta = pq.ParquetFile(dst).metadata
+                min_c = max_c = None
+                if cursor_col is not None:
+                    idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+                    if cursor_col in idx:
+                        ci = idx[cursor_col]
+                        for rg in range(meta.num_row_groups):
+                            st = meta.row_group(rg).column(ci).statistics
+                            if st is not None and st.has_min_max:
+                                min_c = st.min if min_c is None else min(min_c, st.min)
+                                max_c = st.max if max_c is None else max(max_c, st.max)
+                out.append(
+                    DataFile(
+                        path=rel,
+                        bucket=bucket,
+                        rows=meta.num_rows,
+                        schema_version=schema_version,
+                        min_cursor=min_c,
+                        max_cursor=max_c,
+                    )
+                )
+                seq += 1
+        return out
+
+    def write_and_commit(
+        self,
+        df: DataFrame,
+        replace_buckets: Iterable[int] | None,
+        summary: dict,
+        new_schema: StructType | None = None,
+        expected_version: int | None = None,
+        write_partitions: int | None = None,
+    ) -> int:
+        """Write ``df`` as new data files and commit a snapshot.
+
+        - ``replace_buckets=None`` -> pure append (keep all existing files).
+        - ``replace_buckets=[...]`` -> CoW: drop existing files of those
+          buckets, add the new ones (the MERGE commit).
+        - ``replace_buckets=ALL`` (pass the full range) -> overwrite.
+        - ``new_schema`` -> evolve the table schema in the same commit
+          (additive / widening; validated by the caller/engine).
+
+        ``df`` must NOT contain the bucket column; it is derived here from
+        the primary key so layout can never drift from the spec.
+        """
+        base = self.snapshot(expected_version)
+        new_version = (expected_version or base.version) + 1
+        spec = base.spec
+        cursor_col = spec.get("cursor_col")
+
+        schemas = dict(base.schemas)
+        schema_version = base.schema_version
+        if new_schema is not None and new_schema.jsonValue() != base.schema.jsonValue():
+            schema_version = base.schema_version + 1
+            schemas[str(schema_version)] = new_schema.jsonValue()
+
+        staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
+        with_bucket = df.withColumn(BUCKET_COL, self.bucket_expr())
+        n_write = write_partitions or self.spark.sparkContext.defaultParallelism
+        # Hash-repartition on the bucket column: each bucket lands in exactly
+        # one task -> exactly one file per bucket per commit (plus AQE
+        # coalescing of empty partitions). partitionBy then strips the
+        # bucket column from file contents.
+        (
+            with_bucket.repartition(n_write, F.col(BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(staging)
+        )
+        new_files = self._collect_file_stats(staging, new_version, schema_version, cursor_col)
+        _rmtree(staging)
+
+        kept = base.files
+        if replace_buckets is not None:
+            dropped = set(replace_buckets)
+            kept = [f for f in base.files if f.bucket not in dropped]
+
+        snap = Snapshot(
+            version=new_version,
+            parent=base.version,
+            schema_version=schema_version,
+            schemas=schemas,
+            spec=spec,
+            files=kept + new_files,
+            summary=summary,
+        )
+        self._write_snapshot(snap)
+        return new_version
+
+    def commit_metadata_only(
+        self, summary: dict, new_schema: StructType | None = None
+    ) -> int:
+        """Schema-evolution or marker commit with no data files touched."""
+        base = self.snapshot()
+        schemas = dict(base.schemas)
+        schema_version = base.schema_version
+        if new_schema is not None and new_schema.jsonValue() != base.schema.jsonValue():
+            schema_version += 1
+            schemas[str(schema_version)] = new_schema.jsonValue()
+        snap = Snapshot(
+            version=base.version + 1,
+            parent=base.version,
+            schema_version=schema_version,
+            schemas=schemas,
+            spec=base.spec,
+            files=base.files,
+            summary=summary,
+        )
+        self._write_snapshot(snap)
+        return snap.version
+
+    # ----------------------------------------------------------- maintenance
+
+    def compact(self, max_files_per_bucket: int = 1) -> int | None:
+        """Rewrite buckets fragmented beyond ``max_files_per_bucket`` into
+        one file each — the analog of Iceberg's rewrite_data_files that the
+        reference calls post-sync (IcebergConsumer.java:210-224)."""
+        snap = self.snapshot()
+        per_bucket: dict[int, int] = {}
+        for f in snap.files:
+            per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+        frag = sorted(b for b, n in per_bucket.items() if n > max_files_per_bucket)
+        if not frag:
+            return None
+        df = self.scan(buckets=frag)
+        return self.write_and_commit(
+            df,
+            replace_buckets=frag,
+            summary={"operation": "compact", "buckets": len(frag)},
+        )
+
+    def expire_orphans(self) -> int:
+        """Delete data files not referenced by any snapshot (failed-commit
+        leftovers). Returns count removed."""
+        referenced = {
+            f.path for snap in self.history() for f in snap.files
+        }
+        removed = 0
+        ddir = os.path.join(self.root, DATA_DIR)
+        for entry in os.listdir(ddir):
+            rel = os.path.join(DATA_DIR, entry)
+            if rel not in referenced:
+                os.unlink(os.path.join(ddir, entry))
+                removed += 1
+        return removed
+
+
+def _rmtree(path: str) -> None:
+    for dirpath, dirnames, filenames in os.walk(path, topdown=False):
+        for fn in filenames:
+            os.unlink(os.path.join(dirpath, fn))
+        for dn in dirnames:
+            os.rmdir(os.path.join(dirpath, dn))
+    if os.path.isdir(path):
+        os.rmdir(path)
