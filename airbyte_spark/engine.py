@@ -51,10 +51,12 @@ def _batch_id(stream: str, lo: int, hi: int) -> str:
     return hashlib.sha256(f"{stream}:{lo}:{hi}".encode()).hexdigest()[:20]
 
 
-_WIDENINGS = {
-    ("integer", "long"): True,
+_WIDENINGS = {  # keys are DataType.simpleString() pairs (current -> incoming)
+    ("int", "bigint"): True,
+    ("smallint", "int"): True,
+    ("smallint", "bigint"): True,
     ("float", "double"): True,
-    ("integer", "double"): True,
+    ("int", "double"): True,
 }
 
 

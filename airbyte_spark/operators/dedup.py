@@ -57,16 +57,16 @@ def lww_dedup(
     Tombstones participate like any event (delete-wins-if-newest —
     BaseSqlGeneratorIntegrationTest.java:863-919 ordering tests).
     """
+    cols = [c for c in df.columns if c != key]
+
     if strategy == "window":
         w = Window.partitionBy(key).orderBy(F.col("_ord").desc())
         return (
             df.withColumn("_ord", _order_struct(df, order_cols))
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .drop("_rn", "_ord")
+            .select(key, *cols)  # same column order as the agg strategies
         )
-
-    cols = [c for c in df.columns if c != key]
     row = F.struct(*[F.col(c) for c in cols])
     ord_ = _order_struct(df, order_cols)
 

@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "cdc_replay": {"events": N, "local8": {...}, "local32": {...},
+                   "scaling_efficiency": e}}
+
+Two parts:
+1. Driver queries (__spark_entry__.queries()) timed at $SPARK_GRAFT_SF_DIR
+   on local[$SPARK_GRAFT_CPUS] with a noop sink.
+2. The headline CDC replay (generate -> bootstrap -> bounded replay with
+   dedup+merge+checkpoint) run as *subprocesses* at two parallelism levels
+   (local[N] and local[4N]) on the SAME pre-generated input — the sandbox
+   evidence for the >=0.8 N->4N scaling-efficiency rule (BASELINE.md).
+   Disable with SPARK_GRAFT_BENCH_SCALING=0 (then only local[CPUS] runs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+SF = _sf_from_dir(SF_DIR)
+# ~20M events/sf-unit: sf0.1 -> 2M events, sf0.01 -> 200k
+BENCH_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", str(int(20_000_000 * SF))))
+BENCH_SEED_DOCS = max(1000, BENCH_EVENTS // 10)
+BATCH_EVENTS = max(250_000, BENCH_EVENTS // 2)
+NUM_BUCKETS = 64
+
+
+def _gen_dir() -> str:
+    return f"/tmp/ab_bench_input_{BENCH_EVENTS}_{BENCH_SEED_DOCS}"
+
+
+def _changelog_cfg():
+    from airbyte_spark.changelog import ChangelogConfig
+
+    return ChangelogConfig(
+        n_events=BENCH_EVENTS,
+        n_seed_docs=BENCH_SEED_DOCS,
+        dup_pct=2.0,
+        corrupt_pct=1.0,
+        hot_keys=16,
+        hot_pct=30,
+        n_source_partitions=8,
+        max_tokens=128,
+    )
+
+
+def child_replay(cores: int) -> dict:
+    """Run the full replay at local[cores]; print a JSON result line."""
+    import shutil
+    import tempfile
+
+    from airbyte_spark.changelog import seed_df, write_changelog
+    from airbyte_spark.config import EngineConfig, StreamConfig
+    from airbyte_spark.engine import CdcEngine
+    from airbyte_spark.session import get_spark
+
+    cfg = _changelog_cfg()
+    spark = get_spark(
+        app_name=f"cdc-bench-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores * 2,
+    )
+    gen = _gen_dir()
+    if not os.path.exists(os.path.join(gen, "changelog", "_SUCCESS")):
+        write_changelog(spark, cfg, os.path.join(gen, "changelog"), n_files=max(16, cores))
+
+    root = tempfile.mkdtemp(prefix=f"ab_bench_lake_{cores}_")
+    eng = CdcEngine(
+        spark,
+        root,
+        StreamConfig(num_buckets=NUM_BUCKETS),
+        EngineConfig(batch_events=BATCH_EVENTS, write_partitions=cores * 2),
+    )
+    eng.create_table()
+    t0 = time.monotonic()
+    eng.bootstrap(seed_df(spark, cfg))
+    boot_s = time.monotonic() - t0
+    stats = eng.replay(os.path.join(gen, "changelog"))
+    final_rows = eng.read_final().count()
+    spark.stop()
+    shutil.rmtree(root, ignore_errors=True)
+    out = {
+        "cores": cores,
+        "bootstrap_s": round(boot_s, 2),
+        "replay_s": stats["wall_s"],
+        "events": stats["events"],
+        "events_per_sec": stats["events_per_sec"],
+        "final_rows": final_rows,
+    }
+    print("BENCH_CHILD_RESULT " + json.dumps(out), flush=True)
+    return out
+
+
+def _run_child(cores: int) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_EVENTS"] = str(BENCH_EVENTS)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child", str(cores)],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=3600,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("BENCH_CHILD_RESULT "):
+            return json.loads(line[len("BENCH_CHILD_RESULT "):])
+    raise RuntimeError(
+        f"child local[{cores}] failed rc={proc.returncode}\n"
+        f"stdout tail: {proc.stdout[-2000:]}\nstderr tail: {proc.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        child_replay(int(sys.argv[2]))
+        return
+
+    import __spark_entry__ as entry_mod
+    from airbyte_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-queries", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    t_total0 = time.monotonic()
+
+    timings: dict[str, float] = {}
+    for name, q in entry_mod.queries().items():
+        df = q(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()  # warm (plan+scan cached by OS)
+        t0 = time.monotonic()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+    spark.stop()
+
+    cdc: dict = {"events": BENCH_EVENTS}
+    scaling = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+    lo_cores = max(2, CPUS // 4)
+    if scaling:
+        r_lo = _run_child(lo_cores)
+        r_hi = _run_child(CPUS)
+        speedup = r_hi["events_per_sec"] / r_lo["events_per_sec"]
+        cdc[f"local{lo_cores}"] = r_lo
+        cdc[f"local{CPUS}"] = r_hi
+        cdc["speedup"] = round(speedup, 3)
+        cdc["scaling_efficiency"] = round(speedup / (CPUS / lo_cores), 3)
+    else:
+        r_hi = _run_child(CPUS)
+        cdc[f"local{CPUS}"] = r_hi
+
+    total = round(time.monotonic() - t_total0, 3)
+    result = {
+        "metric": "cdc-replay-events-per-sec+query-suite-sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF,
+        "cdc_replay": cdc,
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

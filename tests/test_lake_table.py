@@ -1,0 +1,128 @@
+"""LakeTable format: atomicity, CoW, snapshot isolation, evolution, GC."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+
+from airbyte_spark.lake.table import CommitConflict, LakeTable
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("v", IntegerType(), True),
+        StructField("_ab_lsn", LongType(), False),
+    ]
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture()
+def table(spark, workdir):
+    return LakeTable.create(
+        spark, os.path.join(workdir, "t"), SCHEMA, primary_key="doc_id",
+        num_buckets=4, cursor_col="_ab_lsn",
+    )
+
+
+def test_create_empty_scan(spark, table):
+    df = table.scan()
+    assert df.count() == 0
+    assert df.schema == SCHEMA
+
+
+def test_append_and_cow_replace(spark, table):
+    v2 = table.write_and_commit(
+        _df(spark, [("a", 1, 1), ("b", 2, 2)]), replace_buckets=None, summary={"operation": "append"}
+    )
+    assert v2 == 2
+    assert sorted(r.doc_id for r in table.scan().collect()) == ["a", "b"]
+
+    # replace only the bucket containing "a"; "b" survives if other bucket
+    bucket_a = table.scan().filter(F.col("doc_id") == "a").select(table.bucket_expr()).first()[0]
+    bucket_b = table.scan().filter(F.col("doc_id") == "b").select(table.bucket_expr()).first()[0]
+    table.write_and_commit(
+        _df(spark, [("a", 10, 3)]), replace_buckets=[bucket_a], summary={"operation": "merge"}
+    )
+    rows = {r.doc_id: r.v for r in table.scan().collect()}
+    if bucket_a != bucket_b:
+        assert rows == {"a": 10, "b": 2}
+    else:
+        assert rows == {"a": 10}
+
+
+def test_snapshot_isolation_time_travel(spark, table):
+    table.write_and_commit(_df(spark, [("a", 1, 1)]), None, {"operation": "append"})
+    table.write_and_commit(_df(spark, [("a", 2, 2)]), replace_buckets=range(4), summary={"operation": "overwrite"})
+    assert [r.v for r in table.scan(version=2).collect()] == [1]
+    assert [r.v for r in table.scan().collect()] == [2]
+
+
+def test_commit_conflict(spark, table):
+    snap = table.snapshot()
+    snap.version += 1
+    table._write_snapshot(snap)
+    snap2 = table.snapshot(1)
+    snap2.version = snap.version
+    with pytest.raises(CommitConflict):
+        table._write_snapshot(snap2)
+
+
+def test_find_batch(spark, table):
+    table.write_and_commit(_df(spark, [("a", 1, 1)]), None, {"operation": "merge", "batch_id": "b-1"})
+    assert table.find_batch("b-1") == 2
+    assert table.find_batch("b-2") is None
+
+
+def test_cursor_file_pruning(spark, table):
+    table.write_and_commit(_df(spark, [("a", 1, 5)]), None, {"operation": "append"})
+    table.write_and_commit(_df(spark, [("b", 2, 15)]), None, {"operation": "append"})
+    files_all = table.snapshot().files
+    assert all(f.min_cursor is not None for f in files_all)
+    pruned = table.scan(min_cursor_gt=10)
+    assert [r.doc_id for r in pruned.collect()] == ["b"]
+
+
+def test_schema_evolution_metadata_only(spark, table):
+    table.write_and_commit(_df(spark, [("a", 1, 1)]), None, {"operation": "append"})
+    wide = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("v", LongType(), True),  # widened
+            StructField("lang", StringType(), True),  # added
+            StructField("_ab_lsn", LongType(), False),
+        ]
+    )
+    table.commit_metadata_only({"operation": "evolve-schema"}, new_schema=wide)
+    snap = table.snapshot()
+    assert snap.schema_version == 2
+    row = table.scan().first()
+    assert row.v == 1 and row.lang is None  # old file read under new schema
+    # new data written under the new schema coexists with old files
+    table.write_and_commit(
+        spark.createDataFrame([("b", 2**40, "en", 2)], wide), None, {"operation": "append"}
+    )
+    rows = {r.doc_id: (r.v, r.lang) for r in table.scan().collect()}
+    assert rows == {"a": (1, None), "b": (2**40, "en")}
+
+
+def test_compaction_and_orphans(spark, table):
+    for i in range(3):
+        table.write_and_commit(_df(spark, [("a", i, i + 1)]), None, {"operation": "append"})
+    pre = len([f for f in table.snapshot().files])
+    assert pre >= 3
+    v = table.compact(max_files_per_bucket=1)
+    assert v is not None
+    per_bucket: dict[int, int] = {}
+    for f in table.snapshot().files:
+        per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+    assert all(n == 1 for n in per_bucket.values())
+    # rows preserved (latest snapshot sees all 3 rows — compaction is not dedup)
+    assert table.scan().count() == 3
+    assert table.expire_orphans() == 0  # everything referenced by history

@@ -1,0 +1,135 @@
+"""Additive schema evolution mid-replay (FIXTURES T3 #9/#10):
+new payload column + int->long widening applied via metadata-only commits;
+pre-evolution rows read with NULL/upcast. Non-additive changes raise
+(soft-reset territory, DefaultTyperDeduper.java:160-165)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from airbyte_spark.changelog import ChangelogConfig, seed_df
+from airbyte_spark.config import EngineConfig, StreamConfig
+from airbyte_spark.engine import CdcEngine, SchemaEvolutionError
+
+
+def _mk_engine(spark, workdir):
+    eng = CdcEngine(
+        spark,
+        os.path.join(workdir, "lake"),
+        StreamConfig(num_buckets=4),
+        EngineConfig(batch_events=500),
+    )
+    eng.create_table()
+    eng.bootstrap(seed_df(spark, ChangelogConfig(n_events=0, n_seed_docs=20)))
+    return eng
+
+
+def _schema(with_lang=False, n_tok_long=False):
+    fields = [
+        StructField("op", StringType(), False),
+        StructField("doc_id", StringType(), False),
+        StructField("lsn", LongType(), False),
+        StructField("ts_ms", LongType(), False),
+        StructField("source_partition", IntegerType(), False),
+        StructField("tokens", ArrayType(IntegerType()), True),
+        StructField("n_tok", LongType() if n_tok_long else IntegerType(), True),
+        StructField("source", StringType(), True),
+    ]
+    if with_lang:
+        fields.append(StructField("lang", StringType(), True))
+    return StructType(fields)
+
+
+def test_add_column_mid_replay(spark, workdir):
+    eng = _mk_engine(spark, workdir)
+    # phase 1: vanilla events
+    p1 = os.path.join(workdir, "cl1")
+    spark.createDataFrame(
+        [("U", "doc000000001", 1, 1000, 0, [5], 1, "web")], _schema()
+    ).write.parquet(p1)
+    eng.replay(p1)
+    assert "lang" not in eng.read_final().columns
+
+    # phase 2: events now carry `lang`
+    p2 = os.path.join(workdir, "cl2")
+    spark.createDataFrame(
+        [("U", "doc000000002", 2, 2000, 0, [6], 1, "web", "en")],
+        _schema(with_lang=True),
+    ).write.parquet(p2)
+    eng.replay(p2)
+
+    fin = eng.read_final()
+    assert "lang" in fin.columns
+    assert fin.filter(F.col("doc_id") == "doc000000002").first().lang == "en"
+    # pre-evolution rows surface NULL lang
+    assert fin.filter(F.col("doc_id") == "doc000000001").first().lang is None
+    assert eng.table.snapshot().schema_version == 2
+
+
+def test_widen_n_tok_mid_replay(spark, workdir):
+    eng = _mk_engine(spark, workdir)
+    p1 = os.path.join(workdir, "cl1")
+    spark.createDataFrame(
+        [("U", "doc000000001", 1, 1000, 0, [5], 1, "web")], _schema()
+    ).write.parquet(p1)
+    eng.replay(p1)
+    assert dict(eng.read_final().dtypes)["n_tok"] == "int"
+
+    p2 = os.path.join(workdir, "cl2")
+    spark.createDataFrame(
+        [("U", "doc000000003", 2, 2000, 0, [7, 8], 2, "web")],
+        _schema(n_tok_long=True),
+    ).write.parquet(p2)
+    eng.replay(p2)
+
+    fin = eng.read_final()
+    assert dict(fin.dtypes)["n_tok"] == "bigint"
+    # old rows upcast transparently
+    assert fin.filter(F.col("doc_id") == "doc000000001").first().n_tok == 1
+    assert fin.filter(F.col("doc_id") == "doc000000003").first().n_tok == 2
+    assert eng.table.snapshot().schema_version == 2
+
+
+def test_non_additive_change_rejected(spark, workdir):
+    eng = _mk_engine(spark, workdir)
+    bad = StructType(
+        [
+            StructField("op", StringType(), False),
+            StructField("doc_id", StringType(), False),
+            StructField("lsn", LongType(), False),
+            StructField("ts_ms", LongType(), False),
+            StructField("source_partition", IntegerType(), False),
+            StructField("tokens", ArrayType(IntegerType()), True),
+            StructField("n_tok", StringType(), True),  # int -> string: not additive
+            StructField("source", StringType(), True),
+        ]
+    )
+    p = os.path.join(workdir, "cl")
+    spark.createDataFrame([("U", "d", 1, 1, 0, [1], "x", "web")], bad).write.parquet(p)
+    with pytest.raises(SchemaEvolutionError):
+        eng.replay(p)
+
+
+def test_schema_version_recorded_in_checkpoint(spark, workdir):
+    from airbyte_spark.checkpoint import load_checkpoint
+
+    eng = _mk_engine(spark, workdir)
+    p2 = os.path.join(workdir, "cl2")
+    spark.createDataFrame(
+        [("U", "doc000000002", 1, 1000, 0, [6], 1, "web", "en")],
+        _schema(with_lang=True),
+    ).write.parquet(p2)
+    eng.replay(p2)
+    ck = load_checkpoint(eng.checkpoint_path)
+    assert ck.table_schema_version == 2
