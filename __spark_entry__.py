@@ -18,6 +18,14 @@ from pyspark.sql import functions as F
 
 from airbyte_spark.functions.validate import apply_validation
 from airbyte_spark.operators.dedup import lww_dedup
+from airbyte_spark.operators.fuzzy_dedup import (
+    embedding_neardup_pairs,
+    minhash_lsh_groups,
+    ngram_jaccard_pairs,
+    simhash_groups,
+)
+from airbyte_spark.operators.similarity import knn_bruteforce, knn_lsh
+from airbyte_spark.plans import textsql as X
 from airbyte_spark.plans.derived import ORACLE_CHANGELOG_CTE, derived_changelog
 
 SF0001 = "/root/testdata/sf0.001"
@@ -125,8 +133,9 @@ def q_cdc_tombstone_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup over documents: keeper (min id) + copy count per text."""
-    d = _docs(spark, sf_dir)
+    """Exact dedup over the dup-injected documents: keeper (min id) + copy
+    count per text."""
+    d = _dup_docs(spark, sf_dir)
     return d.groupBy("text").agg(
         F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
     ).select("keep_doc_id", "n_copies")
@@ -189,6 +198,151 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + deterministic injected duplicates: exact copies (id%10=0)
+    and near-dups with a 4-word tail appended (id%10=5) — gives the fuzzy
+    dedup operators real positives (the raw testdata has none)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy xx ww")).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+def _dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings + injected near-dups: exact copies (id%20=0) and 1.5x
+    scaled copies (id%20=10, cosine 1.0 but different norm)."""
+    e = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    exact = e.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    scaled = e.filter(F.col("vec_id") % 20 == 10).selectExpr(
+        "vec_id + 2000000 AS vec_id",
+        "transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.5 AS FLOAT)) AS embedding",
+    )
+    return e.unionByName(exact).unionByName(scaled)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup buckets (16 hashes, 8 bands x 2 rows), over the
+    dup-injected documents table."""
+    return minhash_lsh_groups(_dup_docs(spark, sf_dir), n_hashes=16, bands=8)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs verified by exact 3-gram Jaccard >= 50%."""
+    return ngram_jaccard_pairs(_dup_docs(spark, sf_dir), jaccard_pct=50)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint buckets over documents."""
+    return simhash_groups(_docs(spark, sf_dir))
+
+
+def q_dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: sign-bit LSH buckets + integer cosine>=0.8,
+    over the dup-injected embeddings table."""
+    return embedding_neardup_pairs(_dup_embeddings(spark, sf_dir), cos_pct=80)
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact inner-product top-5 for the first 10 vectors (broadcast queries)."""
+    emb = _embeddings(spark, sf_dir)
+    out = knn_bruteforce(emb, emb.filter(F.col("vec_id") < 10), top_k=5)
+    return out.select("query_id", "neighbor_id", "dot", F.col("rank").cast("long").alias("rank"))
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 within sign-bit LSH buckets (the scale path)."""
+    emb = _embeddings(spark, sf_dir)
+    out = knn_lsh(emb, emb.filter(F.col("vec_id") < 10), top_k=3)
+    return out.select("query_id", "neighbor_id", "dot", F.col("rank").cast("long").alias("rank"))
+
+
+def q_docs_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (h = h*31 + c mod p)."""
+    d = _docs(spark, sf_dir)
+    return d.selectExpr("doc_id", f"{X.rolling_hash_sql(X.SPARK, 'text')} AS fp")
+
+
+def q_docs_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer count: letter runs | digit runs | punctuation."""
+    d = _docs(spark, sf_dir)
+    pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+    return d.selectExpr(
+        "doc_id", f"CAST({X.REGEXP_COUNT(X.SPARK, 'text', pat)} AS BIGINT) AS n_bpe_tokens"
+    )
+
+
+def q_multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payload + typed metadata columns
+    (byte length, content hash, modality, simulated frame count). The codec
+    step itself is the mapInPandas stub in functions/multimodal.py."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        F.col("doc_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("byte_len"),
+        F.md5(F.col("text")).alias("content_md5"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.octet_length(F.encode(F.col("text"), "UTF-8")) / F.lit(4096.0)).cast("long"),
+        ).alias("n_frames"),
+    )
+
+
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour rollup of the events stream — the batch shape of the
+    Structured Streaming `window(ts, '1 hour')` + watermark aggregation."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.select(
+            F.unix_millis(F.date_trunc("HOUR", F.col("ts").cast("timestamp"))).alias("hour_ms"),
+            "event_type",
+            "user_id",
+        )
+        .groupBy("hour_ms", "event_type")
+        .agg(F.count("*").alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history over the changelog: per-doc validity intervals via
+    lead(), active-row flag via row_number() (stream_processor.py:742-900)."""
+    from pyspark.sql.window import Window
+
+    ch = _changelog(spark, sf_dir).drop("tokens")
+    w_asc = Window.partitionBy("doc_id").orderBy(F.col("lsn").asc())
+    w_desc = Window.partitionBy("doc_id").orderBy(F.col("lsn").desc())
+    return ch.select(
+        "doc_id",
+        "lsn",
+        "op",
+        F.col("ts_ms").alias("valid_from_ms"),
+        F.lead("ts_ms").over(w_asc).alias("valid_to_ms"),
+        ((F.row_number().over(w_desc) == 1) & (F.col("op") != "D")).cast("int").alias("is_active"),
+    )
+
+
+def q_cdc_unnest_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF-analog unnest: posexplode token arrays to (doc_id, lsn, pos,
+    token) rows (normalization unnest, stream_processor.py:1472-1487)."""
+    ch = _changelog(spark, sf_dir)
+    f = ch.filter((F.col("op") != "D") & (F.col("lsn") <= 2000))
+    return f.select("doc_id", "lsn", F.posexplode("tokens").alias("pos", "token"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full CDC pipeline (validate -> dedup -> apply) at sf0.001."""
     return q_cdc_apply_final(spark, SF0001)
@@ -203,15 +357,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_metadata_injection": q_cdc_metadata_injection,
         "cdc_checkpoint_agg": q_cdc_checkpoint_agg,
         "cdc_tombstone_stats": q_cdc_tombstone_stats,
+        "cdc_scd2_history": q_cdc_scd2_history,
+        "cdc_unnest_tokens": q_cdc_unnest_tokens,
         "dedup_exact_docs": q_dedup_exact_docs,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_neardup": q_dedup_embedding_neardup,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_lsh": q_knn_lsh,
         "docs_fingerprint": q_docs_fingerprint,
+        "docs_rolling_hash": q_docs_rolling_hash,
+        "docs_bpe_token_count": q_docs_bpe_token_count,
         "docs_token_count": q_docs_token_count,
         "docs_quality": q_docs_quality,
         "lang_id": q_lang_id,
+        "multimodal_blob_meta": q_multimodal_blob_meta,
+        "events_hourly_rollup": q_events_hourly_rollup,
     }
 
 
 _CH = ORACLE_CHANGELOG_CTE  # derived-changelog SELECT (DuckDB dialect)
+
+# ---- DuckDB-dialect fragments from the same templates the Spark side uses
+# (airbyte_spark/plans/textsql.py) — one source of truth per operator.
+
+_D = X.DUCKDB
+_DOC_SH = X.shingles_sql(_D, "text")
+_DOC_MH = X.minhash_sql(_D, "sh", 16)
+_DOC_BK = X.band_key_sql(_D, "mh", "b", 2)
+_BPE_PAT = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+# dup-injected documents / embeddings (mirrors _dup_docs / _dup_embeddings)
+_DUP_DOCS = """
+dup_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' zz yy xx ww' AS text
+  FROM documents WHERE doc_id % 10 = 5
+)
+"""
+
+_DUP_EMB = """
+dup_emb AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+  UNION ALL
+  SELECT vec_id + 2000000 AS vec_id,
+         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.5 AS FLOAT)) AS embedding
+  FROM embeddings WHERE vec_id % 20 = 10
+)
+"""
+
+_LSH_CTES = f"""
+{_DUP_DOCS},
+w AS (SELECT doc_id, {_DOC_SH} AS sh FROM dup_docs),
+nz AS (SELECT doc_id, sh FROM w WHERE len(sh) > 0),
+sig AS (SELECT doc_id, {_DOC_MH} AS mh FROM nz),
+bands AS (
+  SELECT doc_id, CAST(uu.band AS INT) AS band, uu.band_key AS band_key FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, 8), b -> {{'band': b, 'band_key': {_DOC_BK}}})) AS uu
+    FROM sig))
+"""
+
+_EMB_CTES = f"""
+q AS (SELECT vec_id, {X.quantize_sql(_D, "embedding")} AS e FROM embeddings),
+qq AS (SELECT vec_id, e, {X.signbit_bucket_sql(_D, "e", 8)} AS bkt,
+              {X.norm2_sql(_D, "e", 64)} AS n2 FROM q)
+"""
 
 _WINNERS = f"""
 WITH ch AS ({_CH}),
@@ -269,9 +486,10 @@ FROM ch GROUP BY source_partition
         + """
 SELECT op, count(*) AS n FROM ranked WHERE rn = 1 GROUP BY op
 """,
-        "dedup_exact_docs": """
+        "dedup_exact_docs": f"""
+WITH {_DUP_DOCS}
 SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
-FROM documents GROUP BY text
+FROM dup_docs GROUP BY text
 """,
         "docs_fingerprint": """
 SELECT md5(substr(text, 1, 80)) AS fingerprint,
@@ -291,6 +509,107 @@ SELECT doc_id, lang,
             / (length(text) - length(replace(text, ' ', '')) + 1)) AS BIGINT) AS avg_word_len_x100,
        CAST(CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END AS INT) AS is_long
 FROM documents
+""",
+        "cdc_scd2_history": f"""
+WITH ch AS ({_CH})
+SELECT doc_id, lsn, op, ts_ms AS valid_from_ms,
+       lead(ts_ms) OVER (PARTITION BY doc_id ORDER BY lsn ASC) AS valid_to_ms,
+       CAST(CASE WHEN row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) = 1
+                  AND op != 'D' THEN 1 ELSE 0 END AS INT) AS is_active
+FROM ch
+""",
+        "cdc_unnest_tokens": f"""
+WITH ch AS ({_CH}),
+f AS (SELECT doc_id, lsn, tokens FROM ch WHERE op != 'D' AND lsn <= 2000),
+u AS (SELECT doc_id, lsn,
+             unnest(list_transform(range(0, len(tokens)),
+                                   i -> {{'p': i, 't': tokens[i+1]}})) AS uu
+      FROM f)
+SELECT doc_id, lsn, CAST(uu.p AS INT) AS pos, CAST(uu.t AS INT) AS token FROM u
+""",
+        "dedup_minhash_lsh": f"""
+WITH {_LSH_CTES}
+SELECT band, band_key, count(*) AS group_size, min(doc_id) AS keep_doc_id
+FROM bands GROUP BY band, band_key HAVING count(*) >= 2
+""",
+        "dedup_ngram_jaccard": f"""
+WITH {_LSH_CTES},
+dsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM nz),
+cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+j AS (SELECT a_id, b_id,
+             CAST(len(list_filter(a.sh, t -> list_contains(b.sh, t))) AS BIGINT) AS inter,
+             CAST(len(a.sh) + len(b.sh) AS BIGINT) AS both_n
+      FROM cand JOIN dsh a ON cand.a_id = a.doc_id JOIN dsh b ON cand.b_id = b.doc_id)
+SELECT a_id, b_id, inter, (both_n - inter) AS uni
+FROM j WHERE 100 * inter >= 50 * uni
+""",
+        "dedup_simhash": f"""
+WITH w AS (SELECT doc_id, {_DOC_SH} AS sh FROM documents),
+nz AS (SELECT doc_id, sh FROM w WHERE len(sh) > 0),
+s AS (SELECT doc_id, {X.simhash16_sql(_D, "sh")} AS simhash FROM nz)
+SELECT simhash, count(*) AS group_size, min(doc_id) AS keep_doc_id
+FROM s GROUP BY simhash
+""",
+        "dedup_embedding_neardup": f"""
+WITH {_DUP_EMB},
+q AS (SELECT vec_id, {X.quantize_sql(_D, "embedding")} AS e FROM dup_emb),
+qq AS (SELECT vec_id, e, {X.signbit_bucket_sql(_D, "e", 8)} AS bkt,
+              {X.norm2_sql(_D, "e", 64)} AS n2 FROM q),
+p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             {X.dot_sql(_D, "a.e", "b.e", 64)} AS dot,
+             a.n2 AS na2, b.n2 AS nb2
+      FROM qq a JOIN qq b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
+SELECT a_id, b_id, dot, na2, nb2
+FROM p WHERE dot > 0 AND 10000 * dot * dot >= 6400 * na2 * nb2
+""",
+        "knn_bruteforce": f"""
+WITH q AS (SELECT vec_id, {X.quantize_sql(_D, "embedding")} AS e FROM embeddings),
+s AS (SELECT qa.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {X.dot_sql(_D, "qa.e", "c.e", 64)} AS dot
+      FROM q qa JOIN q c ON qa.vec_id != c.vec_id WHERE qa.vec_id < 10),
+r AS (SELECT query_id, neighbor_id, dot,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot DESC, neighbor_id ASC) AS rnk
+      FROM s)
+SELECT query_id, neighbor_id, dot, CAST(rnk AS BIGINT) AS rank
+FROM r WHERE rnk <= 5
+""",
+        "knn_lsh": f"""
+WITH {_EMB_CTES},
+s AS (SELECT qa.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {X.dot_sql(_D, "qa.e", "c.e", 64)} AS dot
+      FROM qq qa JOIN qq c ON qa.bkt = c.bkt AND qa.vec_id != c.vec_id
+      WHERE qa.vec_id < 10),
+r AS (SELECT query_id, neighbor_id, dot,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot DESC, neighbor_id ASC) AS rnk
+      FROM s)
+SELECT query_id, neighbor_id, dot, CAST(rnk AS BIGINT) AS rank
+FROM r WHERE rnk <= 3
+""",
+        "docs_rolling_hash": f"""
+SELECT doc_id, {X.rolling_hash_sql(_D, "text")} AS fp FROM documents
+""",
+        "docs_bpe_token_count": f"""
+SELECT doc_id, CAST({X.REGEXP_COUNT(_D, "text", _BPE_PAT)} AS BIGINT) AS n_bpe_tokens
+FROM documents
+""",
+        "multimodal_blob_meta": """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS content_md5,
+       greatest(CAST(1 AS BIGINT),
+                CAST(ceil(octet_length(encode(text)) / 4096.0) AS BIGINT)) AS n_frames
+FROM documents
+""",
+        "events_hourly_rollup": """
+SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+       count(*) AS n_events, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
 """,
         "lang_id": """
 SELECT lang,

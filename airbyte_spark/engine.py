@@ -249,6 +249,99 @@ class CdcEngine:
                 out.append(F.lit(None).cast(f.dataType).alias(f.name))
         return batch.select(*out)
 
+    def _dedup_winners(self, batch: DataFrame, table: LakeTable) -> DataFrame:
+        """Shared batch prep: align to table schema -> validate (pandas UDF)
+        -> inject CDC metadata -> LWW dedup to one row per PK."""
+        batch = self._align_to_table(batch, table.snapshot().schema)
+        if self.cfg.validate_tokens:
+            batch = apply_validation(batch, self.cfg.vocab_size)
+        else:
+            batch = batch.withColumn(S.COL_META, F.lit(None).cast(S.META_TYPE))
+        enriched = inject_cdc_metadata(batch)
+        return lww_dedup(
+            enriched,
+            key=self.stream.primary_key,
+            strategy=self.cfg.dedup_strategy,
+            salt_buckets=self.cfg.salt_buckets,
+        )
+
+    def apply_stream_epoch(self, batch_df: DataFrame, epoch_id: int) -> int:
+        """foreachBatch sink for Structured Streaming replay
+        (airbyte_spark.streaming.replay). Exactly-once: the Structured
+        Streaming checkpointLocation tracks source offsets, and the
+        epoch-stamped batch id makes a re-delivered epoch (crash between
+        commit and SS offset write) a no-op — the same two-sided idempotence
+        the batch path gets from LSN-range batch ids."""
+        table = self.table
+        eid = int(epoch_id)
+        bid = _batch_id(f"{self.stream.name}:stream", eid, eid)
+        if table.find_batch(bid) is not None:
+            log_metric("stream_epoch_skipped_already_applied", batch_id=bid, epoch=eid)
+            return 0
+        self._maybe_evolve_schema(batch_df.schema)
+        t0 = time.monotonic()
+        winners = self._dedup_winners(batch_df, table).persist()
+        try:
+            part_stats = (
+                winners.groupBy("source_partition")
+                .agg(
+                    F.min("lsn").alias("min_lsn"),
+                    F.max("lsn").alias("max_lsn"),
+                    F.count("*").alias("rows"),
+                )
+                .collect()
+            )
+            if not part_stats:
+                log_metric("stream_epoch_empty", batch_id=bid, epoch=eid)
+                return 0
+            version = merge_upsert(
+                self.table,
+                winners,
+                summary={"operation": "merge-stream", "batch_id": bid, "epoch": eid},
+                dedup_strategy=self.cfg.dedup_strategy,
+                write_partitions=self.cfg.write_partitions,
+            )
+        finally:
+            winners.unpersist()
+
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        hi = max(int(r["max_lsn"]) for r in part_stats)
+        rows_applied = sum(int(r["rows"]) for r in part_stats)
+        self.lineage.append(
+            [
+                {
+                    "batch_id": bid,
+                    "source_partition": int(r["source_partition"]),
+                    "start_lsn": int(r["min_lsn"]),
+                    "end_lsn": int(r["max_lsn"]),
+                    "rows_applied": int(r["rows"]),
+                    "commit_snapshot_id": int(version),
+                    "wall_ms": wall_ms,
+                }
+                for r in part_stats
+            ]
+        )
+        ckpt = load_checkpoint(self.checkpoint_path) or Checkpoint()
+        ckpt.max_committed_lsn = max(ckpt.max_committed_lsn, hi)
+        ckpt.table_schema_version = self.table.snapshot().schema_version
+        ckpt.batches.append(bid)
+        for r in part_stats:
+            p = str(int(r["source_partition"]))
+            cur = ckpt.per_partition.get(p, {"last_lsn": 0, "rows_applied": 0})
+            cur["last_lsn"] = max(cur["last_lsn"], int(r["max_lsn"]))
+            cur["rows_applied"] = cur["rows_applied"] + int(r["rows"])
+            ckpt.per_partition[p] = cur
+        save_checkpoint(self.checkpoint_path, ckpt)
+        log_metric(
+            "stream_epoch_committed",
+            batch_id=bid,
+            epoch=eid,
+            rows_applied=rows_applied,
+            snapshot=version,
+            wall_ms=wall_ms,
+        )
+        return rows_applied
+
     def _apply_batch(self, source: DataFrame, lo: int, hi: int) -> int:
         """Apply the (lo, hi] LSN range as one atomic commit. Returns events read."""
         table = self.table
@@ -270,21 +363,8 @@ class CdcEngine:
     # (PushedFilters), so already-applied files are pruned, the analog of the
     # reference's `_airbyte_loaded_at IS NULL` work marker (SURVEY.md §4).
         t0 = time.monotonic()
-        snap_schema = table.snapshot().schema
         batch = source.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
-        batch = self._align_to_table(batch, snap_schema)
-        if self.cfg.validate_tokens:
-            batch = apply_validation(batch, self.cfg.vocab_size)
-        else:
-            batch = batch.withColumn(S.COL_META, F.lit(None).cast(S.META_TYPE))
-        enriched = inject_cdc_metadata(batch)
-
-        winners = lww_dedup(
-            enriched,
-            key=self.stream.primary_key,
-            strategy=self.cfg.dedup_strategy,
-            salt_buckets=self.cfg.salt_buckets,
-        ).persist()
+        winners = self._dedup_winners(batch, table).persist()
         try:
             # per-partition lineage agg (tiny result, collected)
             part_stats = (

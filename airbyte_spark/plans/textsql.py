@@ -1,0 +1,211 @@
+"""Dialect-templated SQL builders for the training-data pipeline operators
+(fuzzy dedup, similarity search, text analysis).
+
+Same pattern as plans/derived.py: every operator is ONE expression template
+emitted in two dialects ('spark' | 'duckdb') that are bit-identical in
+semantics — only function *names* differ (transform/list_transform,
+sequence/range, array_min/list_min, ...). The Spark dialect powers the
+DataFrame operators (via F.expr / spark.sql); the DuckDB dialect IS the
+driver oracle. All arithmetic is integer-exact (embeddings are quantized to
+BIGINT milli-units before any math) so value-hash comparison never sees
+float noise.
+
+Reference note: rosecape/airbyte has no fuzzy-dedup/similarity operators at
+all (its only dedup is the PK LWW window, SURVEY.md §2.5) — these operators
+are the training-data-pipeline extension built Spark-first from public
+MinHash/SimHash/LSH literature (Broder 1997; Charikar 2002).
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCKDB = "duckdb"
+
+MOD = 1_000_000_007  # rolling-hash modulus
+Q = 1000  # embedding quantization: milli-units
+
+
+def _chk(d: str) -> None:
+    if d not in (SPARK, DUCKDB):  # pragma: no cover
+        raise ValueError(d)
+
+
+# ----------------------------------------------------------- tiny dialect ops
+
+
+def T(d: str) -> str:
+    """Array map higher-order function name."""
+    return "transform" if d == SPARK else "list_transform"
+
+
+def AMIN(d: str) -> str:
+    return "array_min" if d == SPARK else "list_min"
+
+
+def SIZE(d: str, arr: str) -> str:
+    return f"size({arr})" if d == SPARK else f"len({arr})"
+
+
+def SEQ(d: str, lo: str | int, hi: str | int) -> str:
+    """Inclusive [lo, hi] integer sequence (empty unsupported — callers guard)."""
+    if d == SPARK:
+        return f"sequence({lo}, {hi})"
+    return f"range({lo}, ({hi}) + 1)"
+
+
+def IDX(d: str, arr: str, i: str) -> str:
+    """1-based element access. Callers must keep i in bounds (Spark ANSI)."""
+    return f"element_at({arr}, {i})" if d == SPARK else f"{arr}[{i}]"
+
+
+def STR(d: str, x: str) -> str:
+    t = "STRING" if d == SPARK else "VARCHAR"
+    return f"CAST({x} AS {t})"
+
+
+def SPLIT_WORDS(d: str, col: str) -> str:
+    return f"split({col}, ' ')" if d == SPARK else f"string_split({col}, ' ')"
+
+
+def ASUM(d: str, arr: str) -> str:
+    """Integer sum over an array; 0 for empty. Result BIGINT-safe."""
+    if d == SPARK:
+        return f"aggregate({arr}, CAST(0 AS BIGINT), (a, x) -> a + x)"
+    return f"coalesce(CAST(list_sum({arr}) AS BIGINT), CAST(0 AS BIGINT))"
+
+
+def SHL(d: str, x: str | int, n: str | int) -> str:
+    return f"shiftleft({x}, {n})" if d == SPARK else f"(({x}) << ({n}))"
+
+
+def SHR(d: str, x: str, n: str) -> str:
+    return f"shiftright({x}, {n})" if d == SPARK else f"(({x}) >> ({n}))"
+
+
+def ADISTINCT(d: str, arr: str) -> str:
+    return f"array_distinct({arr})" if d == SPARK else f"list_distinct({arr})"
+
+
+def AFILTER(d: str, arr: str, lam: str) -> str:
+    return f"filter({arr}, {lam})" if d == SPARK else f"list_filter({arr}, {lam})"
+
+
+def ACONTAINS(d: str, arr: str, x: str) -> str:
+    return f"array_contains({arr}, {x})" if d == SPARK else f"list_contains({arr}, {x})"
+
+
+def EMPTY_STR_ARRAY(d: str) -> str:
+    return "array()" if d == SPARK else "CAST([] AS VARCHAR[])"
+
+
+def REGEXP_COUNT(d: str, col: str, pattern: str) -> str:
+    if d == SPARK:
+        return f"regexp_count({col}, '{pattern}')"
+    return f"len(regexp_extract_all({col}, '{pattern}'))"
+
+
+# ------------------------------------------------------------- text operators
+
+
+def words_sql(d: str, col: str = "text") -> str:
+    _chk(d)
+    return SPLIT_WORDS(d, col)
+
+
+def shingles_sql(d: str, col: str = "text", k: int = 3) -> str:
+    """Word k-gram shingles (space-joined). Empty array when < k words."""
+    _chk(d)
+    w = SPLIT_WORDS(d, col)
+    n = SIZE(d, w)
+    if d == SPARK:
+        gram = f"array_join(slice({w}, i, {k}), ' ')"
+        body = f"transform({SEQ(d, 1, f'{n} - {k} + 1')}, i -> {gram})"
+    else:
+        gram = f"array_to_string(({w})[i:i+{k}-1], ' ')"
+        body = f"list_transform({SEQ(d, 1, f'{n} - {k} + 1')}, i -> {gram})"
+    return f"CASE WHEN {n} >= {k} THEN {body} ELSE {EMPTY_STR_ARRAY(d)} END"
+
+
+def minhash_sql(d: str, shingles: str, n_hashes: int) -> str:
+    """MinHash signature: for hash function b, the lexicographic min of
+    md5(b || ':' || shingle) — a valid min-wise permutation family over hex
+    strings, identical across engines (Broder 1997 resemblance sketch)."""
+    _chk(d)
+    h = f"md5(concat_ws(':', {STR(d, 'b')}, s))"
+    inner = f"{T(d)}({shingles}, s -> {h})"
+    return f"{T(d)}({SEQ(d, 0, n_hashes - 1)}, b -> {AMIN(d)}({inner}))"
+
+
+def band_key_sql(d: str, sig: str, band: str | int, rows_per_band: int) -> str:
+    """LSH band key: concat of the band's rows_per_band signature entries."""
+    _chk(d)
+    idx = IDX(d, sig, f"({band}) * {rows_per_band} + r + 1")
+    parts = f"{T(d)}({SEQ(d, 0, rows_per_band - 1)}, r -> {idx})"
+    if d == SPARK:
+        return f"array_join({parts}, '|')"
+    return f"array_to_string({parts}, '|')"
+
+
+def hex16_sql(d: str, s: str) -> str:
+    """First 16 bits of md5(s) as an integer, via hex-digit arithmetic."""
+    _chk(d)
+    digits = []
+    for j, mult in ((1, 4096), (2, 256), (3, 16), (4, 1)):
+        digits.append(f"(instr('0123456789abcdef', substr(md5({s}), {j}, 1)) - 1) * {mult}")
+    return "(" + " + ".join(digits) + ")"
+
+
+def simhash16_sql(d: str, shingles: str) -> str:
+    """16-bit SimHash (Charikar 2002): bit b set iff the sum over shingles of
+    (2*bit_b(h16(shingle)) - 1) is >= 0."""
+    _chk(d)
+    hs = f"{T(d)}({shingles}, s -> {hex16_sql(d, 's')})"
+    vote = f"{T(d)}(hs_, h -> 2 * (({SHR(d, 'h', 'b')}) & 1) - 1)"
+    bit = f"CASE WHEN {ASUM(d, vote)} >= 0 THEN {SHL(d, 1, 'b')} ELSE 0 END"
+    per_bit = f"{T(d)}({SEQ(d, 0, 15)}, b -> {bit})"
+    # bind hs_ via a nested transform-of-singleton to avoid recomputing md5s
+    expr = f"{T(d)}({T(d)}({SEQ(d, 1, 1)}, one -> {hs}), hs_ -> {ASUM(d, per_bit)})"
+    return f"CAST({IDX(d, expr, '1')} AS BIGINT)"
+
+
+def rolling_hash_sql(d: str, col: str = "text") -> str:
+    """Polynomial rolling hash over the UTF-8 code points: h = (h*31 + c) % p."""
+    _chk(d)
+    chars = f"{T(d)}({SEQ(d, 1, f'length({col})')}, i -> ascii(substr({col}, i, 1)))"
+    if d == SPARK:
+        return f"aggregate({chars}, CAST(0 AS BIGINT), (a, c) -> (a * 31 + c) % {MOD})"
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {chars}), "
+        f"(a, c) -> (a * 31 + c) % {MOD})"
+    )
+
+
+# ------------------------------------------------------- embedding operators
+
+
+def quantize_sql(d: str, col: str = "embedding") -> str:
+    """array<float> -> array<bigint> milli-units. float->double widening is
+    exact, double*1000 and floor are IEEE-deterministic, so both engines
+    produce identical integers — all downstream math is integer-exact."""
+    _chk(d)
+    q = f"CAST(floor(CAST(x AS DOUBLE) * {Q}) AS BIGINT)"
+    return f"{T(d)}({col}, x -> {q})"
+
+
+def dot_sql(d: str, a: str, b: str, dim: int) -> str:
+    """Integer dot product of two quantized vectors."""
+    _chk(d)
+    prods = f"{T(d)}({SEQ(d, 1, dim)}, i -> {IDX(d, a, 'i')} * {IDX(d, b, 'i')})"
+    return ASUM(d, prods)
+
+
+def norm2_sql(d: str, a: str, dim: int) -> str:
+    return dot_sql(d, a, a, dim)
+
+
+def signbit_bucket_sql(d: str, qvec: str, n_bits: int = 8) -> str:
+    """LSH bucket id from the sign bits of the first n_bits quantized dims —
+    an axis-aligned random-hyperplane sketch (deterministic across engines)."""
+    _chk(d)
+    bit = f"CASE WHEN {IDX(d, qvec, 'b + 1')} >= 0 THEN {SHL(d, 1, 'b')} ELSE 0 END"
+    return f"CAST({ASUM(d, f'{T(d)}({SEQ(d, 0, n_bits - 1)}, b -> {bit})')} AS BIGINT)"

@@ -1,0 +1,123 @@
+"""Property tests for the fuzzy-dedup and similarity operators (their exact
+values are gated against DuckDB oracles in test_entry.py; these check the
+semantic properties a user relies on)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from airbyte_spark.operators.fuzzy_dedup import (
+    embedding_neardup_pairs,
+    lsh_bands,
+    minhash_lsh_groups,
+    ngram_jaccard_pairs,
+    simhash_groups,
+)
+from airbyte_spark.operators.similarity import knn_bruteforce, knn_lsh
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """documents + injected exact duplicates (testdata itself has none)."""
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dups).cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def _quant(pdf):
+    return {
+        int(r["vec_id"]): np.floor(np.asarray(r["embedding"], dtype=np.float64) * 1000).astype(
+            np.int64
+        )
+        for _, r in pdf.iterrows()
+    }
+
+
+def test_identical_texts_collide_in_every_band(spark, docs):
+    """Exact duplicates must share all LSH band keys (minhash is a pure
+    function of the shingle set)."""
+    dups = (
+        docs.groupBy("text").agg(F.collect_list("doc_id").alias("ids"), F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .toPandas()
+    )
+    assert len(dups) > 0, "testdata has no exact dup texts; property untestable"
+    bands = lsh_bands(docs).toPandas()
+    keyed = bands.set_index(["doc_id", "band"])["band_key"]
+    for ids in dups["ids"]:
+        a, b = sorted(ids)[:2]
+        for band in range(8):
+            assert keyed[(a, band)] == keyed[(b, band)]
+
+
+def test_exact_dups_survive_jaccard_at_100(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, jaccard_pct=100).toPandas()
+    texts = docs.toPandas().set_index("doc_id")["text"]
+    assert len(pairs) > 0
+    for _, p in pairs.iterrows():
+        assert p["inter"] == p["uni"]
+    # every exact-dup pair is found (LSH has no false negatives for jaccard=1)
+    dup_groups = texts.groupby(texts).groups
+    for _, ids in dup_groups.items():
+        ids = sorted(int(i) for i in ids)
+        if len(ids) >= 2:
+            a, b = ids[0], ids[1]
+            hit = ((pairs["a_id"] == a) & (pairs["b_id"] == b)).any()
+            assert hit, f"missing exact-dup pair ({a},{b})"
+
+
+def test_simhash_identical_for_identical_text(spark, docs):
+    groups = simhash_groups(docs).toPandas()
+    n_docs = docs.count()
+    assert groups["group_size"].sum() == n_docs
+
+
+def test_minhash_groups_cover_exact_dups(spark, docs):
+    g = minhash_lsh_groups(docs).toPandas()
+    assert (g["group_size"] >= 2).all()
+
+
+def test_knn_bruteforce_matches_numpy(spark, emb):
+    got = knn_bruteforce(emb, emb.filter(F.col("vec_id") < 5), top_k=3).toPandas()
+    q = _quant(emb.toPandas())
+    for qid in range(5):
+        dots = {cid: int(np.dot(q[qid], v)) for cid, v in q.items() if cid != qid}
+        expect = sorted(dots.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        sub = got[got["query_id"] == qid].sort_values("rank")
+        assert [(int(r["neighbor_id"]), int(r["dot"])) for _, r in sub.iterrows()] == expect
+
+
+def test_knn_lsh_is_subset_of_bucket(spark, emb):
+    """Every LSH result shares the query's sign-bit bucket and its dot is
+    exact (verified against numpy)."""
+    got = knn_lsh(emb, emb.filter(F.col("vec_id") < 5), top_k=3).toPandas()
+    q = _quant(emb.toPandas())
+
+    def bucket(v):
+        return sum((1 << b) for b in range(8) if v[b] >= 0)
+
+    for _, r in got.iterrows():
+        qv, cv = q[int(r["query_id"])], q[int(r["neighbor_id"])]
+        assert bucket(qv) == bucket(cv)
+        assert int(r["dot"]) == int(np.dot(qv, cv))
+
+
+def test_embedding_neardup_threshold(spark, emb):
+    pairs = embedding_neardup_pairs(emb, cos_pct=80).toPandas()
+    q = _quant(emb.toPandas())
+    for _, r in pairs.iterrows():
+        a, b = q[int(r["a_id"])], q[int(r["b_id"])]
+        dot = float(np.dot(a, b))
+        cos = dot / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos >= 0.79  # integer test admits >= 0.8 up to quantization

@@ -1,0 +1,87 @@
+"""Structured Streaming replay: same semantics as bounded replay, plus
+offset-resume and epoch idempotence (SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+import os
+
+from airbyte_spark.changelog import (
+    ChangelogConfig,
+    apply_golden,
+    changelog_df,
+    seed_df,
+    write_changelog,
+)
+from airbyte_spark.config import EngineConfig, StreamConfig
+from airbyte_spark.engine import CdcEngine
+from airbyte_spark.streaming import stream_replay
+from tests.util import assert_frames_equal, final_as_pandas, golden_normalize
+
+CFG = ChangelogConfig(n_events=1200, n_seed_docs=150, dup_pct=2.0, corrupt_pct=1.0)
+
+
+def _setup(spark, workdir):
+    seed = seed_df(spark, CFG)
+    clpath = os.path.join(workdir, "changelog")
+    write_changelog(spark, CFG, clpath, n_files=6)
+    eng = CdcEngine(
+        spark,
+        os.path.join(workdir, "lake"),
+        StreamConfig(num_buckets=8),
+        EngineConfig(batch_events=500),
+    )
+    eng.create_table()
+    eng.bootstrap(seed)
+    return eng, seed, clpath
+
+
+def test_stream_replay_matches_golden(spark, workdir):
+    """availableNow drain over the changelog dir == golden final state, in
+    multiple micro-batches (maxFilesPerTrigger=2 over 6 files)."""
+    eng, seed, clpath = _setup(spark, workdir)
+    ckpt = os.path.join(workdir, "ss_ckpt")
+    stats = stream_replay(eng, clpath, ckpt, max_files_per_trigger=2)
+    assert stats["epochs"] >= 3  # bounded files / maxFilesPerTrigger
+    exp = golden_normalize(
+        apply_golden(seed.toPandas(), changelog_df(spark, CFG).toPandas(), CFG.vocab_size)
+    )
+    assert_frames_equal(final_as_pandas(eng.read_final()), exp)
+
+    # resume from SS checkpoint: no new files -> no rows applied, table unchanged
+    before = eng.table.current_version()
+    stats2 = stream_replay(eng, clpath, ckpt)
+    assert stats2["rows_applied"] == 0
+    assert eng.table.current_version() == before
+
+
+def test_stream_epoch_idempotent(spark, workdir):
+    """Re-delivering the same epoch (crash between commit and SS offset
+    write) is a no-op — the epoch-stamped batch id is found in the snapshot
+    history and skipped."""
+    eng, seed, clpath = _setup(spark, workdir)
+    batch = spark.read.parquet(clpath)
+    applied1 = eng.apply_stream_epoch(batch, 7)
+    v1 = eng.table.current_version()
+    applied2 = eng.apply_stream_epoch(batch, 7)
+    assert applied1 > 0 and applied2 == 0
+    assert eng.table.current_version() == v1
+
+
+def test_stream_then_batch_equivalence(spark, workdir):
+    """A stream-mode run and a batch-mode run over the same changelog
+    produce identical final tables (the two modes are interchangeable)."""
+    eng_s, seed, clpath = _setup(spark, workdir)
+    stream_replay(eng_s, clpath, os.path.join(workdir, "ss_ckpt2"))
+
+    eng_b = CdcEngine(
+        spark,
+        os.path.join(workdir, "lake_batch"),
+        StreamConfig(num_buckets=8),
+        EngineConfig(batch_events=400),
+    )
+    eng_b.create_table()
+    eng_b.bootstrap(seed)
+    eng_b.replay(clpath)
+    assert_frames_equal(
+        final_as_pandas(eng_s.read_final()), final_as_pandas(eng_b.read_final())
+    )
