@@ -31,7 +31,13 @@ from pyspark.sql.types import DoubleType, FloatType, IntegerType, LongType, Stru
 
 from airbyte_spark import schemas as S
 from airbyte_spark.checkpoint import Checkpoint, load_checkpoint, save_checkpoint
-from airbyte_spark.config import EngineConfig, StreamConfig
+from airbyte_spark.config import (
+    SYNC_APPEND,
+    SYNC_APPEND_DEDUP,
+    SYNC_OVERWRITE,
+    EngineConfig,
+    StreamConfig,
+)
 from airbyte_spark.functions.validate import apply_validation
 from airbyte_spark.lake.table import LakeTable
 from airbyte_spark.lineage import LineageLog, log_metric
@@ -45,6 +51,13 @@ _SOURCE_ONLY_COLS = {"op", "lsn", "ts_ms", "source_partition"}
 class SchemaEvolutionError(ValueError):
     """Non-additive schema change — requires a soft reset (rebuild from log),
     per DefaultTyperDeduper.java:160-165."""
+
+
+class OffsetLossError(RuntimeError):
+    """The checkpointed LSN is older than the oldest retained change event —
+    the WAL was truncated past our offset, so incremental replay would
+    silently skip events. The reference detects this and forces a full
+    resync (MySqlInitialReadUtil.java:105-114 savedOffsetStillPresentOnServer)."""
 
 
 def _batch_id(stream: str, lo: int, hi: int) -> str:
@@ -204,7 +217,17 @@ class CdcEngine:
 
         ckpt = load_checkpoint(self.checkpoint_path) or Checkpoint()
         last = ckpt.max_committed_lsn
-        target = source.agg(F.max("lsn")).first()[0]
+        mn, target = source.agg(F.min("lsn"), F.max("lsn")).first()
+        if last > 0 and mn is not None and mn > last + 1:
+            # Gap between our offset and the oldest retained event: the
+            # changelog was truncated past the checkpoint. Refuse to skip
+            # silently — caller must resync() (reference forces re-snapshot,
+            # MySqlInitialReadUtil.java:105-114).
+            log_metric("offset_lost", last_committed_lsn=last, min_available_lsn=mn)
+            raise OffsetLossError(
+                f"checkpoint lsn {last} predates oldest retained event {mn}; "
+                "run resync(seed, changelog) to re-snapshot"
+            )
         if target is None or target <= last:
             # "future state": nothing to do, checkpoint echoed unchanged
             # (connector-acceptance test_incremental.py:238-305).
@@ -251,19 +274,100 @@ class CdcEngine:
 
     def _dedup_winners(self, batch: DataFrame, table: LakeTable) -> DataFrame:
         """Shared batch prep: align to table schema -> validate (pandas UDF)
-        -> inject CDC metadata -> LWW dedup to one row per PK."""
+        -> inject CDC metadata -> LWW dedup to one row per PK. In plain
+        ``append`` sync mode every record is kept (no dedup), matching the
+        reference's incremental|append semantics (airbyte-protocol.md:404-428)."""
         batch = self._align_to_table(batch, table.snapshot().schema)
         if self.cfg.validate_tokens:
             batch = apply_validation(batch, self.cfg.vocab_size)
         else:
             batch = batch.withColumn(S.COL_META, F.lit(None).cast(S.META_TYPE))
         enriched = inject_cdc_metadata(batch)
+        if self.stream.sync_mode == SYNC_APPEND:
+            return enriched
         return lww_dedup(
             enriched,
             key=self.stream.primary_key,
             strategy=self.cfg.dedup_strategy,
             salt_buckets=self.cfg.salt_buckets,
         )
+
+    def _commit_batch(self, winners: DataFrame, summary: dict) -> int | None:
+        """Dispatch on destination sync mode (airbyte-protocol.md:404-417):
+        append_dedup -> bucket-CoW MERGE; append -> pure file append;
+        overwrite -> replace the whole table with this batch (full-refresh
+        overwrite, BigQuerySqlGenerator.java:684-694 tmp-swap analog)."""
+        mode = self.stream.sync_mode
+        if mode == SYNC_APPEND_DEDUP:
+            return merge_upsert(
+                self.table,
+                winners,
+                summary=summary,
+                dedup_strategy=self.cfg.dedup_strategy,
+                write_partitions=self.cfg.write_partitions,
+            )
+        table = self.table
+        cols = table.snapshot().schema.fieldNames()
+        rows = winners.select(*cols)
+        replace = range(self.stream.num_buckets) if mode == SYNC_OVERWRITE else None
+        return table.write_and_commit(
+            rows,
+            replace_buckets=replace,
+            summary=summary,
+            write_partitions=self.cfg.write_partitions,
+        )
+
+    # ----------------------------------------------------------- soft reset
+
+    def soft_reset(self) -> int:
+        """Drop all data (keep schema + spec) and clear replay progress —
+        the reference's soft reset when the existing table can't be evolved
+        in place (DefaultTyperDeduper.java:160-165,
+        TypeAndDedupeTransaction.java:65-71). Caller then re-bootstraps and
+        replays from scratch."""
+        table = self.table
+        empty = self.spark.createDataFrame([], table.snapshot().schema)
+        version = table.write_and_commit(
+            empty,
+            replace_buckets=range(self.stream.num_buckets),
+            summary={"operation": "soft-reset"},
+        )
+        save_checkpoint(self.checkpoint_path, Checkpoint())
+        log_metric("soft_reset", snapshot=version)
+        return version
+
+    def resync(self, seed: DataFrame, changelog: DataFrame | str) -> dict:
+        """Full re-snapshot + tail after offset loss: soft reset, bootstrap
+        from the fresh seed snapshot, replay whatever the changelog still
+        retains (MySqlInitialReadUtil.java:105-114 'full resync')."""
+        self.soft_reset()
+        # fresh bootstrap id: the soft reset invalidated the old one's data,
+        # so bypass the bootstrap idempotence check by seeding progress first
+        source = self._open_source(changelog)
+        mn = source.agg(F.min("lsn")).first()[0]
+        table = self.table
+        df = seed.withColumn("op", F.lit(S.OP_INSERT))
+        if "source_partition" not in df.columns:
+            df = df.withColumn("source_partition", F.lit(0))
+        if self.cfg.validate_tokens:
+            df = apply_validation(df, self.cfg.vocab_size)
+        else:
+            df = df.withColumn(S.COL_META, F.lit(None).cast(S.META_TYPE))
+        df = inject_cdc_metadata(df)
+        cols = table.snapshot().schema.fieldNames()
+        version = table.write_and_commit(
+            df.select(*cols),
+            replace_buckets=range(self.stream.num_buckets),
+            summary={"operation": "resync-bootstrap"},
+            write_partitions=self.cfg.write_partitions,
+        )
+        ckpt = Checkpoint()
+        # resume incremental replay just below the oldest retained event
+        ckpt.max_committed_lsn = max(0, (mn or 1) - 1)
+        ckpt.table_schema_version = table.snapshot(version).schema_version
+        save_checkpoint(self.checkpoint_path, ckpt)
+        log_metric("resync_bootstrapped", snapshot=version, resume_lsn=ckpt.max_committed_lsn)
+        return self.replay(source)
 
     def apply_stream_epoch(self, batch_df: DataFrame, epoch_id: int) -> int:
         """foreachBatch sink for Structured Streaming replay
@@ -294,12 +398,9 @@ class CdcEngine:
             if not part_stats:
                 log_metric("stream_epoch_empty", batch_id=bid, epoch=eid)
                 return 0
-            version = merge_upsert(
-                self.table,
+            version = self._commit_batch(
                 winners,
                 summary={"operation": "merge-stream", "batch_id": bid, "epoch": eid},
-                dedup_strategy=self.cfg.dedup_strategy,
-                write_partitions=self.cfg.write_partitions,
             )
         finally:
             winners.unpersist()
@@ -382,8 +483,7 @@ class CdcEngine:
                 save_checkpoint(self.checkpoint_path, ckpt)
                 return 0
 
-            version = merge_upsert(
-                self.table,
+            version = self._commit_batch(
                 winners,
                 summary={
                     "operation": "merge",
@@ -391,8 +491,6 @@ class CdcEngine:
                     "start_lsn": lo,
                     "end_lsn": hi,
                 },
-                dedup_strategy=self.cfg.dedup_strategy,
-                write_partitions=self.cfg.write_partitions,
             )
         finally:
             winners.unpersist()

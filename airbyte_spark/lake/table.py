@@ -211,8 +211,15 @@ class LakeTable:
         file was lost, an already-committed batch is visible here (analog of
         the reference's 'state only emitted once records are durable',
         GlobalAsyncStateManager.java:100-141).
+
+        The scan walks backwards and stops at the most recent soft reset:
+        a reset discards all applied data, so batches committed before it
+        must be re-appliable (DefaultTyperDeduper.java:160-165 rebuilds the
+        final table from scratch for the same reason).
         """
-        for snap in self.history():
+        for snap in reversed(self.history()):
+            if snap.summary.get("operation") == "soft-reset":
+                return None
             if snap.summary.get("batch_id") == batch_id:
                 return snap.version
         return None
