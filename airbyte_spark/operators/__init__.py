@@ -1,7 +1,27 @@
-"""Relational operators of the CDC engine, expressed Spark-first."""
+"""Relational operators of the CDC engine plus the training-data-pipeline
+extension (fuzzy dedup, similarity search), expressed Spark-first."""
 
 from airbyte_spark.operators.dedup import lww_dedup
+from airbyte_spark.operators.fuzzy_dedup import (
+    embedding_neardup_pairs,
+    minhash_lsh_groups,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_groups,
+)
 from airbyte_spark.operators.metadata import inject_cdc_metadata
 from airbyte_spark.operators.merge import merge_upsert
+from airbyte_spark.operators.similarity import knn_bruteforce, knn_lsh
 
-__all__ = ["lww_dedup", "inject_cdc_metadata", "merge_upsert"]
+__all__ = [
+    "lww_dedup",
+    "inject_cdc_metadata",
+    "merge_upsert",
+    "minhash_signatures",
+    "minhash_lsh_groups",
+    "ngram_jaccard_pairs",
+    "simhash_groups",
+    "embedding_neardup_pairs",
+    "knn_bruteforce",
+    "knn_lsh",
+]

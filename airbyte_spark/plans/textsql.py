@@ -126,20 +126,49 @@ def shingles_sql(d: str, col: str = "text", k: int = 3) -> str:
     return f"CASE WHEN {n} >= {k} THEN {body} ELSE {EMPTY_STR_ARRAY(d)} END"
 
 
-def minhash_sql(d: str, shingles: str, n_hashes: int) -> str:
-    """MinHash signature: for hash function b, the lexicographic min of
-    md5(b || ':' || shingle) — a valid min-wise permutation family over hex
-    strings, identical across engines (Broder 1997 resemblance sketch)."""
+def hexn_sql(d: str, m: str, start: int, n: int = 12) -> str:
+    """n hex digits of string expr ``m`` starting at 1-based ``start``,
+    parsed as a non-negative integer via digit arithmetic (portable — the
+    engines have no common hex-parse function)."""
     _chk(d)
-    h = f"md5(concat_ws(':', {STR(d, 'b')}, s))"
-    inner = f"{T(d)}({shingles}, s -> {h})"
-    return f"{T(d)}({SEQ(d, 0, n_hashes - 1)}, b -> {AMIN(d)}({inner}))"
+    terms = []
+    for j in range(n):
+        mult = 16 ** (n - 1 - j)
+        terms.append(
+            f"CAST(instr('0123456789abcdef', substr({m}, {start + j}, 1)) - 1 AS BIGINT)"
+            f" * {mult}"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+MINHASH_P = 281_474_976_710_677  # prime > 2^48; b*h2 + h1 stays < 2^53
+
+
+def minhash_sql(d: str, shingles: str, n_hashes: int) -> str:
+    """MinHash signature (Broder 1997) with a Carter-Wegman hash family:
+    md5 is computed once per shingle and split into two 48-bit integers
+    (h1, h2); hash function b is (h1 + b*h2) mod P. All-integer, exact in
+    both engines, and 1 md5 per shingle instead of n_hashes."""
+    _chk(d)
+    h1s = f"{T(d)}({shingles}, s -> {hexn_sql(d, 'md5(s)', 1)})"
+    h2s = f"{T(d)}({shingles}, s -> {hexn_sql(d, 'md5(s)', 13)})"
+    if d == SPARK:
+        pair = f"named_struct('a', {h1s}, 'b', {h2s})"
+    else:
+        pair = f"{{'a': {h1s}, 'b': {h2s}}}"
+    comb = f"({IDX(d, 'p.a', 'i')} + b * {IDX(d, 'p.b', 'i')}) % {MINHASH_P}"
+    per_b = f"{AMIN(d)}({T(d)}({SEQ(d, 1, SIZE(d, 'p.a'))}, i -> {comb}))"
+    sig = f"{T(d)}({SEQ(d, 0, n_hashes - 1)}, b -> {per_b})"
+    # bind the (h1s, h2s) pair once via a singleton transform so the md5
+    # arrays are evaluated once per row, not once per hash function
+    bound = f"{T(d)}({T(d)}({SEQ(d, 1, 1)}, one -> {pair}), p -> {sig})"
+    return IDX(d, bound, "1")
 
 
 def band_key_sql(d: str, sig: str, band: str | int, rows_per_band: int) -> str:
     """LSH band key: concat of the band's rows_per_band signature entries."""
     _chk(d)
-    idx = IDX(d, sig, f"({band}) * {rows_per_band} + r + 1")
+    idx = STR(d, IDX(d, sig, f"({band}) * {rows_per_band} + r + 1"))
     parts = f"{T(d)}({SEQ(d, 0, rows_per_band - 1)}, r -> {idx})"
     if d == SPARK:
         return f"array_join({parts}, '|')"

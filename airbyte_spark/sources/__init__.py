@@ -1,0 +1,10 @@
+"""Source connectors: bounded readers that surface a changelog DataFrame.
+
+The reference's per-format parsers (airbyte-cdk file_based file_types:
+csv_parser.py, jsonl_parser.py, avro_parser.py, parquet_parser.py ~950 LoC)
+collapse to Spark's built-in readers plus explicit-schema enforcement.
+"""
+
+from airbyte_spark.sources.files import FileSource, open_changelog
+
+__all__ = ["FileSource", "open_changelog"]

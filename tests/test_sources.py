@@ -1,0 +1,62 @@
+"""Multi-format changelog sources: the engine replays parquet / jsonl / csv
+(avro if the module is on the classpath) to identical golden state."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from airbyte_spark.changelog import ChangelogConfig, apply_golden, changelog_df, seed_df
+from airbyte_spark.config import EngineConfig, StreamConfig
+from airbyte_spark.engine import CdcEngine
+from airbyte_spark.sources import FileSource, open_changelog
+from airbyte_spark.sources.files import is_avro_available
+from tests.util import assert_frames_equal, final_as_pandas, golden_normalize
+
+CFG = ChangelogConfig(n_events=600, n_seed_docs=80, dup_pct=2.0, corrupt_pct=1.0)
+
+
+def _golden(spark, seed):
+    return golden_normalize(
+        apply_golden(seed.toPandas(), changelog_df(spark, CFG).toPandas(), CFG.vocab_size)
+    )
+
+
+def _replay_with(spark, workdir, fmt):
+    events = changelog_df(spark, CFG)
+    src = FileSource(spark, os.path.join(workdir, f"cl_{fmt}"), fmt)
+    src.write(events, n_files=4)
+    seed = seed_df(spark, CFG)
+    eng = CdcEngine(
+        spark,
+        os.path.join(workdir, f"lake_{fmt}"),
+        StreamConfig(num_buckets=8),
+        EngineConfig(batch_events=300),
+    )
+    eng.create_table()
+    eng.bootstrap(seed)
+    eng.replay(src.read())
+    return eng, seed
+
+
+@pytest.mark.parametrize("fmt", ["jsonl", "csv"])
+def test_text_format_replay_matches_golden(spark, workdir, fmt):
+    eng, seed = _replay_with(spark, workdir, fmt)
+    assert_frames_equal(final_as_pandas(eng.read_final()), _golden(spark, seed))
+
+
+def test_avro_replay_if_available(spark, workdir):
+    if not is_avro_available(spark):
+        pytest.skip("spark-avro module not on classpath")
+    eng, seed = _replay_with(spark, workdir, "avro")
+    assert_frames_equal(final_as_pandas(eng.read_final()), _golden(spark, seed))
+
+
+def test_open_changelog_parquet_roundtrip(spark, workdir):
+    events = changelog_df(spark, CFG)
+    src = FileSource(spark, os.path.join(workdir, "cl_pq"), "parquet")
+    src.write(events, n_files=4)
+    back = open_changelog(spark, os.path.join(workdir, "cl_pq"))
+    assert back.count() == events.count()
+    assert set(back.columns) == set(events.columns)
