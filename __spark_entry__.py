@@ -317,6 +317,30 @@ def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_snapshot_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-then-tail in one plan (MySqlInitialReadUtil.java:171-180):
+    a derived initial snapshot (lsn=0, one row per user-keyed doc) unioned
+    with the change tail, then LWW — tail events supersede snapshot rows."""
+    ch = _changelog(spark, sf_dir).drop("tokens")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    snap = (
+        ev.select(F.col("user_id").cast("long").alias("uid"))
+        .distinct()
+        .select(
+            F.lit("I").alias("op"),
+            F.format_string("doc%09d", F.col("uid")).alias("doc_id"),
+            F.lit(0).cast("long").alias("lsn"),
+            F.lit(0).cast("long").alias("ts_ms"),
+            (F.col("uid") % 4).cast("long").alias("source_partition"),
+            F.lit("snapshot").alias("event_type"),
+            (F.col("uid") % 64 + 1).cast("long").alias("n_tok"),
+            F.lit(0).cast("long").alias("payload_hash"),
+        )
+    )
+    combined = snap.unionByName(ch.select(*snap.columns))
+    return lww_dedup(combined, key="doc_id").select(*_FINAL_COLS)
+
+
 def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD-type-2 history over the changelog: per-doc validity intervals via
     lead(), active-row flag via row_number() (stream_processor.py:742-900)."""
@@ -357,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_metadata_injection": q_cdc_metadata_injection,
         "cdc_checkpoint_agg": q_cdc_checkpoint_agg,
         "cdc_tombstone_stats": q_cdc_tombstone_stats,
+        "cdc_snapshot_then_tail": q_cdc_snapshot_then_tail,
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_unnest_tokens": q_cdc_unnest_tokens,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -509,6 +534,30 @@ SELECT doc_id, lang,
             / (length(text) - length(replace(text, ' ', '')) + 1)) AS BIGINT) AS avg_word_len_x100,
        CAST(CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END AS INT) AS is_long
 FROM documents
+""",
+        "cdc_snapshot_then_tail": f"""
+WITH ch AS ({_CH}),
+snap AS (
+  SELECT 'I' AS op,
+         printf('doc%09d', uid) AS doc_id,
+         CAST(0 AS BIGINT) AS lsn,
+         CAST(0 AS BIGINT) AS ts_ms,
+         CAST(uid % 4 AS BIGINT) AS source_partition,
+         'snapshot' AS event_type,
+         CAST(uid % 64 + 1 AS BIGINT) AS n_tok,
+         CAST(0 AS BIGINT) AS payload_hash
+  FROM (SELECT DISTINCT CAST(user_id AS BIGINT) AS uid FROM events)),
+combined AS (
+  SELECT op, doc_id, lsn, ts_ms, source_partition, event_type, n_tok, payload_hash
+  FROM snap
+  UNION ALL
+  SELECT op, doc_id, lsn, ts_ms, source_partition, event_type, n_tok, payload_hash
+  FROM ch),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC, ts_ms DESC) AS rn
+  FROM combined)
+SELECT doc_id, op, lsn, ts_ms, source_partition, event_type, n_tok, payload_hash
+FROM ranked WHERE rn = 1
 """,
         "cdc_scd2_history": f"""
 WITH ch AS ({_CH})

@@ -292,7 +292,12 @@ class CdcEngine:
             salt_buckets=self.cfg.salt_buckets,
         )
 
-    def _commit_batch(self, winners: DataFrame, summary: dict) -> int | None:
+    def _commit_batch(
+        self,
+        winners: DataFrame,
+        summary: dict,
+        affected_buckets: list[int] | None = None,
+    ) -> int | None:
         """Dispatch on destination sync mode (airbyte-protocol.md:404-417):
         append_dedup -> bucket-CoW MERGE; append -> pure file append;
         overwrite -> replace the whole table with this batch (full-refresh
@@ -305,6 +310,7 @@ class CdcEngine:
                 summary=summary,
                 dedup_strategy=self.cfg.dedup_strategy,
                 write_partitions=self.cfg.write_partitions,
+                affected_buckets=affected_buckets,
             )
         table = self.table
         cols = table.snapshot().schema.fieldNames()
@@ -467,13 +473,17 @@ class CdcEngine:
         batch = source.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
         winners = self._dedup_winners(batch, table).persist()
         try:
-            # per-partition lineage agg (tiny result, collected)
+            # ONE driver action per batch: per-partition lineage stats AND
+            # the touched-bucket set (for the CoW merge) in the same agg.
             part_stats = (
                 winners.groupBy("source_partition")
                 .agg(
                     F.min("lsn").alias("min_lsn"),
                     F.max("lsn").alias("max_lsn"),
                     F.count("*").alias("rows"),
+                    F.collect_set(
+                        table.bucket_expr(self.stream.primary_key)
+                    ).alias("buckets"),
                 )
                 .collect()
             )
@@ -482,6 +492,7 @@ class CdcEngine:
                 ckpt.max_committed_lsn = hi
                 save_checkpoint(self.checkpoint_path, ckpt)
                 return 0
+            affected = sorted({int(b) for r in part_stats for b in r["buckets"]})
 
             version = self._commit_batch(
                 winners,
@@ -491,6 +502,7 @@ class CdcEngine:
                     "start_lsn": lo,
                     "end_lsn": hi,
                 },
+                affected_buckets=affected,
             )
         finally:
             winners.unpersist()

@@ -303,8 +303,10 @@ class LakeTable:
         self, staging_dir: str, new_version: int, schema_version: int, cursor_col: str | None
     ) -> list[DataFile]:
         """Move staged parquet out of Spark's partitioned output into the
-        data dir with snapshot-scoped names; harvest footer stats."""
-        out: list[DataFile] = []
+        data dir with snapshot-scoped names; harvest footer stats. Footer
+        reads go through a thread pool — this is per-commit driver work and
+        must not serialize on file count."""
+        moves: list[tuple[str, int]] = []  # (dst-rel, bucket)
         for entry in sorted(os.listdir(staging_dir)):
             if not entry.startswith(f"{BUCKET_COL}="):
                 continue
@@ -315,31 +317,38 @@ class LakeTable:
                 if not part.endswith(".parquet"):
                     continue
                 rel = os.path.join(DATA_DIR, f"v{new_version}-b{bucket:05d}-{seq}.parquet")
-                dst = os.path.join(self.root, rel)
-                os.replace(os.path.join(bdir, part), dst)
-                meta = pq.ParquetFile(dst).metadata
-                min_c = max_c = None
-                if cursor_col is not None:
-                    idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
-                    if cursor_col in idx:
-                        ci = idx[cursor_col]
-                        for rg in range(meta.num_row_groups):
-                            st = meta.row_group(rg).column(ci).statistics
-                            if st is not None and st.has_min_max:
-                                min_c = st.min if min_c is None else min(min_c, st.min)
-                                max_c = st.max if max_c is None else max(max_c, st.max)
-                out.append(
-                    DataFile(
-                        path=rel,
-                        bucket=bucket,
-                        rows=meta.num_rows,
-                        schema_version=schema_version,
-                        min_cursor=min_c,
-                        max_cursor=max_c,
-                    )
-                )
+                os.replace(os.path.join(bdir, part), os.path.join(self.root, rel))
+                moves.append((rel, bucket))
                 seq += 1
-        return out
+
+        def harvest(move: tuple[str, int]) -> DataFile:
+            rel, bucket = move
+            meta = pq.ParquetFile(os.path.join(self.root, rel)).metadata
+            min_c = max_c = None
+            if cursor_col is not None:
+                idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+                if cursor_col in idx:
+                    ci = idx[cursor_col]
+                    for rg in range(meta.num_row_groups):
+                        st = meta.row_group(rg).column(ci).statistics
+                        if st is not None and st.has_min_max:
+                            min_c = st.min if min_c is None else min(min_c, st.min)
+                            max_c = st.max if max_c is None else max(max_c, st.max)
+            return DataFile(
+                path=rel,
+                bucket=bucket,
+                rows=meta.num_rows,
+                schema_version=schema_version,
+                min_cursor=min_c,
+                max_cursor=max_c,
+            )
+
+        if len(moves) <= 4:
+            return [harvest(m) for m in moves]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            return list(ex.map(harvest, moves))
 
     def write_and_commit(
         self,

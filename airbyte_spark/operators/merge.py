@@ -42,20 +42,27 @@ def merge_upsert(
     summary: dict,
     dedup_strategy: str = "agg",
     write_partitions: int | None = None,
+    affected_buckets: list[int] | None = None,
 ) -> int | None:
     """Apply a deduped batch (exactly one row per doc_id, table row shape +
     ``ts_ms``) to the table. Returns the committed snapshot version, or None
-    for an empty batch."""
+    for an empty batch.
+
+    ``affected_buckets``: pass the bucket set if already known (the engine
+    folds it into the lineage aggregate) to avoid a second driver action.
+    """
     snap = table.snapshot()
     schema = snap.schema
     cols = schema.fieldNames()
 
     batch = winners.select(*cols, F.col("ts_ms").alias(_TS_TMP))
 
-    affected = [
-        r[0]
-        for r in winners.select(table.bucket_expr("doc_id").alias("b")).distinct().collect()
-    ]
+    affected = affected_buckets
+    if affected is None:
+        affected = [
+            r[0]
+            for r in winners.select(table.bucket_expr("doc_id").alias("b")).distinct().collect()
+        ]
     if not affected:
         return None
 

@@ -1,0 +1,99 @@
+"""Physical-plan quality gates: the properties that make the engine scale
+(predicate pushdown to parquet, broadcast of small join sides, map-side
+partial aggregation) must be visible in the optimized plan — not assumed.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import functions as F
+
+from airbyte_spark.changelog import ChangelogConfig, changelog_df, write_changelog
+from airbyte_spark.operators.dedup import lww_dedup
+from airbyte_spark.operators.similarity import knn_bruteforce
+
+
+def _explain(df) -> str:
+    return df._jdf.queryExecution().explainString("formatted")
+
+
+def test_cursor_predicate_pushed_to_parquet(spark, workdir):
+    """The incremental `lsn > ckpt AND lsn <= hi` filter must reach the
+    parquet scan (PushedFilters), the storage analog of the reference's
+    `_airbyte_loaded_at IS NULL` work marker (SURVEY.md §4)."""
+    cfg = ChangelogConfig(n_events=500, n_seed_docs=50)
+    path = os.path.join(workdir, "cl")
+    write_changelog(spark, cfg, path)
+    df = (
+        spark.read.parquet(path)
+        .filter((F.col("lsn") > 100) & (F.col("lsn") <= 300))
+        .select("doc_id", "lsn")
+    )
+    plan = _explain(df)
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed, plan
+    assert "GreaterThan(lsn,100)" in pushed.group(1)
+    assert "LessThanOrEqual(lsn,300)" in pushed.group(1)
+    # column pruning: the scan must not read the (wide) tokens column
+    read_schema = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert read_schema and "tokens" not in read_schema.group(1)
+
+
+def test_lww_agg_has_partial_aggregate(spark):
+    """The max_by dedup must plan as partial (map-side) + final hash
+    aggregate around one exchange — the skew answer (SURVEY.md §2.5)."""
+    df = spark.range(1000).select(
+        (F.col("id") % 50).cast("string").alias("doc_id"),
+        F.col("id").alias("lsn"),
+        (F.col("id") * 2).alias("ts_ms"),
+        F.lit("x").alias("payload"),
+    )
+    plan = _explain(lww_dedup(df, key="doc_id"))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Exchange" in plan
+    # exactly one shuffle for the dedup itself
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_knn_broadcasts_query_side(spark):
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(1, 64), i -> CAST(rand(42) AS FLOAT))").alias("embedding"),
+    )
+    out = knn_bruteforce(emb, emb.filter(F.col("vec_id") < 3), top_k=2)
+    plan = _explain(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_merge_scan_reads_only_affected_buckets(spark, workdir):
+    """Bucket-CoW: the merge target scan is manifest-driven — only files of
+    touched buckets are handed to the reader (no full-table read)."""
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.schemas import tokenseq_schema
+
+    t = LakeTable.create(spark, os.path.join(workdir, "t"), tokenseq_schema(),
+                         primary_key="doc_id", num_buckets=8, cursor_col="_ab_lsn")
+    rows = spark.range(400).selectExpr(
+        "CAST(id AS STRING) AS doc_id",
+        "transform(sequence(0, 3), i -> CAST(i AS INT)) AS tokens",
+        "CAST(4 AS INT) AS n_tok",
+        "'s' AS source",
+        "id AS _ab_lsn",
+        "timestamp_millis(id) AS _ab_extracted_at",
+        "CAST(id AS STRING) AS _ab_raw_id",
+        "CAST(NULL AS TIMESTAMP) AS _ab_cdc_deleted_at",
+        "named_struct('errors', array('')) AS _ab_meta",
+    )
+    t.write_and_commit(rows, replace_buckets=None, summary={"operation": "seed"})
+    all_files = {f.path for f in t.snapshot().files}
+    some = t.scan(buckets=[1, 3])
+    scanned = _explain(some)
+    # the files actually scanned are a strict subset (bucket pruning)
+    n_referenced = sum(1 for p in all_files if os.path.basename(p) in scanned)
+    per_bucket = {f.bucket for f in t.snapshot().files}
+    assert len(per_bucket) > 2  # data actually spread over buckets
+    expected = {f.path for f in t.snapshot().files if f.bucket in (1, 3)}
+    assert some.count() == sum(f.rows for f in t.snapshot().files if f.bucket in (1, 3))
+    assert len(expected) < len(all_files)
