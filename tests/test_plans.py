@@ -16,7 +16,8 @@ from airbyte_spark.operators.similarity import knn_bruteforce
 
 
 def _explain(df) -> str:
-    return df._jdf.queryExecution().explainString("formatted")
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
 
 def test_cursor_predicate_pushed_to_parquet(spark, workdir):
@@ -51,10 +52,12 @@ def test_lww_agg_has_partial_aggregate(spark):
         F.lit("x").alias("payload"),
     )
     plan = _explain(lww_dedup(df, key="doc_id"))
-    assert plan.count("HashAggregate") >= 2  # partial + final
-    assert "Exchange" in plan
+    # map-side partial combine BEFORE the exchange (Spark 4 plans struct
+    # max_by as SortAggregate; partial_max_by is the property that matters)
+    assert "partial_max_by" in plan
+    assert plan.count("Aggregate") >= 2  # partial + final
     # exactly one shuffle for the dedup itself
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("hashpartitioning") == 1
 
 
 def test_knn_broadcasts_query_side(spark):
