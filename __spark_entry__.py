@@ -367,6 +367,83 @@ def q_cdc_unnest_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.select("doc_id", "lsn", F.posexplode("tokens").alias("pos", "token"))
 
 
+def q_cdc_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction + safe-cast with per-column error capture
+    (extractNewRawRecords cast CTE, BigQuerySqlGenerator.java:536-566;
+    'destinations never fail on mismatch', airbyte-protocol.md:439-450).
+    An _airbyte_data-style envelope is built per event (with a deterministic
+    dirty value every 7th record); typed columns come out via get_json_object
+    + try_cast, failures land in an errors array instead of failing rows."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    amt_raw = F.when(F.col("event_id") % 7 == 0, F.lit("N/A")).otherwise(
+        F.floor(F.col("value") * 100).cast("long").cast("string")
+    )
+    data = F.concat(
+        F.lit('{"uid": '),
+        F.col("user_id").cast("string"),
+        F.lit(', "k": '),
+        F.get_json_object("props", "$.k"),
+        F.lit(', "amt": "'),
+        amt_raw,
+        F.lit('"}'),
+    )
+    d = ev.select(F.col("event_id"), data.alias("_data"))
+    amt_s = F.get_json_object("_data", "$.amt")
+    amt_t = amt_s.try_cast("long")
+    return d.select(
+        "event_id",
+        F.get_json_object("_data", "$.uid").try_cast("long").alias("uid"),
+        F.get_json_object("_data", "$.k").try_cast("int").alias("k"),
+        amt_t.alias("amt_cents"),
+        F.when(amt_s.isNotNull() & amt_t.isNull(), F.array(F.lit("amt_cast_error")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("errors"),
+    ).select(
+        "event_id", "uid", "k", "amt_cents", F.size("errors").cast("int").alias("n_errors")
+    )
+
+
+def q_declarative_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative filter/add_field/remove_fields chain compiled to Catalyst
+    (record_filter.py:13-36, add_fields.py:35-130, remove_fields.py:15-63)."""
+    from airbyte_spark.plans.transforms import apply_transforms
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return apply_transforms(
+        ev,
+        [
+            {"op": "filter", "predicate": "event_type IN ('click', 'purchase')"},
+            {"op": "add_field", "name": "day_ms",
+             "expr": "unix_millis(date_trunc('DAY', ts))"},
+            {"op": "add_field", "name": "value_cents",
+             "expr": "CAST(floor(value * 100) AS BIGINT)"},
+            {"op": "remove_fields", "names": ["props", "ts", "value"]},
+        ],
+    )
+
+
+def q_substream_parent_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substream partition router as a join: for each parent (customer) read
+    the child stream (orders) with the parent key injected
+    (substream_partition_router.py:41) — the nested-loop API iteration
+    becomes one broadcast equi-join of child against the small parent dim."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_name", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").alias("parent_key"),
+            "c_name",
+            "c_mktsegment",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full CDC pipeline (validate -> dedup -> apply) at sf0.001."""
     return q_cdc_apply_final(spark, SF0001)
@@ -399,6 +476,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "multimodal_blob_meta": q_multimodal_blob_meta,
         "events_hourly_rollup": q_events_hourly_rollup,
+        "cdc_json_extract": q_cdc_json_extract,
+        "declarative_transforms": q_declarative_transforms,
+        "substream_parent_child": q_substream_parent_child,
     }
 
 
@@ -669,5 +749,35 @@ SELECT lang,
             ELSE 'unknown' END AS pred,
        count(*) AS n
 FROM documents GROUP BY 1, 2
+""",
+        "cdc_json_extract": """
+WITH d AS (
+  SELECT event_id,
+         '{"uid": ' || CAST(user_id AS VARCHAR)
+         || ', "k": ' || json_extract_string(props, '$.k')
+         || ', "amt": "'
+         || CASE WHEN event_id % 7 = 0 THEN 'N/A'
+                 ELSE CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) END
+         || '"}' AS _data
+  FROM events)
+SELECT event_id,
+       TRY_CAST(json_extract_string(_data, '$.uid') AS BIGINT) AS uid,
+       TRY_CAST(json_extract_string(_data, '$.k') AS INT) AS k,
+       TRY_CAST(json_extract_string(_data, '$.amt') AS BIGINT) AS amt_cents,
+       CAST(CASE WHEN json_extract_string(_data, '$.amt') IS NOT NULL
+                  AND TRY_CAST(json_extract_string(_data, '$.amt') AS BIGINT) IS NULL
+                 THEN 1 ELSE 0 END AS INT) AS n_errors
+FROM d
+""",
+        "declarative_transforms": """
+SELECT event_id, user_id, event_type,
+       epoch_ms(date_trunc('day', ts)) AS day_ms,
+       CAST(floor(value * 100) AS BIGINT) AS value_cents
+FROM events WHERE event_type IN ('click', 'purchase')
+""",
+        "substream_parent_child": """
+SELECT o_orderkey, o_custkey AS parent_key, c_name, c_mktsegment,
+       CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
 """,
     }
