@@ -61,3 +61,11 @@ class EngineConfig:
     salt_buckets: int = 16
     # Write parallelism for the per-bucket CoW rewrite.
     write_partitions: int | None = None
+    # Post-sync compaction (the reference rewrites data files after each
+    # sync, IcebergConsumer.java:210-224): after replay, rewrite any bucket
+    # fragmented beyond this many files into one. None disables.
+    compact_after_replay_max_files: int | None = 4
+    # When a batch's event count >= this fraction of the table's rows, use
+    # the single-action whole-table merge (merge_upsert_full) instead of the
+    # bucket-pruned two-phase path. None = always two-phase.
+    full_merge_min_fraction: float | None = 0.5

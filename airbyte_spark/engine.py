@@ -256,6 +256,17 @@ class CdcEngine:
             "last_committed_lsn": (load_checkpoint(self.checkpoint_path) or Checkpoint()).max_committed_lsn,
         }
         log_metric("replay_done", **stats)
+        # Post-sync compaction (outside the timed replay window, like the
+        # reference's rewriteDataFiles after sync — IcebergConsumer.java:210-224).
+        max_files = self.cfg.compact_after_replay_max_files
+        if max_files is not None and n_batches > 0:
+            t_c = time.monotonic()
+            v = self.table.compact(max_files_per_bucket=max_files)
+            if v is not None:
+                log_metric(
+                    "compacted", snapshot=v,
+                    wall_ms=int((time.monotonic() - t_c) * 1000),
+                )
         return stats
 
     def _align_to_table(self, batch: DataFrame, table_schema: StructType) -> DataFrame:
@@ -272,17 +283,21 @@ class CdcEngine:
                 out.append(F.lit(None).cast(f.dataType).alias(f.name))
         return batch.select(*out)
 
-    def _dedup_winners(self, batch: DataFrame, table: LakeTable) -> DataFrame:
-        """Shared batch prep: align to table schema -> validate (pandas UDF)
-        -> inject CDC metadata -> LWW dedup to one row per PK. In plain
-        ``append`` sync mode every record is kept (no dedup), matching the
-        reference's incremental|append semantics (airbyte-protocol.md:404-428)."""
+    def _prepare_batch(self, batch: DataFrame, table: LakeTable) -> DataFrame:
+        """Align to table schema -> validate (pandas UDF) -> inject CDC
+        metadata. No dedup — raw enriched events."""
         batch = self._align_to_table(batch, table.snapshot().schema)
         if self.cfg.validate_tokens:
             batch = apply_validation(batch, self.cfg.vocab_size)
         else:
             batch = batch.withColumn(S.COL_META, F.lit(None).cast(S.META_TYPE))
-        enriched = inject_cdc_metadata(batch)
+        return inject_cdc_metadata(batch)
+
+    def _dedup_winners(self, batch: DataFrame, table: LakeTable) -> DataFrame:
+        """Shared batch prep + LWW dedup to one row per PK. In plain
+        ``append`` sync mode every record is kept (no dedup), matching the
+        reference's incremental|append semantics (airbyte-protocol.md:404-428)."""
+        enriched = self._prepare_batch(batch, table)
         if self.stream.sync_mode == SYNC_APPEND:
             return enriched
         return lww_dedup(
@@ -291,6 +306,25 @@ class CdcEngine:
             strategy=self.cfg.dedup_strategy,
             salt_buckets=self.cfg.salt_buckets,
         )
+
+    def _use_full_merge(self, table: LakeTable, batch_events: int) -> bool:
+        """Large batches (vs table size) merge the whole table in one
+        single-action pass (merge_upsert_full); small batches keep the
+        bucket-pruned two-phase path. Bulk replay sits squarely in the
+        first regime — bucket pruning cannot skip anything when a batch
+        touches every bucket anyway."""
+        frac = self.cfg.full_merge_min_fraction
+        if (
+            frac is None
+            or self.stream.sync_mode != SYNC_APPEND_DEDUP
+            or self.cfg.dedup_strategy != "agg"
+        ):
+            return False
+        snap = table.snapshot()
+        if snap.spec.get("bucket_fn") != "murmur3":
+            return False
+        table_rows = sum(f.rows for f in snap.files)
+        return batch_events >= frac * max(table_rows, 1)
 
     def _commit_batch(
         self,
@@ -471,6 +505,10 @@ class CdcEngine:
     # reference's `_airbyte_loaded_at IS NULL` work marker (SURVEY.md §4).
         t0 = time.monotonic()
         batch = source.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
+
+        if self._use_full_merge(table, hi - lo):
+            return self._apply_batch_full(batch, table, bid, ckpt, lo, hi, t0)
+
         winners = self._dedup_winners(batch, table).persist()
         try:
             # ONE driver action per batch: per-partition lineage stats AND
@@ -487,6 +525,7 @@ class CdcEngine:
                 )
                 .collect()
             )
+            t_collect = time.monotonic()
             if not part_stats:
                 log_metric("batch_empty", batch_id=bid, start_lsn=lo, end_lsn=hi)
                 ckpt.max_committed_lsn = hi
@@ -543,6 +582,91 @@ class CdcEngine:
             rows_applied=rows_applied,
             snapshot=version,
             wall_ms=wall_ms,
+            dedup_ms=int((t_collect - t0) * 1000),
+            commit_ms=wall_ms - int((t_collect - t0) * 1000),
+            events_per_sec=round((hi - lo) / (wall_ms / 1000.0), 1) if wall_ms else None,
+        )
+        return hi - lo
+
+    def _apply_batch_full(
+        self, batch: DataFrame, table: LakeTable, bid: str,
+        ckpt: Checkpoint, lo: int, hi: int, t0: float,
+    ) -> int:
+        """Single-action whole-table merge (merge_upsert_full). Lineage
+        stats come from a column-pruned scan of just (source_partition, lsn)
+        — the parquet reader never touches the wide token column for it, so
+        the extra pass is ~free. rows_applied here counts the change events
+        delivered per source partition in (lo, hi] (what the source read —
+        the reference's per-state record counts, AsyncStreamConsumer
+        .java:199-221); the merged winners are not per-partition attributable
+        after the union."""
+        from airbyte_spark.operators.merge import merge_upsert_full
+
+        part_stats = (
+            batch.groupBy("source_partition")
+            .agg(
+                F.min("lsn").alias("min_lsn"),
+                F.max("lsn").alias("max_lsn"),
+                F.count("*").alias("rows"),
+            )
+            .collect()
+        )
+        t_collect = time.monotonic()
+        if not part_stats:
+            log_metric("batch_empty", batch_id=bid, start_lsn=lo, end_lsn=hi)
+            ckpt.max_committed_lsn = hi
+            save_checkpoint(self.checkpoint_path, ckpt)
+            return 0
+
+        enriched = self._prepare_batch(batch, table)
+        version = merge_upsert_full(
+            table,
+            enriched,
+            summary={
+                "operation": "merge-full",
+                "batch_id": bid,
+                "start_lsn": lo,
+                "end_lsn": hi,
+            },
+        )
+
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        rows_applied = sum(int(r["rows"]) for r in part_stats)
+        self.lineage.append(
+            [
+                {
+                    "batch_id": bid,
+                    "source_partition": int(r["source_partition"]),
+                    "start_lsn": int(r["min_lsn"]),
+                    "end_lsn": int(r["max_lsn"]),
+                    "rows_applied": int(r["rows"]),
+                    "commit_snapshot_id": int(version),
+                    "wall_ms": wall_ms,
+                }
+                for r in part_stats
+            ]
+        )
+        ckpt.max_committed_lsn = hi
+        ckpt.table_schema_version = self.table.snapshot().schema_version
+        ckpt.batches.append(bid)
+        for r in part_stats:
+            p = str(int(r["source_partition"]))
+            cur = ckpt.per_partition.get(p, {"last_lsn": 0, "rows_applied": 0})
+            cur["last_lsn"] = max(cur["last_lsn"], int(r["max_lsn"]))
+            cur["rows_applied"] = cur["rows_applied"] + int(r["rows"])
+            ckpt.per_partition[p] = cur
+        save_checkpoint(self.checkpoint_path, ckpt)
+        log_metric(
+            "batch_committed",
+            batch_id=bid,
+            start_lsn=lo,
+            end_lsn=hi,
+            rows_applied=rows_applied,
+            snapshot=version,
+            wall_ms=wall_ms,
+            stats_ms=int((t_collect - t0) * 1000),
+            merge_ms=wall_ms - int((t_collect - t0) * 1000),
+            merge_mode="full",
             events_per_sec=round((hi - lo) / (wall_ms / 1000.0), 1) if wall_ms else None,
         )
         return hi - lo

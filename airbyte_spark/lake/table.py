@@ -163,6 +163,7 @@ class LakeTable:
                 "bucket_by": primary_key,
                 "num_buckets": num_buckets,
                 "cursor_col": cursor_col,
+                "bucket_fn": "murmur3",  # == Spark hashpartitioning's hash
             },
             files=[],
             summary={"operation": "create"},
@@ -243,9 +244,14 @@ class LakeTable:
     # ----------------------------------------------------------------- read
 
     def bucket_expr(self, col_name: str | None = None):
+        """bucket = pmod(murmur3_hash(pk), B) — deliberately THE SAME function
+        Spark's hashpartitioning uses, so a DataFrame that was
+        ``repartition(B, pk)``-ed is already physically bucket-aligned:
+        partition index == bucket. The merge path exploits this to write
+        without any extra shuffle or cross-bucket sort."""
         spec = self.snapshot().spec
         pk = col_name or spec["bucket_by"]
-        return F.pmod(F.xxhash64(F.col(pk)), F.lit(spec["num_buckets"])).cast("int")
+        return F.pmod(F.hash(F.col(pk)), F.lit(spec["num_buckets"])).cast("int")
 
     def scan(
         self,
@@ -358,6 +364,7 @@ class LakeTable:
         new_schema: StructType | None = None,
         expected_version: int | None = None,
         write_partitions: int | None = None,
+        pre_aligned: bool = False,
     ) -> int:
         """Write ``df`` as new data files and commit a snapshot.
 
@@ -367,6 +374,12 @@ class LakeTable:
         - ``replace_buckets=ALL`` (pass the full range) -> overwrite.
         - ``new_schema`` -> evolve the table schema in the same commit
           (additive / widening; validated by the caller/engine).
+        - ``pre_aligned=True`` -> caller guarantees ``df`` is physically
+          partitioned as ``hashpartitioning(pk, num_buckets)`` (e.g. it is
+          the output of ``repartition(B, pk)`` + groupBy(pk) agg). Because
+          bucket_expr == the hashpartitioning function, each task then
+          holds exactly one bucket and the write needs NO extra shuffle
+          (the dynamic-partition sort degenerates to a single key).
 
         ``df`` must NOT contain the bucket column; it is derived here from
         the primary key so layout can never drift from the spec.
@@ -384,19 +397,33 @@ class LakeTable:
 
         staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
         with_bucket = df.withColumn(BUCKET_COL, self.bucket_expr())
-        n_write = write_partitions or self.spark.sparkContext.defaultParallelism
-        # Hash-repartition on the bucket column: each bucket lands in exactly
-        # one task -> exactly one file per bucket per commit (plus AQE
-        # coalescing of empty partitions). partitionBy then strips the
-        # bucket column from file contents.
+        if not pre_aligned:
+            # Hash-repartition on the bucket column: each bucket lands in
+            # exactly one task -> one file per bucket per commit. partitionBy
+            # then strips the bucket column from file contents.
+            n_write = write_partitions or self.spark.sparkContext.defaultParallelism
+            with_bucket = with_bucket.repartition(n_write, F.col(BUCKET_COL))
+        import time as _time
+
+        _t0 = _time.monotonic()
         (
-            with_bucket.repartition(n_write, F.col(BUCKET_COL))
+            with_bucket
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(staging)
         )
+        _t1 = _time.monotonic()
         new_files = self._collect_file_stats(staging, new_version, schema_version, cursor_col)
         _rmtree(staging)
+        from airbyte_spark.lineage import log_metric as _lm
+
+        _lm(
+            "commit_write",
+            version=new_version,
+            files=len(new_files),
+            write_ms=int((_t1 - _t0) * 1000),
+            harvest_ms=int((_time.monotonic() - _t1) * 1000),
+        )
 
         kept = base.files
         if replace_buckets is not None:

@@ -26,6 +26,8 @@ view filters them.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -34,6 +36,24 @@ from airbyte_spark.lake.table import LakeTable
 from airbyte_spark.operators.dedup import lww_dedup
 
 _TS_TMP = "_ts_ms_tmp"
+
+
+@contextmanager
+def _conf(spark, **kv):
+    """Temporarily set session confs (restored after the enclosed action)."""
+    old = {}
+    for k, v in kv.items():
+        key = k.replace("__", ".")
+        old[key] = spark.conf.get(key, None)
+        spark.conf.set(key, v)
+    try:
+        yield
+    finally:
+        for key, v in old.items():
+            if v is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, v)
 
 
 def merge_upsert(
@@ -71,6 +91,16 @@ def merge_upsert(
     )
 
     combined = target.unionByName(batch)
+    num_buckets = snap.spec["num_buckets"]
+    aligned = dedup_strategy == "agg" and snap.spec.get("bucket_fn") == "murmur3"
+    if aligned:
+        # Both sides are already one-row-per-key (no skew possible), so the
+        # map-side partial combine buys nothing here — instead shuffle ONCE
+        # into hashpartitioning(doc_id, num_buckets): the LWW aggregate
+        # reuses that exchange, and because bucket_expr == the
+        # hashpartitioning hash, its output is physically bucket-aligned and
+        # the write needs no further shuffle or cross-bucket sort.
+        combined = combined.repartition(num_buckets, F.col("doc_id"))
     merged = lww_dedup(
         combined,
         key="doc_id",
@@ -83,4 +113,49 @@ def merge_upsert(
         replace_buckets=affected,
         summary=summary,
         write_partitions=write_partitions,
+        pre_aligned=aligned,
     )
+
+
+def merge_upsert_full(
+    table: LakeTable,
+    enriched_batch: DataFrame,
+    summary: dict,
+) -> int:
+    """Single-action whole-table merge for LARGE batches: union the raw
+    validated batch (NOT pre-deduped) with the full target and let ONE
+    skew-crushing LWW aggregate resolve everything, writing bucket-aligned
+    with no further shuffle.
+
+    Compared with the two-phase path (dedup batch -> persist -> stats
+    collect -> union -> re-dedup -> repartition -> write) this runs ONE
+    heavy pass: scan+validate -> partial_max_by (map-side, hot keys crushed
+    before the wire) -> one exchange at exactly num_buckets partitions
+    (shuffle partitions pinned, AQE coalescing disabled so partition index
+    == bucket) -> final max_by -> parquet write, no sort, no persist churn.
+    Right when the batch is a significant fraction of the table (the bulk
+    replay regime, where bucket pruning cannot skip anything anyway); the
+    bucket-pruned two-phase path stays for small/selective batches.
+    """
+    spark = enriched_batch.sparkSession
+    snap = table.snapshot()
+    cols = snap.schema.fieldNames()
+    num_buckets = snap.spec["num_buckets"]
+
+    batch = enriched_batch.select(*cols, F.col("ts_ms").alias(_TS_TMP))
+    target = table.scan().withColumn(_TS_TMP, F.unix_millis(F.col(S.COL_EXTRACTED_AT)))
+    combined = target.unionByName(batch)
+    with _conf(
+        spark,
+        spark__sql__shuffle__partitions=str(num_buckets),
+        spark__sql__adaptive__coalescePartitions__enabled="false",
+    ):
+        merged = lww_dedup(
+            combined, key="doc_id", strategy="agg", order_cols=(S.COL_LSN, _TS_TMP)
+        ).drop(_TS_TMP)
+        return table.write_and_commit(
+            merged.select(*cols),
+            replace_buckets=range(num_buckets),
+            summary=summary,
+            pre_aligned=True,
+        )

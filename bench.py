@@ -81,9 +81,21 @@ def _changelog_cfg():
 
 
 def child_replay(cores: int) -> dict:
-    """Run the full replay at local[cores]; print a JSON result line."""
+    """Run the full replay at local[cores]; print a JSON result line.
+
+    The process pins itself to ``cores`` CPUs (inherited by the JVM and
+    python UDF workers) and caps the JVM's ActiveProcessorCount — modeling a
+    real N-core executor host, where GC / shuffle / codec threads share the
+    executor's cores instead of spilling onto the rest of the machine. An
+    unpinned local[2] on a 32-vCPU box otherwise borrows idle cores and
+    inflates the small-N baseline (deflating measured scaling efficiency)."""
     import shutil
     import tempfile
+
+    try:
+        os.sched_setaffinity(0, set(range(cores)))
+    except (AttributeError, OSError):  # non-Linux / restricted
+        pass
 
     from airbyte_spark.changelog import seed_df, write_changelog
     from airbyte_spark.config import EngineConfig, StreamConfig
@@ -91,7 +103,9 @@ def child_replay(cores: int) -> dict:
     from airbyte_spark.session import get_spark
 
     cfg = _changelog_cfg()
-    extra = {}
+    extra = {
+        "spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={cores}",
+    }
     if TMPFS:
         local_dir = os.path.join(TMPFS, f"ab_bench_spark_{cores}")
         os.makedirs(local_dir, exist_ok=True)

@@ -126,3 +126,40 @@ def test_compaction_and_orphans(spark, table):
     # rows preserved (latest snapshot sees all 3 rows — compaction is not dedup)
     assert table.scan().count() == 3
     assert table.expire_orphans() == 0  # everything referenced by history
+
+
+def test_full_merge_files_are_bucket_pure(spark, workdir):
+    """merge_upsert_full writes with pre_aligned=True (no shuffle before the
+    write) — every data file must still contain ONLY rows of its manifest
+    bucket, i.e. hashpartitioning(pk, B) really is the bucket function."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from airbyte_spark.changelog import ChangelogConfig, seed_df, write_changelog
+    from airbyte_spark.config import EngineConfig, StreamConfig
+    from airbyte_spark.engine import CdcEngine
+
+    cfg = ChangelogConfig(n_events=800, n_seed_docs=150)
+    eng = CdcEngine(
+        spark,
+        os.path.join(workdir, "lake"),
+        StreamConfig(num_buckets=8),
+        # force the single-action full-merge path
+        EngineConfig(batch_events=800, full_merge_min_fraction=0.0),
+    )
+    eng.create_table()
+    eng.bootstrap(seed_df(spark, cfg))
+    clpath = os.path.join(workdir, "cl")
+    write_changelog(spark, cfg, clpath)
+    eng.replay(clpath)
+    t = eng.table
+    assert any(
+        s.summary.get("operation") == "merge-full" for s in t.history()
+    ), "full-merge path not taken"
+    for f in t.snapshot().files:
+        df = spark.read.parquet(os.path.join(t.root, f.path))
+        bad = df.filter(
+            F.pmod(F.hash(F.col("doc_id")), F.lit(8)).cast("int") != F.lit(f.bucket)
+        ).count()
+        assert bad == 0, f"file {f.path} has {bad} rows outside bucket {f.bucket}"
