@@ -367,6 +367,22 @@ def q_cdc_unnest_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.select("doc_id", "lsn", F.posexplode("tokens").alias("pos", "token"))
 
 
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing over the synthesized multimodal asset table:
+    each binary payload explodes into up to 4 (frame_idx, frame_offset)
+    rows (functions/multimodal.py sample_frames; the codec would replace
+    offset slicing with real frame extraction)."""
+    from airbyte_spark.functions.multimodal import sample_frames, synthesize_assets
+
+    assets = synthesize_assets(_docs(spark, sf_dir))
+    out = sample_frames(assets, stride_bytes=4096, max_frames=4)
+    return out.select(
+        "asset_id", "modality", F.col("byte_len").cast("long").alias("byte_len"),
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("frame_offset").cast("long").alias("frame_offset"),
+    )
+
+
 def q_cdc_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction + safe-cast with per-column error capture
     (extractNewRawRecords cast CTE, BigQuerySqlGenerator.java:536-566;
@@ -477,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_blob_meta": q_multimodal_blob_meta,
         "events_hourly_rollup": q_events_hourly_rollup,
         "cdc_json_extract": q_cdc_json_extract,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
         "declarative_transforms": q_declarative_transforms,
         "substream_parent_child": q_substream_parent_child,
     }
@@ -749,6 +766,22 @@ SELECT lang,
             ELSE 'unknown' END AS pred,
        count(*) AS n
 FROM documents GROUP BY 1, 2
+""",
+        "multimodal_frame_sample": """
+WITH a AS (
+  SELECT 'asset-' || CAST(doc_id AS VARCHAR) AS asset_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+  FROM documents),
+f AS (
+  SELECT asset_id, modality, byte_len,
+         greatest(1, CAST(ceil(byte_len / 4096.0) AS BIGINT)) AS n_frames
+  FROM a)
+SELECT asset_id, modality, byte_len,
+       CAST(unnest(range(0, CAST(least(n_frames, 4) AS BIGINT))) AS INT) AS frame_idx,
+       CAST(unnest(range(0, CAST(least(n_frames, 4) AS BIGINT))) * 4096 AS BIGINT) AS frame_offset
+FROM f
 """,
         "cdc_json_extract": """
 WITH d AS (

@@ -69,3 +69,7 @@ class EngineConfig:
     # the single-action whole-table merge (merge_upsert_full) instead of the
     # bucket-pruned two-phase path. None = always two-phase.
     full_merge_min_fraction: float | None = 0.5
+    # Read-ahead: validate+enrich micro-batch k+1 concurrently with batch
+    # k's merge (bounded to one batch in flight — the Spark shape of the
+    # reference's source-reads-ahead BlockingQueue pipeline).
+    prefetch_next_batch: bool = True

