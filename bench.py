@@ -80,25 +80,28 @@ def _changelog_cfg():
     )
 
 
-def child_replay(cores: int, n_runs: int = 1) -> dict:
+def child_replay(cores: int, n_runs: int = 1, cpu_start: int = 0) -> dict:
     """Run the full replay ``n_runs`` times at local[cores] in ONE JVM;
     print a JSON result line with every run plus the best.
 
-    The process pins itself to ``cores`` CPUs (inherited by the JVM and
-    python UDF workers) and caps the JVM's ActiveProcessorCount — modeling a
-    real N-core executor host, where GC / shuffle / codec threads share the
-    executor's cores instead of spilling onto the rest of the machine. An
-    unpinned local[2] on a 32-vCPU box otherwise borrows idle cores and
-    inflates the small-N baseline (deflating measured scaling efficiency).
+    The process pins itself to cores [cpu_start, cpu_start+cores) (inherited
+    by the JVM and python UDF workers) and caps the JVM's
+    ActiveProcessorCount — modeling a real N-core executor host, where GC /
+    shuffle / codec threads share the executor's cores instead of spilling
+    onto the rest of the machine. An unpinned local[2] on a 32-vCPU box
+    otherwise borrows idle cores and inflates the small-N baseline
+    (deflating measured scaling efficiency).
 
     Repeats share the JVM (JIT-warm after run 1, like a long-running
     executor) but each gets a FRESH lake; best-of filters this VM's ±20%
-    steal/scheduler noise out of the scaling ratio."""
+    steal/scheduler noise out of the scaling ratio. The parent runs the N
+    and 4N children CONCURRENTLY on disjoint CPU sets, so both levels see
+    the same noise phase and the ratio is paired, not sequential."""
     import shutil
     import tempfile
 
     try:
-        os.sched_setaffinity(0, set(range(cores)))
+        os.sched_setaffinity(0, set(range(cpu_start, cpu_start + cores)))
     except (AttributeError, OSError):  # non-Linux / restricted
         pass
 
@@ -115,7 +118,7 @@ def child_replay(cores: int, n_runs: int = 1) -> dict:
         "spark.sql.files.maxPartitionBytes": "16m",
     }
     if TMPFS:
-        local_dir = os.path.join(TMPFS, f"ab_bench_spark_{cores}")
+        local_dir = os.path.join(TMPFS, f"ab_bench_spark_{cores}_{cpu_start}")
         os.makedirs(local_dir, exist_ok=True)
         extra["spark.local.dir"] = local_dir
     spark = get_spark(
@@ -155,7 +158,11 @@ def child_replay(cores: int, n_runs: int = 1) -> dict:
         )
     spark.stop()
     if TMPFS:
-        shutil.rmtree(os.path.join(TMPFS, f"ab_bench_spark_{cores}"), ignore_errors=True)
+        shutil.rmtree(os.path.join(TMPFS, f"ab_bench_spark_{cores}_{cpu_start}"), ignore_errors=True)
+    if not runs:  # n_runs=0: generate-input-only invocation
+        out = {"cores": cores, "events": cfg.n_events, "runs": []}
+        print("BENCH_CHILD_RESULT " + json.dumps(out), flush=True)
+        return out
     best = max(runs, key=lambda r: r["events_per_sec"])
     out = {
         "cores": cores,
@@ -167,30 +174,39 @@ def child_replay(cores: int, n_runs: int = 1) -> dict:
     return out
 
 
-def _run_child(cores: int, n_runs: int = 1) -> dict:
+def _spawn_child(cores: int, n_runs: int, cpu_start: int) -> subprocess.Popen:
     env = dict(os.environ)
     env["SPARK_GRAFT_BENCH_EVENTS"] = str(BENCH_EVENTS)
     env["SPARK_DRIVER_MEMORY"] = f"{max(8, cores * 2)}g"
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--child", str(cores), str(n_runs)],
-        capture_output=True,
+    return subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--child",
+         str(cores), str(n_runs), str(cpu_start)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
         text=True,
         env=env,
         cwd=REPO,
-        timeout=3600,
     )
-    for line in proc.stdout.splitlines():
+
+
+def _finish_child(proc: subprocess.Popen, cores: int) -> dict:
+    out, err = proc.communicate(timeout=3600)
+    for line in out.splitlines():
         if line.startswith("BENCH_CHILD_RESULT "):
             return json.loads(line[len("BENCH_CHILD_RESULT "):])
     raise RuntimeError(
         f"child local[{cores}] failed rc={proc.returncode}\n"
-        f"stdout tail: {proc.stdout[-2000:]}\nstderr tail: {proc.stderr[-2000:]}"
+        f"stdout tail: {out[-2000:]}\nstderr tail: {err[-2000:]}"
     )
 
 
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--child":
-        child_replay(int(sys.argv[2]), int(sys.argv[3]) if len(sys.argv) > 3 else 1)
+        child_replay(
+            int(sys.argv[2]),
+            int(sys.argv[3]) if len(sys.argv) > 3 else 1,
+            int(sys.argv[4]) if len(sys.argv) > 4 else 0,
+        )
         return
 
     import __spark_entry__ as entry_mod
@@ -215,10 +231,25 @@ def main() -> None:
     # VM's steal/scheduler noise swings identical runs by +-20% (higher
     # parallelism hit harder); best-of filters that floor out of the scaling
     # ratio. All raw runs are reported.
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
     if scaling:
-        r_lo = _run_child(SCALE_LO, n_runs)
-        r_hi = _run_child(SCALE_HI, n_runs)
+        # sequential solo children (unbiased — no cross-child contention),
+        # JIT-warm best-of-N each. Set SPARK_GRAFT_BENCH_PAIRED=1 to instead
+        # run both levels concurrently on disjoint CPU sets (paired noise
+        # window, slight contention bias against the wide child).
+        paired = os.environ.get("SPARK_GRAFT_BENCH_PAIRED", "0") == "1"
+        if paired:
+            p_gen = _spawn_child(SCALE_HI, 0, SCALE_LO)
+            _finish_child(p_gen, SCALE_HI)
+            p_lo = _spawn_child(SCALE_LO, n_runs, 0)
+            p_hi = _spawn_child(SCALE_HI, n_runs, SCALE_LO)
+            r_hi = _finish_child(p_hi, SCALE_HI)
+            r_lo = _finish_child(p_lo, SCALE_LO)
+        else:
+            p_lo = _spawn_child(SCALE_LO, n_runs, 0)
+            r_lo = _finish_child(p_lo, SCALE_LO)
+            p_hi = _spawn_child(SCALE_HI, n_runs, 0)
+            r_hi = _finish_child(p_hi, SCALE_HI)
         speedup = r_hi["events_per_sec"] / r_lo["events_per_sec"]
         cdc[f"local{SCALE_LO}"] = r_lo
         cdc[f"local{SCALE_HI}"] = r_hi
