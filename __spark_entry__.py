@@ -24,7 +24,7 @@ from airbyte_spark.operators.fuzzy_dedup import (
     ngram_jaccard_pairs,
     simhash_groups,
 )
-from airbyte_spark.operators.similarity import knn_bruteforce, knn_lsh
+from airbyte_spark.operators.similarity import knn_bruteforce, knn_ivf, knn_lsh
 from airbyte_spark.plans import textsql as X
 from airbyte_spark.plans.derived import ORACLE_CHANGELOG_CTE, derived_changelog
 
@@ -267,6 +267,17 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "dot", F.col("rank").cast("long").alias("rank"))
 
 
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (KMeans coarse quantizer, n_probe inverted lists probed) —
+    the classic ANN scale path. No SQL oracle: the quantizer is iterative
+    float KMeans (driver applies the rows-only check); exactness of the
+    returned dot products vs brute force is unit-tested instead
+    (tests/test_discover_ivf.py)."""
+    emb = _embeddings(spark, sf_dir)
+    out = knn_ivf(emb, emb.filter(F.col("vec_id") < 10), top_k=5, n_centroids=16, n_probe=4)
+    return out.select("query_id", "neighbor_id", "dot", F.col("rank").cast("long").alias("rank"))
+
+
 def q_docs_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial rolling-hash document fingerprint (h = h*31 + c mod p)."""
     d = _docs(spark, sf_dir)
@@ -484,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_neardup": q_dedup_embedding_neardup,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_rolling_hash": q_docs_rolling_hash,
         "docs_bpe_token_count": q_docs_bpe_token_count,

@@ -91,3 +91,102 @@ def knn_lsh(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
     )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+):
+    """Train the IVF coarse quantizer (KMeans over the embedding column).
+    Returns (model, centroids) where centroids is a list of (cid, vector)
+    — small enough to broadcast (n_centroids * dim floats)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    return model, list(enumerate(model.clusterCenters()))
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    top_k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the classic ANN scale path
+    (Jegou et al., "Product Quantization for Nearest Neighbor Search",
+    TPAMI 2011, coarse-quantizer stage): a KMeans coarse quantizer
+    partitions the corpus into n_centroids inverted lists; each query
+    probes only its n_probe nearest lists and ranks exactly (integer inner
+    product) within them.
+
+    Scale shape: the corpus is assigned ONCE (map-side, centroids
+    broadcast) and the search is an equi-join on list id — candidate
+    fan-in is ~corpus * n_probe / n_centroids per query, and Catalyst
+    plans the probe join like any bucketed join (AQE splits skewed lists).
+    Same output shape as knn_bruteforce; recall is the n_probe knob.
+    """
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    model, _centroids = train_ivf_centroids(
+        corpus, id_col, vec_col, n_centroids=n_centroids, seed=seed
+    )
+
+    def assign(df: DataFrame, out_col: str) -> DataFrame:
+        feats = df.withColumn("features", array_to_vector(F.col(vec_col)))
+        return model.transform(feats).withColumnRenamed("prediction", out_col).drop("features")
+
+    # corpus: one list per vector (the inverted file), quantized in place
+    c = assign(corpus, "list_id")
+    cq = c.selectExpr(
+        f"{id_col} AS neighbor_id",
+        f"{X.quantize_sql(S, vec_col)} AS ce",
+        "list_id",
+    )
+
+    # queries: distance to every centroid -> n_probe nearest lists
+    from pyspark.ml.linalg import Vectors
+
+    centroid_rows = [(int(i), [float(x) for x in vec]) for i, vec in _centroids]
+    cent = corpus.sparkSession.createDataFrame(centroid_rows, "cid int, cvec array<double>")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qvec")
+    )
+    dist2 = F.aggregate(
+        F.zip_with("qvec", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    probes = (
+        qv.crossJoin(F.broadcast(cent))
+        .select("query_id", "cid", dist2.alias("d2"))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", F.col("cid").alias("list_id"))
+    )
+    q = quantized_embeddings(queries, id_col, vec_col).selectExpr("vec_id AS query_id", "e AS qe")
+    q_probed = F.broadcast(q.join(probes, "query_id"))
+
+    dot = X.dot_sql(S, "qe", "ce", dim)
+    scored = (
+        q_probed.join(cq, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .selectExpr("query_id", "neighbor_id", f"{dot} AS dot")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
