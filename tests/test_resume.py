@@ -84,8 +84,9 @@ def test_resume_after_lost_checkpoint(spark, workdir):
     applied = [
         s.summary.get("batch_id")
         for s in e2.table.history()
-        if s.summary.get("operation") == "merge"
+        if s.summary.get("operation") in ("merge", "merge-full")
     ]
+    assert len(applied) > 0
     assert len(applied) == len(set(applied))
 
     # and the final state matches an uninterrupted run
