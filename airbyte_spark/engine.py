@@ -124,12 +124,24 @@ class CdcEngine:
         else:
             df = df.withColumn(S.COL_META, F.lit(None).cast(S.META_TYPE))
         df = inject_cdc_metadata(df)
-        cols = table.snapshot().schema.fieldNames()
+        snap = table.snapshot()
+        cols = snap.schema.fieldNames()
+        out = df.select(*cols)
+        aligned = snap.spec.get("bucket_fn") == "murmur3"
+        if aligned:
+            # hashpartitioning(pk, B) == the bucket function: the parallel
+            # snapshot load (PK-range chunking analog,
+            # MySqlInitialLoadRecordIterator.java:30-45) lands bucket-pure
+            # with no second shuffle or cross-bucket sort
+            out = out.repartition(
+                self.stream.num_buckets, F.col(self.stream.primary_key)
+            )
         version = table.write_and_commit(
-            df.select(*cols),
+            out,
             replace_buckets=range(self.stream.num_buckets),
             summary={"operation": "bootstrap", "batch_id": bid},
             write_partitions=self.cfg.write_partitions,
+            pre_aligned=aligned,
         )
         rows = sum(f.rows for f in table.snapshot(version).files)
         ckpt = load_checkpoint(self.checkpoint_path) or Checkpoint()
