@@ -41,10 +41,14 @@ import uuid
 from dataclasses import dataclass, field
 from typing import Iterable
 
+import time
+
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructType
+
+from airbyte_spark.lineage import log_metric
 
 SNAPSHOT_DIR = "snapshots"
 DATA_DIR = "data"
@@ -403,26 +407,22 @@ class LakeTable:
             # then strips the bucket column from file contents.
             n_write = write_partitions or self.spark.sparkContext.defaultParallelism
             with_bucket = with_bucket.repartition(n_write, F.col(BUCKET_COL))
-        import time as _time
-
-        _t0 = _time.monotonic()
+        _t0 = time.monotonic()
         (
             with_bucket
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(staging)
         )
-        _t1 = _time.monotonic()
+        _t1 = time.monotonic()
         new_files = self._collect_file_stats(staging, new_version, schema_version, cursor_col)
         _rmtree(staging)
-        from airbyte_spark.lineage import log_metric as _lm
-
-        _lm(
+        log_metric(
             "commit_write",
             version=new_version,
             files=len(new_files),
             write_ms=int((_t1 - _t0) * 1000),
-            harvest_ms=int((_time.monotonic() - _t1) * 1000),
+            harvest_ms=int((time.monotonic() - _t1) * 1000),
         )
 
         kept = base.files
