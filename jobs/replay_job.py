@@ -38,6 +38,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--dedup-strategy", default="agg", choices=["agg", "salted", "window"])
     p.add_argument("--write-partitions", type=int, default=None)
     p.add_argument("--vocab-size", type=int, default=50_257)
+    p.add_argument("--streaming", action="store_true",
+                   help="drain via Structured Streaming (availableNow) instead "
+                        "of bounded batch replay; offsets live in --ss-checkpoint")
+    p.add_argument("--ss-checkpoint", default=None,
+                   help="Structured Streaming checkpointLocation (required with --streaming)")
+    p.add_argument("--max-files-per-trigger", type=int, default=None)
     args = p.parse_args(argv)
 
     # spark-submit owns master/deploy conf; just pick up the session.
@@ -67,7 +73,21 @@ def main(argv: list[str] | None = None) -> int:
         seed = spark.read.parquet(args.seed)
         eng.bootstrap(seed)
 
-    stats = eng.replay(open_changelog(spark, args.changelog, args.format))
+    if args.streaming:
+        if not args.ss_checkpoint:
+            p.error("--streaming requires --ss-checkpoint")
+        if args.format != "parquet":
+            p.error("--streaming supports parquet changelogs")
+        from airbyte_spark.streaming import stream_replay
+
+        stats = stream_replay(
+            eng,
+            args.changelog,
+            args.ss_checkpoint,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+    else:
+        stats = eng.replay(open_changelog(spark, args.changelog, args.format))
     stats["final_rows"] = eng.read_final().count()
     print(json.dumps(stats), flush=True)
     spark.stop()
