@@ -752,3 +752,17 @@ class CdcEngine:
 
     def read_raw(self) -> DataFrame:
         return self.table.scan()
+
+    def read_changes_since(self, lsn: int, include_deletes: bool = True) -> DataFrame:
+        """Incremental CONSUMER view: rows whose last applied change is
+        newer than ``lsn`` — what a downstream training job re-processes
+        after its own checkpoint. File pruning is manifest-driven (per-file
+        max_cursor), so only files that contain newer rows are read at all:
+        the storage-side analog of the cursor predicate the reference's
+        incremental reads push into SQL
+        (incremental-append-deduped.md:118-122). Tombstones newer than
+        ``lsn`` are included (deletes must propagate) unless disabled."""
+        out = self.table.scan(min_cursor_gt=lsn).filter(F.col(S.COL_LSN) > lsn)
+        if not include_deletes:
+            out = out.filter(F.col(S.COL_DELETED_AT).isNull())
+        return out

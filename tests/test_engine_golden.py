@@ -192,3 +192,30 @@ def test_lineage_and_checkpoint(spark, workdir):
     }
     for p, v in ckpt.per_partition.items():
         assert totals[int(p)] == v["rows_applied"]
+
+
+def test_read_changes_since_prunes_and_matches(spark, workdir):
+    """Incremental consumer view: read_changes_since(L) returns exactly the
+    rows whose applied lsn > L (deletes included), and the manifest prunes
+    files whose max_cursor <= L before the parquet reader sees them."""
+    cfg = ChangelogConfig(n_events=800, n_seed_docs=120)
+    eng = _run_golden(spark, workdir, cfg, batch_events=200)
+
+    mid = 400
+    changed = eng.read_changes_since(mid).toPandas()
+    everything = eng.read_raw().toPandas()
+    expect = everything[everything["_ab_lsn"] > mid]
+    assert sorted(changed["doc_id"]) == sorted(expect["doc_id"])
+    assert (changed["_ab_lsn"] > mid).all()
+    # deletes propagate; excluding them must drop exactly the tombstones
+    no_del = eng.read_changes_since(mid, include_deletes=False).toPandas()
+    n_tomb = changed["_ab_cdc_deleted_at"].notna().sum()
+    assert len(no_del) == len(changed) - n_tomb
+
+    # manifest-level pruning: a high-water query reads strictly fewer files
+    snap = eng.table.snapshot()
+    hi = max(f.max_cursor for f in snap.files if f.max_cursor is not None)
+    all_files = len(snap.files)
+    pruned = [f for f in snap.files if f.max_cursor is None or f.max_cursor > hi - 1]
+    assert len(pruned) < all_files
+    assert eng.read_changes_since(hi).count() == 0 or hi == 0
