@@ -252,7 +252,11 @@ class CdcEngine:
         total_events = 0
         n_batches = 0
         lo = last
-        prefetched: DataFrame | None = None
+        # prefetched = (enriched persisted DataFrame, exact event count) —
+        # the count doubles as the full-merge dispatch input and the
+        # empty-batch short-circuit, so no extra action is spent on it.
+        prefetched: tuple[DataFrame, int] | None = None
+        inflight: DataFrame | None = None  # nxt df whose count job is running
         prefetch_pool = None
         if self.cfg.prefetch_next_batch:
             from concurrent.futures import ThreadPoolExecutor
@@ -278,20 +282,26 @@ class CdcEngine:
                         source.filter((F.col("lsn") > nxt_lo) & (F.col("lsn") <= nxt_hi)),
                         self.table,
                     ).persist()
-                    next_f = prefetch_pool.submit(lambda df=nxt: (df.count(), df)[1])
+                    inflight = nxt
+                    next_f = prefetch_pool.submit(lambda df=nxt: (df, df.count()))
                 try:
                     total_events += self._apply_batch(source, lo, hi, prefetched=prefetched)
                 finally:
                     if prefetched is not None:
-                        prefetched.unpersist()
-                prefetched = next_f.result() if next_f is not None else None
+                        prefetched[0].unpersist()
+                        prefetched = None
+                if next_f is not None:
+                    prefetched = next_f.result()
+                    inflight = None
                 lo = hi
                 n_batches += 1
                 if max_batches is not None and n_batches >= max_batches:
                     break
         finally:
             if prefetched is not None:
-                prefetched.unpersist()
+                prefetched[0].unpersist()
+            if inflight is not None:
+                inflight.unpersist()
             if prefetch_pool is not None:
                 prefetch_pool.shutdown(wait=False)
         wall = time.monotonic() - t0
@@ -302,18 +312,21 @@ class CdcEngine:
             "events_per_sec": round(total_events / wall, 1) if wall > 0 else None,
             "last_committed_lsn": (load_checkpoint(self.checkpoint_path) or Checkpoint()).max_committed_lsn,
         }
-        log_metric("replay_done", **stats)
-        # Post-sync compaction (outside the timed replay window, like the
-        # reference's rewriteDataFiles after sync — IcebergConsumer.java:210-224).
+        # Post-sync compaction — the reference performs rewriteDataFiles as
+        # part of its sync (IcebergConsumer.java:210-224), so its wall time
+        # is reported alongside replay throughput (compact_s / total_wall_s)
+        # for benchmarks to account for.
+        stats["compact_s"] = 0.0
         max_files = self.cfg.compact_after_replay_max_files
         if max_files is not None and n_batches > 0:
             t_c = time.monotonic()
             v = self.table.compact(max_files_per_bucket=max_files)
+            compact_s = round(time.monotonic() - t_c, 3)
             if v is not None:
-                log_metric(
-                    "compacted", snapshot=v,
-                    wall_ms=int((time.monotonic() - t_c) * 1000),
-                )
+                stats["compact_s"] = compact_s
+                log_metric("compacted", snapshot=v, wall_ms=int(compact_s * 1000))
+        stats["total_wall_s"] = round(wall + stats["compact_s"], 3)
+        log_metric("replay_done", **stats)
         return stats
 
     def _align_to_table(self, batch: DataFrame, table_schema: StructType) -> DataFrame:
@@ -354,12 +367,15 @@ class CdcEngine:
             salt_buckets=self.cfg.salt_buckets,
         )
 
-    def _use_full_merge(self, table: LakeTable, batch_events: int) -> bool:
+    def _use_full_merge(self, table: LakeTable, n_events: int) -> bool:
         """Large batches (vs table size) merge the whole table in one
         single-action pass (merge_upsert_full); small batches keep the
         bucket-pruned two-phase path. Bulk replay sits squarely in the
         first regime — bucket pruning cannot skip anything when a batch
-        touches every bucket anyway."""
+        touches every bucket anyway. ``n_events`` is the ACTUAL event count
+        of the batch (from the prefetch count or a column-pruned count) —
+        never the LSN span, which overstates sparse ranges and would
+        trigger whole-table rewrites for near-empty batches."""
         frac = self.cfg.full_merge_min_fraction
         if (
             frac is None
@@ -371,7 +387,7 @@ class CdcEngine:
         if snap.spec.get("bucket_fn") != "murmur3":
             return False
         table_rows = sum(f.rows for f in snap.files)
-        return batch_events >= frac * max(table_rows, 1)
+        return n_events >= frac * max(table_rows, 1)
 
     def _commit_batch(
         self,
@@ -531,11 +547,15 @@ class CdcEngine:
         return rows_applied
 
     def _apply_batch(
-        self, source: DataFrame, lo: int, hi: int, prefetched: DataFrame | None = None
+        self,
+        source: DataFrame,
+        lo: int,
+        hi: int,
+        prefetched: tuple[DataFrame, int] | None = None,
     ) -> int:
         """Apply the (lo, hi] LSN range as one atomic commit. Returns events
-        read. ``prefetched``: the already-validated+enriched (and persisted)
-        batch for this range from the replay loop's read-ahead."""
+        read. ``prefetched``: (already-validated+enriched persisted batch,
+        its exact row count) from the replay loop's read-ahead."""
         table = self.table
         bid = _batch_id(self.stream.name, lo, hi)
         ckpt = load_checkpoint(self.checkpoint_path) or Checkpoint()
@@ -557,18 +577,37 @@ class CdcEngine:
         t0 = time.monotonic()
         batch = source.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
 
-        if self._use_full_merge(table, hi - lo):
+        # Exact event count: free when prefetched (its count() already ran);
+        # otherwise one column-pruned count(*) over the pushed-down scan.
+        # Gates BOTH the empty short-circuit (a sparse/empty LSN range must
+        # never commit a whole-table rewrite) and the merge-path dispatch.
+        n_events = prefetched[1] if prefetched is not None else batch.count()
+        if n_events == 0:
+            log_metric("batch_empty", batch_id=bid, start_lsn=lo, end_lsn=hi)
+            ckpt.max_committed_lsn = hi
+            ckpt.table_schema_version = table.snapshot().schema_version
+            save_checkpoint(self.checkpoint_path, ckpt)
+            return 0
+
+        if self._use_full_merge(table, n_events):
             return self._apply_batch_full(
-                batch, table, bid, ckpt, lo, hi, t0, prefetched=prefetched
+                batch, table, bid, ckpt, lo, hi, t0,
+                prefetched=prefetched[0] if prefetched is not None else None,
             )
 
-        if prefetched is not None and self.stream.sync_mode != SYNC_APPEND:
-            winners = lww_dedup(
-                prefetched,
-                key=self.stream.primary_key,
-                strategy=self.cfg.dedup_strategy,
-                salt_buckets=self.cfg.salt_buckets,
-            ).persist()
+        if prefetched is not None:
+            # the prefetched df IS the enriched batch: in append mode it is
+            # the winners verbatim (no dedup in that mode), otherwise only
+            # the LWW step remains.
+            if self.stream.sync_mode == SYNC_APPEND:
+                winners = prefetched[0]
+            else:
+                winners = lww_dedup(
+                    prefetched[0],
+                    key=self.stream.primary_key,
+                    strategy=self.cfg.dedup_strategy,
+                    salt_buckets=self.cfg.salt_buckets,
+                ).persist()
         else:
             winners = self._dedup_winners(batch, table).persist()
         try:

@@ -248,14 +248,23 @@ class LakeTable:
     # ----------------------------------------------------------------- read
 
     def bucket_expr(self, col_name: str | None = None):
-        """bucket = pmod(murmur3_hash(pk), B) — deliberately THE SAME function
-        Spark's hashpartitioning uses, so a DataFrame that was
+        """bucket = pmod(hash(pk), B). For tables created with
+        bucket_fn='murmur3' this is deliberately THE SAME function Spark's
+        hashpartitioning uses, so a DataFrame that was
         ``repartition(B, pk)``-ed is already physically bucket-aligned:
-        partition index == bucket. The merge path exploits this to write
-        without any extra shuffle or cross-bucket sort."""
+        partition index == bucket, and the merge path writes without any
+        extra shuffle or cross-bucket sort.
+
+        Tables persisted before the murmur3 switch recorded no bucket_fn and
+        their files are laid out by xxhash64 — dispatch on the persisted spec
+        so merge/compact never reassigns rows across buckets they aren't
+        replacing (a PK's old row would otherwise be stranded in its legacy
+        bucket while the new winner lands elsewhere: duplicate PKs)."""
         spec = self.snapshot().spec
         pk = col_name or spec["bucket_by"]
-        return F.pmod(F.hash(F.col(pk)), F.lit(spec["num_buckets"])).cast("int")
+        fn = spec.get("bucket_fn", "xxhash64")
+        h = F.hash(F.col(pk)) if fn == "murmur3" else F.xxhash64(F.col(pk))
+        return F.pmod(h, F.lit(spec["num_buckets"])).cast("int")
 
     def scan(
         self,

@@ -141,6 +141,18 @@ def merge_upsert_full(
     snap = table.snapshot()
     cols = snap.schema.fieldNames()
     num_buckets = snap.spec["num_buckets"]
+    # pre_aligned=True below is only sound when the table's bucket function
+    # IS Spark's hashpartitioning hash; a legacy xxhash64 table would get
+    # multi-bucket files per task (the engine gates its call the same way).
+    if snap.spec.get("bucket_fn") != "murmur3":
+        raise ValueError(
+            "merge_upsert_full requires bucket_fn='murmur3' "
+            f"(table spec has {snap.spec.get('bucket_fn', 'xxhash64')!r})"
+        )
+    # NOTE: _conf mutates session-wide confs for the duration of this
+    # action; concurrent jobs on sibling threads (lineage stats, prefetch)
+    # see them too. Both are small aggregations for which the pinned
+    # shuffle-partition count is harmless; revisit if that changes.
 
     batch = enriched_batch.select(*cols, F.col("ts_ms").alias(_TS_TMP))
     target = table.scan().withColumn(_TS_TMP, F.unix_millis(F.col(S.COL_EXTRACTED_AT)))

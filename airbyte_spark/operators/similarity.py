@@ -179,11 +179,13 @@ def knn_ivf(
     q_probed = F.broadcast(q.join(probes, "query_id"))
 
     dot = X.dot_sql(S, "qe", "ce", dim)
+    # No .distinct(): each (query, list, neighbor) is already unique —
+    # a corpus vector lives in exactly one inverted list, so a (query,
+    # neighbor) pair can arise from at most one probed list.
     scored = (
         q_probed.join(cq, "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .selectExpr("query_id", "neighbor_id", f"{dot} AS dot")
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id").asc())
     return (

@@ -152,6 +152,7 @@ def child_replay(cores: int, n_runs: int = 1, cpu_start: int = 0) -> dict:
             {
                 "bootstrap_s": round(boot_s, 2),
                 "replay_s": stats["wall_s"],
+                "compact_s": stats.get("compact_s", 0.0),
                 "events_per_sec": stats["events_per_sec"],
                 "final_rows": final_rows,
             }
@@ -268,7 +269,17 @@ def main() -> None:
         "sf": SF,
         "cdc_replay": cdc,
     }
-    print(json.dumps(result), flush=True)
+    # Full detail (per-run raw numbers) goes to a file; the stdout line must
+    # stay SHORT — the round driver keeps only a bounded tail of stdout, and
+    # round 1's line was truncated mid-JSON (BENCH_r01.json "parsed": null).
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+    compact_cdc = {
+        k: ({kk: vv for kk, vv in v.items() if kk != "runs"} if isinstance(v, dict) else v)
+        for k, v in cdc.items()
+    }
+    compact = dict(result, cdc_replay=compact_cdc)
+    print(json.dumps(compact, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":
