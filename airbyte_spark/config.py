@@ -69,6 +69,25 @@ class EngineConfig:
     # the single-action whole-table merge (merge_upsert_full) instead of the
     # bucket-pruned two-phase path. None = always two-phase.
     full_merge_min_fraction: float | None = 0.5
+    # Merge-on-read: when a batch's event count is BELOW this fraction of
+    # the table's base rows, commit the deduped winners as delta files
+    # (append-only, write bytes ~ batch size) and resolve LWW at scan time
+    # instead of rewriting buckets. None disables (always copy-on-write).
+    # This is what keeps small-batch tailing viable on a table that is
+    # orders of magnitude larger than each batch (the 100 TB regime).
+    mor_max_fraction: float | None = 0.05
+    # Fold deltas back into base (inline compact) once this many delta
+    # files accumulate — bounds scan-side read amplification. At real
+    # scale the fold runs asynchronously; here it is inline and counted
+    # in replay wall time.
+    mor_max_delta_files: int = 64
+    # Tombstone retention horizon (in LSNs): during compaction, drop
+    # tombstone rows older than max_committed_lsn - this value. A tombstone
+    # is only needed to suppress late out-of-order updates, so once the
+    # source's reordering window has passed it is dead weight (the table
+    # otherwise accretes deleted keys forever on delete-heavy streams).
+    # None = retain forever.
+    tombstone_retention_lsns: int | None = None
     # Read-ahead: validate+enrich micro-batch k+1 concurrently with batch
     # k's merge (bounded to one batch in flight — the Spark shape of the
     # reference's source-reads-ahead BlockingQueue pipeline).

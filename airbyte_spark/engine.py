@@ -42,7 +42,7 @@ from airbyte_spark.functions.validate import apply_validation
 from airbyte_spark.lake.table import LakeTable
 from airbyte_spark.lineage import LineageLog, log_metric
 from airbyte_spark.operators.dedup import lww_dedup
-from airbyte_spark.operators.merge import merge_upsert
+from airbyte_spark.operators.merge import merge_upsert, merge_upsert_mor
 from airbyte_spark.operators.metadata import inject_cdc_metadata
 
 _SOURCE_ONLY_COLS = {"op", "lsn", "ts_ms", "source_partition"}
@@ -89,23 +89,31 @@ class CdcEngine:
         self.checkpoint_path = os.path.join(root, "checkpoint.json")
         os.makedirs(root, exist_ok=True)
         self.lineage = LineageLog(root)
+        self._table: LakeTable | None = None
 
     # ------------------------------------------------------------- lifecycle
 
     @property
     def table(self) -> LakeTable:
-        return LakeTable.load(self.spark, self.table_root)
+        # one cached instance: its snapshot-manifest cache makes the
+        # per-batch idempotence walk (find_batch) O(new snapshots), not
+        # O(all snapshots) re-read per batch
+        if self._table is None:
+            self._table = LakeTable.load(self.spark, self.table_root)
+        return self._table
 
     def create_table(self, schema: StructType | None = None) -> LakeTable:
         schema = schema or S.tokenseq_schema()
-        return LakeTable.create(
+        self._table = LakeTable.create(
             self.spark,
             self.table_root,
             schema,
             primary_key=self.stream.primary_key,
             num_buckets=self.stream.num_buckets,
             cursor_col=S.COL_LSN,
+            ts_col=S.COL_EXTRACTED_AT,
         )
+        return self._table
 
     def bootstrap(self, seed: DataFrame) -> int | None:
         """Initial snapshot load (phase 1 of snapshot-then-tail,
@@ -320,7 +328,15 @@ class CdcEngine:
         max_files = self.cfg.compact_after_replay_max_files
         if max_files is not None and n_batches > 0:
             t_c = time.monotonic()
-            v = self.table.compact(max_files_per_bucket=max_files)
+            horizon = None
+            if self.cfg.tombstone_retention_lsns is not None:
+                last_lsn = (load_checkpoint(self.checkpoint_path) or Checkpoint()).max_committed_lsn
+                horizon = last_lsn - self.cfg.tombstone_retention_lsns
+            v = self.table.compact(
+                max_files_per_bucket=max_files,
+                tombstone_horizon=horizon,
+                deleted_col=S.COL_DELETED_AT,
+            )
             compact_s = round(time.monotonic() - t_c, 3)
             if v is not None:
                 stats["compact_s"] = compact_s
@@ -389,18 +405,47 @@ class CdcEngine:
         table_rows = sum(f.rows for f in snap.files)
         return n_events >= frac * max(table_rows, 1)
 
+    def _use_mor(self, table: LakeTable, n_events: int) -> bool:
+        """Merge-on-read dispatch: a batch far smaller than the table (the
+        steady-state tailing regime on a huge table) appends delta files
+        instead of rewriting buckets — per-batch write bytes then scale with
+        the batch, not the table. Copy-on-write remains for mid-size batches
+        where folding immediately is cheaper than deferred resolution."""
+        frac = self.cfg.mor_max_fraction
+        if frac is None or self.stream.sync_mode != SYNC_APPEND_DEDUP:
+            return False
+        snap = table.snapshot()
+        base_rows = sum(f.rows for f in snap.files if f.kind != "delta")
+        return base_rows > 0 and n_events < frac * base_rows
+
     def _commit_batch(
         self,
         winners: DataFrame,
         summary: dict,
         affected_buckets: list[int] | None = None,
+        use_mor: bool = False,
+        n_events: int | None = None,
     ) -> int | None:
         """Dispatch on destination sync mode (airbyte-protocol.md:404-417):
-        append_dedup -> bucket-CoW MERGE; append -> pure file append;
-        overwrite -> replace the whole table with this batch (full-refresh
-        overwrite, BigQuerySqlGenerator.java:684-694 tmp-swap analog)."""
+        append_dedup -> delta append (merge-on-read, small batches) or
+        bucket-CoW MERGE; append -> pure file append; overwrite -> replace
+        the whole table with this batch (full-refresh overwrite,
+        BigQuerySqlGenerator.java:684-694 tmp-swap analog)."""
         mode = self.stream.sync_mode
         if mode == SYNC_APPEND_DEDUP:
+            if use_mor:
+                table = self.table
+                if table.delta_file_count() >= self.cfg.mor_max_delta_files:
+                    # fold deltas back into base before appending more —
+                    # bounds scan-side read amplification (async at scale)
+                    v = table.compact()
+                    log_metric("mor_fold", snapshot=v)
+                n_files = max(
+                    1, min(self.cfg.write_partitions or 8, 1 + (n_events or 0) // 250_000)
+                )
+                return merge_upsert_mor(
+                    table, winners, summary=summary, num_files=n_files
+                )
             return merge_upsert(
                 self.table,
                 winners,
@@ -434,6 +479,7 @@ class CdcEngine:
             empty,
             replace_buckets=range(self.stream.num_buckets),
             summary={"operation": "soft-reset"},
+            drop_deltas=True,
         )
         save_checkpoint(self.checkpoint_path, Checkpoint())
         log_metric("soft_reset", snapshot=version)
@@ -463,6 +509,7 @@ class CdcEngine:
             replace_buckets=range(self.stream.num_buckets),
             summary={"operation": "resync-bootstrap"},
             write_partitions=self.cfg.write_partitions,
+            drop_deltas=True,
         )
         ckpt = Checkpoint()
         # resume incremental replay just below the oldest retained event
@@ -501,9 +548,12 @@ class CdcEngine:
             if not part_stats:
                 log_metric("stream_epoch_empty", batch_id=bid, epoch=eid)
                 return 0
+            n_rows = sum(int(r["rows"]) for r in part_stats)
             version = self._commit_batch(
                 winners,
                 summary={"operation": "merge-stream", "batch_id": bid, "epoch": eid},
+                use_mor=self._use_mor(table, n_rows),
+                n_events=n_rows,
             )
         finally:
             winners.unpersist()
@@ -594,6 +644,7 @@ class CdcEngine:
                 batch, table, bid, ckpt, lo, hi, t0,
                 prefetched=prefetched[0] if prefetched is not None else None,
             )
+        use_mor = self._use_mor(table, n_events)
 
         if prefetched is not None:
             # the prefetched df IS the enriched batch: in append mode it is
@@ -612,18 +663,20 @@ class CdcEngine:
             winners = self._dedup_winners(batch, table).persist()
         try:
             # ONE driver action per batch: per-partition lineage stats AND
-            # the touched-bucket set (for the CoW merge) in the same agg.
-            part_stats = (
-                winners.groupBy("source_partition")
-                .agg(
-                    F.min("lsn").alias("min_lsn"),
-                    F.max("lsn").alias("max_lsn"),
-                    F.count("*").alias("rows"),
+            # (for the CoW merge only) the touched-bucket set in the same agg.
+            agg_cols = [
+                F.min("lsn").alias("min_lsn"),
+                F.max("lsn").alias("max_lsn"),
+                F.count("*").alias("rows"),
+            ]
+            if not use_mor:
+                agg_cols.append(
                     F.collect_set(
                         table.bucket_expr(self.stream.primary_key)
-                    ).alias("buckets"),
+                    ).alias("buckets")
                 )
-                .collect()
+            part_stats = (
+                winners.groupBy("source_partition").agg(*agg_cols).collect()
             )
             t_collect = time.monotonic()
             if not part_stats:
@@ -631,17 +684,22 @@ class CdcEngine:
                 ckpt.max_committed_lsn = hi
                 save_checkpoint(self.checkpoint_path, ckpt)
                 return 0
-            affected = sorted({int(b) for r in part_stats for b in r["buckets"]})
+            affected = (
+                None if use_mor
+                else sorted({int(b) for r in part_stats for b in r["buckets"]})
+            )
 
             version = self._commit_batch(
                 winners,
                 summary={
-                    "operation": "merge",
+                    "operation": "merge-delta" if use_mor else "merge",
                     "batch_id": bid,
                     "start_lsn": lo,
                     "end_lsn": hi,
                 },
                 affected_buckets=affected,
+                use_mor=use_mor,
+                n_events=n_events,
             )
         finally:
             winners.unpersist()

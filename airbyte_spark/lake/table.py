@@ -62,11 +62,18 @@ class CommitConflict(RuntimeError):
 @dataclass
 class DataFile:
     path: str  # relative to table root
-    bucket: int
+    bucket: int  # -1 for delta files (they span buckets)
     rows: int
     schema_version: int
     min_cursor: int | None = None
     max_cursor: int | None = None
+    # "base": bucket-pure copy-on-write file. "delta": merge-on-read file
+    # appended by a small-batch commit; holds per-key winners of that batch
+    # across ALL buckets, resolved against base at scan time (LWW) and
+    # folded into base by compaction. The Spark shape of the reference's
+    # raw-table + incremental T+D split (JdbcSqlGenerator.java:240-252
+    # `_airbyte_loaded_at IS NULL` work marker).
+    kind: str = "base"
 
     def to_json(self) -> dict:
         return {
@@ -76,6 +83,7 @@ class DataFile:
             "schema_version": self.schema_version,
             "min_cursor": self.min_cursor,
             "max_cursor": self.max_cursor,
+            "kind": self.kind,
         }
 
     @staticmethod
@@ -87,6 +95,7 @@ class DataFile:
             schema_version=d["schema_version"],
             min_cursor=d.get("min_cursor"),
             max_cursor=d.get("max_cursor"),
+            kind=d.get("kind", "base"),
         )
 
 
@@ -142,6 +151,10 @@ class LakeTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # Committed snapshots are immutable, so parsed manifests are cached
+        # by version: find_batch / history walk O(1) amortized file reads
+        # per new snapshot instead of re-reading the whole chain per batch.
+        self._snap_cache: dict[int, Snapshot] = {}
 
     # ------------------------------------------------------------------ DDL
 
@@ -153,6 +166,7 @@ class LakeTable:
         primary_key: str,
         num_buckets: int,
         cursor_col: str | None = None,
+        ts_col: str = "_ab_extracted_at",
     ) -> "LakeTable":
         """Create an empty table (snapshot v1, no files)."""
         os.makedirs(os.path.join(root, SNAPSHOT_DIR), exist_ok=True)
@@ -167,6 +181,7 @@ class LakeTable:
                 "bucket_by": primary_key,
                 "num_buckets": num_buckets,
                 "cursor_col": cursor_col,
+                "ts_col": ts_col,  # secondary LWW order for MoR resolution
                 "bucket_fn": "murmur3",  # == Spark hashpartitioning's hash
             },
             files=[],
@@ -203,8 +218,13 @@ class LakeTable:
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = self.current_version() if version is None else version
+        cached = self._snap_cache.get(v)
+        if cached is not None:
+            return cached
         with open(_snapshot_path(self.root, v)) as fh:
-            return Snapshot.from_json(json.load(fh))
+            snap = Snapshot.from_json(json.load(fh))
+        self._snap_cache[v] = snap
+        return snap
 
     def history(self) -> list[Snapshot]:
         return [self.snapshot(v) for v in range(1, self.current_version() + 1)]
@@ -244,6 +264,7 @@ class LakeTable:
             ) from e
         finally:
             os.unlink(tmp)
+        self._snap_cache[snap.version] = snap
 
     # ----------------------------------------------------------------- read
 
@@ -266,33 +287,10 @@ class LakeTable:
         h = F.hash(F.col(pk)) if fn == "murmur3" else F.xxhash64(F.col(pk))
         return F.pmod(h, F.lit(spec["num_buckets"])).cast("int")
 
-    def scan(
-        self,
-        buckets: Iterable[int] | None = None,
-        version: int | None = None,
-        min_cursor_gt: int | None = None,
-    ) -> DataFrame:
-        """Read the table at a snapshot; optionally prune to buckets and/or
-        files whose max cursor exceeds ``min_cursor_gt``.
-
-        Pruning is manifest-driven (exact file list handed to the parquet
-        reader), so no directory listing and no reading of irrelevant files
-        — the moral equivalent of Iceberg split planning.
-        """
-        snap = self.snapshot(version)
+    def _read_files(self, snap: Snapshot, files: list[DataFile]) -> DataFrame:
+        """Read a file list at ``snap``'s current schema (per-write-schema
+        groups cast/padded to current — additive evolution)."""
         current = snap.schema
-        files = snap.files
-        if buckets is not None:
-            bset = set(buckets)
-            files = [f for f in files if f.bucket in bset]
-        if min_cursor_gt is not None:
-            files = [
-                f for f in files if f.max_cursor is None or f.max_cursor > min_cursor_gt
-            ]
-        if not files:
-            return self.spark.createDataFrame([], current)
-
-        # Group by write-schema; cast each group to the current schema.
         by_sv: dict[int, list[str]] = {}
         for f in files:
             by_sv.setdefault(f.schema_version, []).append(
@@ -315,6 +313,79 @@ class LakeTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def scan(
+        self,
+        buckets: Iterable[int] | None = None,
+        version: int | None = None,
+        min_cursor_gt: int | None = None,
+    ) -> DataFrame:
+        """Read the current row versions at a snapshot; optionally prune to
+        buckets and/or files whose max cursor exceeds ``min_cursor_gt``.
+
+        Pruning is manifest-driven (exact file list handed to the parquet
+        reader), so no directory listing and no reading of irrelevant files
+        — the moral equivalent of Iceberg split planning.
+
+        Merge-on-read resolution: when the snapshot carries delta files,
+        the scan LWW-resolves (base ∪ deltas) per key with the SAME total
+        order the copy-on-write merge uses (cursor, event-ts, content-hash
+        tie-break), so MoR and CoW states are bit-identical. Cursor pruning
+        stays exact under resolution: a pruned file only holds rows whose
+        cursor <= the bound, and a key's winner always lives in a file whose
+        max_cursor >= the winner's cursor — so any winner a pruned file
+        could have contributed is itself <= the bound and excluded by the
+        caller's cursor filter anyway.
+        """
+        snap = self.snapshot(version)
+        base_files = [f for f in snap.files if f.kind != "delta"]
+        delta_files = [f for f in snap.files if f.kind == "delta"]
+        if buckets is not None:
+            bset = set(buckets)
+            base_files = [f for f in base_files if f.bucket in bset]
+        if min_cursor_gt is not None:
+            base_files = [
+                f for f in base_files
+                if f.max_cursor is None or f.max_cursor > min_cursor_gt
+            ]
+            delta_files = [
+                f for f in delta_files
+                if f.max_cursor is None or f.max_cursor > min_cursor_gt
+            ]
+        if not base_files and not delta_files:
+            return self.spark.createDataFrame([], snap.schema)
+        if not delta_files:
+            return self._read_files(snap, base_files)
+
+        out = self._read_files(snap, base_files + delta_files)
+        if buckets is not None:
+            # delta files span buckets; every version of a key shares the
+            # key's bucket, so filtering BEFORE resolution is exact and
+            # cheaper than resolving the full delta set.
+            out = out.filter(self.bucket_expr().isin(*[int(b) for b in buckets]))
+        return self._resolve_lww(out, snap)
+
+    def _resolve_lww(self, df: DataFrame, snap: Snapshot) -> DataFrame:
+        """LWW-resolve multi-version rows (base + delta) to one row per key
+        — identical ordering to operators.merge (cursor, event-ts millis,
+        content-hash tie-break via lww_dedup's order struct)."""
+        from airbyte_spark.operators.dedup import lww_dedup  # avoid cycle
+
+        spec = snap.spec
+        key = spec["bucket_by"]
+        cursor = spec.get("cursor_col") or "lsn"
+        ts_col = spec.get("ts_col", "_ab_extracted_at")
+        cols = df.columns
+        if ts_col in cols:
+            tmp = "_mor_ts_ms"
+            resolved = lww_dedup(
+                df.withColumn(tmp, F.unix_millis(F.col(ts_col))),
+                key=key,
+                order_cols=(cursor, tmp),
+            ).drop(tmp)
+        else:
+            resolved = lww_dedup(df, key=key, order_cols=(cursor,))
+        return resolved.select(*cols)
 
     # ---------------------------------------------------------------- write
 
@@ -369,6 +440,89 @@ class LakeTable:
         with ThreadPoolExecutor(max_workers=16) as ex:
             return list(ex.map(harvest, moves))
 
+    def append_delta(
+        self,
+        df: DataFrame,
+        summary: dict,
+        num_files: int | None = None,
+        expected_version: int | None = None,
+    ) -> int:
+        """Merge-on-read commit: append ``df`` (already one row per key for
+        its batch) as DELTA files without reading or rewriting ANY existing
+        file — per-commit write bytes are proportional to the batch, never
+        the table. Readers resolve deltas against base in ``scan()``;
+        ``compact()`` folds them back into bucket-pure base files.
+
+        ``num_files`` caps the file count (deltas are small; fewer files =
+        less read amplification until the next fold)."""
+        base = self.snapshot(expected_version)
+        new_version = base.version + 1
+        cursor_col = base.spec.get("cursor_col")
+
+        staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
+        n = num_files or min(self.spark.sparkContext.defaultParallelism, 8)
+        _t0 = time.monotonic()
+        df.repartition(n).write.mode("overwrite").parquet(staging)
+        _t1 = time.monotonic()
+
+        moves: list[str] = []
+        seq = 0
+        for part in sorted(os.listdir(staging)):
+            if not part.endswith(".parquet"):
+                continue
+            rel = os.path.join(DATA_DIR, f"v{new_version}-delta-{seq}.parquet")
+            os.replace(os.path.join(staging, part), os.path.join(self.root, rel))
+            moves.append(rel)
+            seq += 1
+        _rmtree(staging)
+
+        def harvest(rel: str) -> DataFile:
+            meta = pq.ParquetFile(os.path.join(self.root, rel)).metadata
+            min_c = max_c = None
+            if cursor_col is not None:
+                idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+                if cursor_col in idx:
+                    ci = idx[cursor_col]
+                    for rg in range(meta.num_row_groups):
+                        st = meta.row_group(rg).column(ci).statistics
+                        if st is not None and st.has_min_max:
+                            min_c = st.min if min_c is None else min(min_c, st.min)
+                            max_c = st.max if max_c is None else max(max_c, st.max)
+            return DataFile(
+                path=rel,
+                bucket=-1,
+                rows=meta.num_rows,
+                schema_version=base.schema_version,
+                min_cursor=min_c,
+                max_cursor=max_c,
+                kind="delta",
+            )
+
+        new_files = [harvest(m) for m in moves]
+        log_metric(
+            "commit_write",
+            version=new_version,
+            files=len(new_files),
+            mode="delta-append",
+            rows=sum(f.rows for f in new_files),
+            write_ms=int((_t1 - _t0) * 1000),
+            harvest_ms=int((time.monotonic() - _t1) * 1000),
+        )
+        snap = Snapshot(
+            version=new_version,
+            parent=base.version,
+            schema_version=base.schema_version,
+            schemas=dict(base.schemas),
+            spec=base.spec,
+            files=base.files + new_files,
+            summary=summary,
+        )
+        self._write_snapshot(snap)
+        return new_version
+
+    def delta_file_count(self, version: int | None = None) -> int:
+        return sum(1 for f in self.snapshot(version).files if f.kind == "delta")
+
     def write_and_commit(
         self,
         df: DataFrame,
@@ -378,6 +532,7 @@ class LakeTable:
         expected_version: int | None = None,
         write_partitions: int | None = None,
         pre_aligned: bool = False,
+        drop_deltas: bool = False,
     ) -> int:
         """Write ``df`` as new data files and commit a snapshot.
 
@@ -438,6 +593,8 @@ class LakeTable:
         if replace_buckets is not None:
             dropped = set(replace_buckets)
             kept = [f for f in base.files if f.bucket not in dropped]
+        if drop_deltas:
+            kept = [f for f in kept if f.kind != "delta"]
 
         snap = Snapshot(
             version=new_version,
@@ -475,18 +632,55 @@ class LakeTable:
 
     # ----------------------------------------------------------- maintenance
 
-    def compact(self, max_files_per_bucket: int = 1) -> int | None:
-        """Rewrite buckets fragmented beyond ``max_files_per_bucket`` into
-        one file each — the analog of Iceberg's rewrite_data_files that the
-        reference calls post-sync (IcebergConsumer.java:210-224)."""
+    def compact(
+        self,
+        max_files_per_bucket: int = 1,
+        tombstone_horizon: int | None = None,
+        deleted_col: str = "_ab_cdc_deleted_at",
+    ) -> int | None:
+        """Rewrite fragmented storage — the analog of Iceberg's
+        rewrite_data_files that the reference calls post-sync
+        (IcebergConsumer.java:210-224).
+
+        Two regimes:
+        - delta files present -> FOLD: full LWW-resolved rewrite into
+          bucket-pure base files, dropping the deltas (the merge-on-read
+          GC; at 100 TB this runs asynchronously on its own schedule).
+        - base-only -> rewrite buckets fragmented beyond
+          ``max_files_per_bucket`` into one file each.
+
+        ``tombstone_horizon``: if set, tombstone rows (``deleted_col`` not
+        null) whose cursor is < horizon are dropped during the rewrite —
+        the retention-horizon GC for delete-heavy streams. A tombstone
+        older than the horizon can no longer be needed to suppress late
+        out-of-order updates (the caller bounds the reordering window)."""
         snap = self.snapshot()
+        has_deltas = any(f.kind == "delta" for f in snap.files)
+
+        def gc_tombstones(df: DataFrame) -> DataFrame:
+            if tombstone_horizon is None or deleted_col not in df.columns:
+                return df
+            cursor = snap.spec.get("cursor_col") or "lsn"
+            return df.filter(
+                F.col(deleted_col).isNull() | (F.col(cursor) >= tombstone_horizon)
+            )
+
+        if has_deltas:
+            df = gc_tombstones(self.scan())
+            return self.write_and_commit(
+                df,
+                replace_buckets=range(snap.spec["num_buckets"]),
+                summary={"operation": "compact-fold"},
+                drop_deltas=True,
+            )
+
         per_bucket: dict[int, int] = {}
         for f in snap.files:
             per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
         frag = sorted(b for b, n in per_bucket.items() if n > max_files_per_bucket)
         if not frag:
             return None
-        df = self.scan(buckets=frag)
+        df = gc_tombstones(self.scan(buckets=frag))
         return self.write_and_commit(
             df,
             replace_buckets=frag,

@@ -170,4 +170,31 @@ def merge_upsert_full(
             replace_buckets=range(num_buckets),
             summary=summary,
             pre_aligned=True,
+            # the full scan above already folded any merge-on-read deltas
+            drop_deltas=True,
         )
+
+
+def merge_upsert_mor(
+    table: LakeTable,
+    winners: DataFrame,
+    summary: dict,
+    num_files: int | None = None,
+) -> int:
+    """Merge-on-read upsert for SMALL batches: append the deduped batch
+    winners as DELTA files — no read of the table, no bucket rewrite, so
+    per-commit write bytes are proportional to the batch (never the table,
+    which copy-on-write degenerates to once a batch touches most buckets).
+    Readers resolve LWW at scan time (LakeTable.scan/_resolve_lww, same
+    total order as the CoW paths -> bit-identical state); compaction folds
+    deltas back into bucket-pure base files asynchronously.
+
+    This is the Spark shape of the reference's raw-table + incremental
+    typing-and-dedup split: cheap durable append first, expensive
+    consolidation later, with `_airbyte_loaded_at IS NULL` as the pending-
+    work marker (JdbcSqlGenerator.java:240-252); here the pending work is
+    the delta file set itself."""
+    cols = table.snapshot().schema.fieldNames()
+    return table.append_delta(
+        winners.select(*cols), summary=summary, num_files=num_files
+    )
