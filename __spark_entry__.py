@@ -242,6 +242,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_dup_docs(spark, sf_dir), jaccard_pct=50)
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: the verified Jaccard pair graph closed into
+    connected components (hash-min label propagation), one canonical
+    keeper (min id) per component — what a production dedup actually
+    deletes by. Oracle: DuckDB recursive-CTE transitive closure."""
+    from airbyte_spark.operators.components import dedup_components
+
+    pairs = ngram_jaccard_pairs(_dup_docs(spark, sf_dir), jaccard_pct=50)
+    return dedup_components(pairs)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint buckets over documents."""
     return simhash_groups(_docs(spark, sf_dir))
@@ -268,10 +279,11 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (KMeans coarse quantizer, n_probe inverted lists probed) —
-    the classic ANN scale path. No SQL oracle: the quantizer is iterative
-    float KMeans (driver applies the rows-only check); exactness of the
-    returned dot products vs brute force is unit-tested instead
+    """IVF ANN with a deterministic integer coarse quantizer (centroids =
+    quantized vectors of the 16 smallest ids, integer argmin-L2 assignment,
+    n_probe nearest lists probed) — fully SQL-expressible, so it carries an
+    exact DuckDB oracle. The data-adaptive KMeans variant
+    (knn_ivf_kmeans) keeps its recall/exactness unit tests
     (tests/test_discover_ivf.py)."""
     emb = _embeddings(spark, sf_dir)
     out = knn_ivf(emb, emb.filter(F.col("vec_id") < 10), top_k=5, n_centroids=16, n_probe=4)
@@ -491,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_neardup": q_dedup_embedding_neardup,
         "knn_bruteforce": q_knn_bruteforce,
@@ -693,8 +706,12 @@ FROM bands GROUP BY band, band_key HAVING count(*) >= 2
         "dedup_ngram_jaccard": f"""
 WITH {_LSH_CTES},
 dsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM nz),
+okb AS (SELECT band, band_key FROM bands GROUP BY band, band_key
+        HAVING count(*) <= 64),
+bandsf AS (SELECT bands.doc_id, bands.band, bands.band_key
+           FROM bands JOIN okb USING (band, band_key)),
 cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-         FROM bands x JOIN bands y
+         FROM bandsf x JOIN bandsf y
            ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
 j AS (SELECT a_id, b_id,
              CAST(len(list_filter(a.sh, t -> list_contains(b.sh, t))) AS BIGINT) AS inter,
@@ -702,6 +719,31 @@ j AS (SELECT a_id, b_id,
       FROM cand JOIN dsh a ON cand.a_id = a.doc_id JOIN dsh b ON cand.b_id = b.doc_id)
 SELECT a_id, b_id, inter, (both_n - inter) AS uni
 FROM j WHERE 100 * inter >= 50 * uni
+""",
+        "dedup_components": f"""
+WITH RECURSIVE {_LSH_CTES},
+dsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM nz),
+okb AS (SELECT band, band_key FROM bands GROUP BY band, band_key
+        HAVING count(*) <= 64),
+bandsf AS (SELECT bands.doc_id, bands.band, bands.band_key
+           FROM bands JOIN okb USING (band, band_key)),
+cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         FROM bandsf x JOIN bandsf y
+           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+j AS (SELECT a_id, b_id,
+             CAST(len(list_filter(a.sh, t -> list_contains(b.sh, t))) AS BIGINT) AS inter,
+             CAST(len(a.sh) + len(b.sh) AS BIGINT) AS both_n
+      FROM cand JOIN dsh a ON cand.a_id = a.doc_id JOIN dsh b ON cand.b_id = b.doc_id),
+pairs AS (SELECT a_id, b_id FROM j WHERE 100 * inter >= 50 * (both_n - inter)),
+e AS (SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION SELECT b_id, a_id FROM pairs),
+r(src, dst) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM e)
+  UNION
+  SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src),
+labels AS (SELECT src AS doc_id, min(dst) AS component_id FROM r GROUP BY src)
+SELECT component_id, count(*) AS group_size, min(doc_id) AS keep_doc_id
+FROM labels GROUP BY component_id
 """,
         "dedup_simhash": f"""
 WITH w AS (SELECT doc_id, {_DOC_SH} AS sh FROM documents),
@@ -746,6 +788,29 @@ r AS (SELECT query_id, neighbor_id, dot,
       FROM s)
 SELECT query_id, neighbor_id, dot, CAST(rnk AS BIGINT) AS rank
 FROM r WHERE rnk <= 3
+""",
+        "knn_ivf": f"""
+WITH q AS (SELECT vec_id, {X.quantize_sql(_D, "embedding")} AS e FROM embeddings),
+cent AS (SELECT vec_id AS cid, e AS cvec FROM q WHERE vec_id < 16),
+ad AS (SELECT q.vec_id, q.e, c.cid, {X.l2_sql(_D, "q.e", "c.cvec", 64)} AS d2
+       FROM q CROSS JOIN cent c),
+assigned AS (SELECT vec_id AS neighbor_id, e AS ce, cid AS list_id
+             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                ORDER BY d2, cid) AS rn FROM ad)
+             WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, e AS qe, cid AS list_id
+           FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d2, cid) AS rn
+                 FROM ad WHERE vec_id < 10)
+           WHERE rn <= 4),
+s AS (SELECT p.query_id, a.neighbor_id, {X.dot_sql(_D, "p.qe", "a.ce", 64)} AS dot
+      FROM probes p JOIN assigned a ON p.list_id = a.list_id
+      WHERE a.neighbor_id != p.query_id),
+r AS (SELECT query_id, neighbor_id, dot,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot DESC, neighbor_id ASC) AS rnk
+      FROM s)
+SELECT query_id, neighbor_id, dot, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 5
 """,
         "docs_rolling_hash": f"""
 SELECT doc_id, {X.rolling_hash_sql(_D, "text")} AS fp FROM documents

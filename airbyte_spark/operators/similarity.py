@@ -121,6 +121,69 @@ def knn_ivf(
     top_k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k with a DETERMINISTIC integer coarse quantizer:
+    the centroids are the quantized vectors of the ``n_centroids`` smallest
+    corpus ids (a seeded sample — no iterative float KMeans), assignment is
+    integer argmin-L2, and ranking within the probed lists is the exact
+    integer inner product. Every step is expressible in portable SQL, so
+    this variant has an exact DuckDB oracle (the KMeans-quantizer variant
+    below trades that for data-adaptive centroids).
+
+    Scale shape: centroids broadcast; corpus assignment is a map-side
+    min_by hash aggregate over a corpus x n_centroids expansion (each map
+    task emits one row per vector — no wide shuffle); the probe search is
+    an equi-join on list id. Same output shape as knn_bruteforce.
+    """
+    c = quantized_embeddings(corpus, id_col, vec_col)
+    cent = F.broadcast(
+        c.filter(F.col("vec_id") < n_centroids).selectExpr(
+            "vec_id AS cid", "e AS cvec"
+        )
+    )
+    l2 = X.l2_sql(S, "e", "cvec", dim)
+
+    # corpus -> inverted lists: argmin_{cid} L2(e, cvec), tie-break cid asc;
+    # min_by hash agg = partial map-side, one surviving row per vector
+    c_d2 = c.crossJoin(cent).selectExpr("vec_id", "e", "cid", f"{l2} AS d2")
+    assigned = (
+        c_d2.groupBy("vec_id", "e")
+        .agg(F.min_by("cid", F.struct("d2", "cid")).alias("list_id"))
+        .selectExpr("vec_id AS neighbor_id", "e AS ce", "list_id")
+    )
+
+    # queries -> n_probe nearest lists (query side is small: window is fine)
+    q = quantized_embeddings(queries, id_col, vec_col)
+    q_d2 = q.crossJoin(cent).selectExpr("vec_id AS query_id", "e AS qe", "cid", f"{X.l2_sql(S, 'e', 'cvec', dim)} AS d2")
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    q_probed = F.broadcast(
+        q_d2.withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "qe", F.col("cid").alias("list_id"))
+    )
+
+    dot = X.dot_sql(S, "qe", "ce", dim)
+    scored = (
+        q_probed.join(assigned, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .selectExpr("query_id", "neighbor_id", f"{dot} AS dot")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
+def knn_ivf_kmeans(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    top_k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
     seed: int = 42,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the classic ANN scale path
@@ -128,7 +191,8 @@ def knn_ivf(
     TPAMI 2011, coarse-quantizer stage): a KMeans coarse quantizer
     partitions the corpus into n_centroids inverted lists; each query
     probes only its n_probe nearest lists and ranks exactly (integer inner
-    product) within them.
+    product) within them. No SQL oracle (iterative float KMeans); recall
+    and exactness are unit-tested against brute force instead.
 
     Scale shape: the corpus is assigned ONCE (map-side, centroids
     broadcast) and the search is an equi-join on list id — candidate

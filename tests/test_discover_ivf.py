@@ -46,15 +46,15 @@ def test_discover_files_catalog(spark, workdir):
 
 
 def test_knn_ivf_recall_and_exactness(spark):
-    """IVF results must be a subset of the exact scoring space (dot values
-    identical to brute force for returned pairs) with reasonable recall at
-    n_probe=8 of 16 lists."""
-    from airbyte_spark.operators.similarity import knn_bruteforce, knn_ivf
+    """KMeans-IVF results must be a subset of the exact scoring space (dot
+    values identical to brute force for returned pairs) with reasonable
+    recall at n_probe=8 of 16 lists."""
+    from airbyte_spark.operators.similarity import knn_bruteforce, knn_ivf_kmeans
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 8)
     exact = knn_bruteforce(emb, queries, top_k=5).toPandas()
-    approx = knn_ivf(
+    approx = knn_ivf_kmeans(
         emb, queries, top_k=5, n_centroids=16, n_probe=8, seed=42
     ).toPandas()
 
@@ -73,9 +73,31 @@ def test_knn_ivf_recall_and_exactness(spark):
         assert list(g["rank"]) == list(range(1, len(g) + 1))
         assert list(g["dot"]) == sorted(g["dot"], reverse=True)
     # determinism: same seed -> identical result
-    approx2 = knn_ivf(
+    approx2 = knn_ivf_kmeans(
         emb, queries, top_k=5, n_centroids=16, n_probe=8, seed=42
     ).toPandas()
+    a = approx.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = approx2.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_knn_ivf_deterministic_quantizer(spark):
+    """The oracle-gated IVF (integer seeded quantizer): exact dots,
+    deterministic, reasonable recall at n_probe=8/16."""
+    from airbyte_spark.operators.similarity import knn_bruteforce, knn_ivf
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = knn_bruteforce(emb, queries, top_k=5).toPandas()
+    approx = knn_ivf(emb, queries, top_k=5, n_centroids=16, n_probe=8).toPandas()
+    exact_pairs = {(r.query_id, r.neighbor_id): r.dot for r in exact.itertuples()}
+    agree = 0
+    for r in approx.itertuples():
+        if (r.query_id, r.neighbor_id) in exact_pairs:
+            assert r.dot == exact_pairs[(r.query_id, r.neighbor_id)]
+            agree += 1
+    assert agree / len(exact_pairs) >= 0.3
+    approx2 = knn_ivf(emb, queries, top_k=5, n_centroids=16, n_probe=8).toPandas()
     a = approx.sort_values(["query_id", "rank"]).reset_index(drop=True)
     b = approx2.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert a.equals(b)

@@ -121,3 +121,42 @@ def test_embedding_neardup_threshold(spark, emb):
         dot = float(np.dot(a, b))
         cos = dot / (np.linalg.norm(a) * np.linalg.norm(b))
         assert cos >= 0.79  # integer test admits >= 0.8 up to quantization
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Hash-min label propagation closes chains and merges cliques."""
+    from airbyte_spark.operators.components import (
+        connected_components,
+        dedup_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),      # chain -> component 1, size 4
+            (10, 11), (11, 12), (10, 12),  # triangle -> component 10, size 3
+            (20, 21),                    # pair -> component 20, size 2
+        ],
+        "a_id bigint, b_id bigint",
+    )
+    cc = {r["doc_id"]: r["component_id"] for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    groups = {
+        r["component_id"]: (r["group_size"], r["keep_doc_id"])
+        for r in dedup_components(pairs).collect()
+    }
+    assert groups == {1: (4, 1), 10: (3, 10), 20: (2, 20)}
+
+
+def test_ngram_jaccard_superbucket_cap(spark):
+    """An adversarial identical-shingle corpus (one bucket of m docs) must
+    not emit m^2 pairs: capped buckets are excluded, small buckets still
+    verified."""
+    from airbyte_spark.operators.fuzzy_dedup import ngram_jaccard_pairs
+
+    same = [(i, "aa bb cc dd ee ff gg hh") for i in range(200)]  # superbucket
+    near = [(1000, "xx yy zz ww vv"), (1001, "xx yy zz ww vv")]  # small bucket
+    df = spark.createDataFrame(same + near, "doc_id bigint, text string")
+    out = ngram_jaccard_pairs(df, max_bucket_size=64, log_dropped=True).collect()
+    ids = {r["a_id"] for r in out} | {r["b_id"] for r in out}
+    assert ids == {1000, 1001}, f"superbucket members leaked pairs: {sorted(ids)[:5]}"
+    assert len(out) == 1
