@@ -97,6 +97,22 @@ def q_cdc_validate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_lww_dedup_nullcursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-cursor LWW rules (BigQuerySqlGenerator.java:456-477): a record
+    with a NULL cursor loses to any non-null cursor; among all-null-cursor
+    records the extraction position decides. Here the record-level cursor
+    is ts_ms nulled deterministically (every 7th lsn); the winner is
+    max_by struct(cursor, lsn) — Spark struct ordering places NULL lowest,
+    exactly the reference's explicit NULL handling, mirrored in the oracle
+    as DESC NULLS LAST."""
+    ch = _changelog(spark, sf_dir).drop("tokens")
+    ch = ch.withColumn(
+        "cur", F.when(F.col("lsn") % 7 == 0, F.lit(None).cast("long")).otherwise(F.col("ts_ms"))
+    )
+    win = lww_dedup(ch, key="doc_id", order_cols=("cur", "lsn"))
+    return win.select("doc_id", "cur", "lsn", "op", F.col("n_tok").cast("long").alias("n_tok"))
+
+
 def q_cdc_incremental_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The defining incremental filter: cursor > checkpoint AND <= target."""
     ch = _changelog(spark, sf_dir).drop("tokens")
@@ -390,6 +406,27 @@ def q_cdc_unnest_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.select("doc_id", "lsn", F.posexplode("tokens").alias("pos", "token"))
 
 
+def q_cdc_normalize_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-array normalization into a child table keyed by parent FK
+    hash (stream_processor.py:133-172 create_from_parent; :675-705 md5
+    surrogate keys): each token array explodes into child rows carrying
+    _ab_parent_hashid (md5 of the parent PK) and their own
+    _ab_child_hashid (md5 of parent hash + position)."""
+    from airbyte_spark.operators.normalize import normalize_child_table
+
+    ch = _changelog(spark, sf_dir)
+    f = ch.filter((F.col("op") != "D") & (F.col("lsn") <= 2000))
+    out = normalize_child_table(
+        f, pk_cols=["doc_id", "lsn"], array_col="tokens", item_col="token"
+    )
+    return out.select(
+        "_ab_parent_hashid", "doc_id", "lsn",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("token").cast("int").alias("token"),
+        "_ab_child_hashid",
+    )
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing over the synthesized multimodal asset table:
     each binary payload explodes into up to 4 (frame_idx, frame_offset)
@@ -491,6 +528,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_dedup": q_cdc_lww_dedup,
+        "cdc_lww_dedup_nullcursor": q_cdc_lww_dedup_nullcursor,
         "cdc_apply_final": q_cdc_apply_final,
         "cdc_validate_tokens": q_cdc_validate_tokens,
         "cdc_incremental_cursor": q_cdc_incremental_cursor,
@@ -500,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_then_tail": q_cdc_snapshot_then_tail,
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_unnest_tokens": q_cdc_unnest_tokens,
+        "cdc_normalize_children": q_cdc_normalize_children,
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -602,6 +641,16 @@ SELECT doc_id, lsn, ts_ms, event_type,
        CAST(CASE WHEN n_tok != len(tokens) THEN 1 ELSE 0 END AS BIGINT) AS n_errors
 FROM ranked WHERE rn = 1 AND op != 'D'
 """,
+        "cdc_lww_dedup_nullcursor": f"""
+WITH ch AS ({_CH}),
+cc AS (SELECT *, CASE WHEN lsn % 7 = 0 THEN NULL ELSE ts_ms END AS cur FROM ch),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY cur DESC NULLS LAST, lsn DESC) AS rn
+  FROM cc)
+SELECT doc_id, cur, lsn, op, CAST(n_tok AS BIGINT) AS n_tok
+FROM ranked WHERE rn = 1
+""",
         "cdc_validate_tokens": f"""
 WITH ch AS ({_CH})
 SELECT doc_id, lsn,
@@ -697,6 +746,20 @@ u AS (SELECT doc_id, lsn,
                                    i -> {{'p': i, 't': tokens[i+1]}})) AS uu
       FROM f)
 SELECT doc_id, lsn, CAST(uu.p AS INT) AS pos, CAST(uu.t AS INT) AS token FROM u
+""",
+        "cdc_normalize_children": f"""
+WITH ch AS ({_CH}),
+f AS (SELECT doc_id, lsn, tokens FROM ch WHERE op != 'D' AND lsn <= 2000),
+p AS (SELECT md5(doc_id || '-' || CAST(lsn AS VARCHAR)) AS _ab_parent_hashid,
+             doc_id, lsn, tokens FROM f),
+u AS (SELECT _ab_parent_hashid, doc_id, lsn,
+             unnest(list_transform(range(0, len(tokens)),
+                                   i -> {{'p': i, 't': tokens[i+1]}})) AS uu
+      FROM p)
+SELECT _ab_parent_hashid, doc_id, lsn,
+       CAST(uu.p AS INT) AS pos, CAST(uu.t AS INT) AS token,
+       md5(_ab_parent_hashid || '-' || CAST(uu.p AS VARCHAR)) AS _ab_child_hashid
+FROM u
 """,
         "dedup_minhash_lsh": f"""
 WITH {_LSH_CTES}

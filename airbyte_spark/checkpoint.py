@@ -25,6 +25,10 @@ class Checkpoint:
     max_committed_lsn: int = 0
     target_lsn: int | None = None
     table_schema_version: int = 1
+    # cursor the replay progress was tracked under; a configured-cursor
+    # change invalidates incremental state (the reference soft-resets on
+    # cursor change — BaseTypingDedupingTest "testCursorChange")
+    cursor_field: str | None = None
     # source_partition -> {"last_lsn": int, "rows_applied": int}
     per_partition: dict[str, dict] = field(default_factory=dict)
     batches: list[str] = field(default_factory=list)
@@ -35,6 +39,7 @@ class Checkpoint:
                 "max_committed_lsn": self.max_committed_lsn,
                 "target_lsn": self.target_lsn,
                 "table_schema_version": self.table_schema_version,
+                "cursor_field": self.cursor_field,
             },
             "per_partition": [
                 {"source_partition": int(p), **v}
@@ -50,6 +55,7 @@ class Checkpoint:
             max_committed_lsn=shared.get("max_committed_lsn", 0),
             target_lsn=shared.get("target_lsn"),
             table_schema_version=shared.get("table_schema_version", 1),
+            cursor_field=shared.get("cursor_field"),
             per_partition={
                 str(e["source_partition"]): {
                     k: v for k, v in e.items() if k != "source_partition"

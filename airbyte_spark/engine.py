@@ -53,6 +53,15 @@ class SchemaEvolutionError(ValueError):
     per DefaultTyperDeduper.java:160-165."""
 
 
+class CursorChangeError(RuntimeError):
+    """The configured cursor field differs from the one the checkpoint was
+    built under — incremental progress is meaningless across a cursor
+    change, so a soft reset + full re-sync is required (the reference
+    rebuilds the final table in the same situation:
+    BaseTypingDedupingTest cursor-change scenario,
+    DefaultTyperDeduper.java:160-165 soft reset)."""
+
+
 class OffsetLossError(RuntimeError):
     """The checkpointed LSN is older than the oldest retained change event —
     the WAL was truncated past our offset, so incremental replay would
@@ -236,6 +245,21 @@ class CdcEngine:
         batch_events = batch_events or self.cfg.batch_events
 
         ckpt = load_checkpoint(self.checkpoint_path) or Checkpoint()
+        if (
+            ckpt.cursor_field is not None
+            and ckpt.cursor_field != self.stream.cursor_field
+        ):
+            log_metric(
+                "cursor_changed",
+                checkpoint_cursor=ckpt.cursor_field,
+                configured_cursor=self.stream.cursor_field,
+            )
+            raise CursorChangeError(
+                f"checkpoint tracked cursor {ckpt.cursor_field!r} but stream "
+                f"configures {self.stream.cursor_field!r}; run soft_reset() + "
+                "bootstrap + replay to rebuild"
+            )
+        ckpt.cursor_field = self.stream.cursor_field
         last = ckpt.max_committed_lsn
         mn, target = source.agg(F.min("lsn"), F.max("lsn")).first()
         if last > 0 and mn is not None and mn > last + 1:

@@ -117,3 +117,51 @@ def test_soft_reset_then_rebuild_matches_golden(spark, workdir):
     # rebuild from scratch through resync (snapshot + full log replay)
     eng.resync(seed, clpath)
     assert_frames_equal(final_as_pandas(eng.read_final()), golden)
+
+
+def test_cursor_change_detected_and_soft_reset_recovers(spark, workdir):
+    """A configured-cursor change invalidates incremental state: replay
+    refuses (CursorChangeError), soft reset + re-bootstrap + replay
+    rebuilds to golden (BaseTypingDedupingTest cursor-change scenario;
+    DefaultTyperDeduper.java:160-165)."""
+    import os
+
+    import pytest
+
+    from airbyte_spark.changelog import (
+        ChangelogConfig,
+        apply_golden,
+        changelog_df,
+        seed_df,
+        write_changelog,
+    )
+    from airbyte_spark.config import EngineConfig, StreamConfig
+    from airbyte_spark.engine import CdcEngine, CursorChangeError
+    from tests.util import assert_frames_equal, final_as_pandas, golden_normalize
+
+    cfg = ChangelogConfig(n_events=400, n_seed_docs=100)
+    seed = seed_df(spark, cfg)
+    clpath = os.path.join(workdir, "cl")
+    write_changelog(spark, cfg, clpath)
+    root = os.path.join(workdir, "lake")
+    eng = CdcEngine(spark, root, StreamConfig(num_buckets=4), EngineConfig(batch_events=200))
+    eng.create_table()
+    eng.bootstrap(seed)
+    eng.replay(clpath)
+
+    # same lake, cursor reconfigured -> incremental progress is meaningless
+    eng2 = CdcEngine(
+        spark, root, StreamConfig(num_buckets=4, cursor_field="ts_ms"),
+        EngineConfig(batch_events=200),
+    )
+    with pytest.raises(CursorChangeError):
+        eng2.replay(clpath)
+
+    # recovery: soft reset, re-bootstrap, full replay -> golden
+    eng2.soft_reset()
+    eng2.bootstrap(seed)
+    eng2.replay(clpath)
+    exp = golden_normalize(
+        apply_golden(seed.toPandas(), changelog_df(spark, cfg).toPandas(), cfg.vocab_size)
+    )
+    assert_frames_equal(final_as_pandas(eng2.read_final()), exp)
