@@ -53,6 +53,13 @@ from airbyte_spark.lineage import log_metric
 SNAPSHOT_DIR = "snapshots"
 DATA_DIR = "data"
 BUCKET_COL = "_bucket"
+# Pure-append commits on tables with at least this many files serialize as
+# a parent reference + the added files instead of re-listing every file —
+# O(batch) manifest writes for merge-on-read appends on huge tables (the
+# moral equivalent of Iceberg's manifest-list reuse). Commits that DROP
+# files (CoW merge, compaction) re-inline the full list, which also bounds
+# the resolution chain length.
+MANIFEST_REF_MIN = 64
 
 
 class CommitConflict(RuntimeError):
@@ -222,7 +229,17 @@ class LakeTable:
         if cached is not None:
             return cached
         with open(_snapshot_path(self.root, v)) as fh:
-            snap = Snapshot.from_json(json.load(fh))
+            d = json.load(fh)
+        if "files_parent" in d:
+            # pure-append manifest: this snapshot's file list = parent's
+            # (resolved recursively, memoized in _snap_cache) + additions
+            parent_files = self.snapshot(d["files_parent"]).files
+            added = [DataFile.from_json(x) for x in d.get("files_add", [])]
+            d = dict(d, files=[])
+            snap = Snapshot.from_json(d)
+            snap.files = list(parent_files) + added
+        else:
+            snap = Snapshot.from_json(d)
         self._snap_cache[v] = snap
         return snap
 
@@ -249,11 +266,18 @@ class LakeTable:
                 return snap.version
         return None
 
-    def _write_snapshot(self, snap: Snapshot) -> None:
+    def _write_snapshot(self, snap: Snapshot, parent: Snapshot | None = None) -> None:
+        doc = snap.to_json()
+        if parent is not None and len(parent.files) >= MANIFEST_REF_MIN:
+            pf = parent.files
+            if len(snap.files) >= len(pf) and snap.files[: len(pf)] == pf:
+                doc.pop("files")
+                doc["files_parent"] = parent.version
+                doc["files_add"] = [f.to_json() for f in snap.files[len(pf):]]
         path = _snapshot_path(self.root, snap.version)
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
-            json.dump(snap.to_json(), fh)
+            json.dump(doc, fh)
             fh.flush()
             os.fsync(fh.fileno())
         try:
@@ -517,7 +541,7 @@ class LakeTable:
             files=base.files + new_files,
             summary=summary,
         )
-        self._write_snapshot(snap)
+        self._write_snapshot(snap, parent=base)
         return new_version
 
     def delta_file_count(self, version: int | None = None) -> int:
@@ -605,7 +629,7 @@ class LakeTable:
             files=kept + new_files,
             summary=summary,
         )
-        self._write_snapshot(snap)
+        self._write_snapshot(snap, parent=base)
         return new_version
 
     def commit_metadata_only(
@@ -627,7 +651,7 @@ class LakeTable:
             files=base.files,
             summary=summary,
         )
-        self._write_snapshot(snap)
+        self._write_snapshot(snap, parent=base)
         return snap.version
 
     # ----------------------------------------------------------- maintenance

@@ -163,3 +163,56 @@ def test_full_merge_files_are_bucket_pure(spark, workdir):
             F.pmod(F.hash(F.col("doc_id")), F.lit(8)).cast("int") != F.lit(f.bucket)
         ).count()
         assert bad == 0, f"file {f.path} has {bad} rows outside bucket {f.bucket}"
+
+
+def test_manifest_parent_reference_for_pure_appends(spark, workdir):
+    """Pure-append commits on a many-file table must NOT re-list every file
+    in the snapshot JSON: they reference the parent manifest + additions,
+    and resolution reproduces the exact file list."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from airbyte_spark.lake.table import MANIFEST_REF_MIN, LakeTable
+    from airbyte_spark.schemas import tokenseq_schema
+
+    root = os.path.join(workdir, "t")
+    t = LakeTable.create(
+        spark, root, tokenseq_schema(), primary_key="doc_id",
+        num_buckets=MANIFEST_REF_MIN, cursor_col="_ab_lsn",
+    )
+    df = spark.range(2000).select(
+        F.format_string("doc%06d", F.col("id")).alias("doc_id"),
+        F.array(F.lit(1)).alias("tokens"),
+        F.lit(1).alias("n_tok"),
+        F.lit("s").alias("source"),
+        F.col("id").alias("_ab_lsn"),
+        F.current_timestamp().alias("_ab_extracted_at"),
+        F.lit("r").alias("_ab_raw_id"),
+        F.lit(None).cast("timestamp").alias("_ab_cdc_deleted_at"),
+        F.lit(None).cast("struct<errors:array<string>>").alias("_ab_meta"),
+    )
+    v2 = t.write_and_commit(df, replace_buckets=None, summary={"operation": "seed"})
+    assert len(t.snapshot(v2).files) >= MANIFEST_REF_MIN
+
+    small = df.limit(50)
+    v3 = t.append_delta(small, summary={"operation": "d1"}, num_files=2)
+    v4 = t.append_delta(small, summary={"operation": "d2"}, num_files=2)
+    for v in (v3, v4):
+        with open(os.path.join(root, "snapshots", f"v{v:08d}.json")) as fh:
+            doc = json.load(fh)
+        assert doc["files_parent"] == v - 1
+        assert len(doc["files_add"]) == 2
+        assert "files" not in doc
+    # resolution (fresh instance, empty cache) reproduces the full list
+    t2 = LakeTable.load(spark, root)
+    assert [f.path for f in t2.snapshot(v4).files] == [
+        f.path for f in t.snapshot(v4).files
+    ]
+    assert t2.delta_file_count(v4) == 4
+    # a dropping commit (fold) re-inlines and resets the chain
+    v5 = t2.compact()
+    with open(os.path.join(root, "snapshots", f"v{v5:08d}.json")) as fh:
+        doc5 = json.load(fh)
+    assert "files_parent" not in doc5 and "files" in doc5
