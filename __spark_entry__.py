@@ -150,9 +150,11 @@ def q_cdc_tombstone_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over the dup-injected documents: keeper (min id) + copy
-    count per text."""
+    count per text. Groups on md5(text), not the text itself, so the
+    exchange carries 32-byte keys instead of full documents — at 100 TB
+    the difference between shuffling digests and shuffling the corpus."""
     d = _dup_docs(spark, sf_dir)
-    return d.groupBy("text").agg(
+    return d.groupBy(F.md5("text").alias("text_md5")).agg(
         F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
     ).select("keep_doc_id", "n_copies")
 
@@ -685,7 +687,7 @@ SELECT op, count(*) AS n FROM ranked WHERE rn = 1 GROUP BY op
         "dedup_exact_docs": f"""
 WITH {_DUP_DOCS}
 SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
-FROM dup_docs GROUP BY text
+FROM dup_docs GROUP BY md5(text)
 """,
         "docs_fingerprint": """
 SELECT md5(substr(text, 1, 80)) AS fingerprint,

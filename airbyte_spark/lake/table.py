@@ -27,10 +27,16 @@ Reference parity:
   cast per file-group to the current schema.
 
 Scale notes (100 TB): data files are plain parquet readable by any engine;
-file pruning is manifest-driven (bucket + min/max cursor per file), which is
-O(files) driver work — at very large file counts the manifest would itself
-become a parquet dataset (Iceberg's manifest-list design); the commit
-protocol and scan logic would not change.
+file pruning is manifest-driven (bucket + min/max cursor per file). Commit
+cost is bounded two ways: pure-append commits past MANIFEST_REF_MIN files
+serialize a parent reference + additions only (O(batch), not O(table) —
+the manifest-list reuse idea), and parsed snapshots are memoized per
+version so idempotence walks re-read nothing. Remaining O(files) driver
+work is the in-memory pruning pass per scan; at extreme file counts the
+manifest itself would become a parquet dataset (Iceberg's design) without
+changing the commit protocol or scan logic. Merge-on-read: small batches
+commit as delta files (kind="delta", bucket -1) resolved by scan() with
+the same LWW total order as the copy-on-write merge; compact() folds them.
 """
 
 from __future__ import annotations

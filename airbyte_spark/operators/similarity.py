@@ -28,6 +28,38 @@ from airbyte_spark.plans import textsql as X
 S = X.SPARK
 
 
+def _topk_per_query(scored: DataFrame, top_k: int) -> DataFrame:
+    """Exact per-query top-k in two phases: a PARTIAL top-k per Arrow batch
+    (mapInPandas — a narrow, shuffle-free pass whose output is bounded at
+    queries x k per batch) followed by the global row_number window over
+    only the survivors. A bare window would shuffle EVERY scored
+    (query, neighbor) pair — at corpus scale that shuffle IS the cost of
+    the search; a groupBy(collect_list) partial doesn't help because the
+    list aggregate ships unbounded partial lists through the exchange.
+    Results are identical to the plain-window formulation: the partial
+    keeps a superset of each query's global top-k (per-batch winners), and
+    ties break (dot desc, neighbor_id asc) in both phases."""
+    schema = scored.schema
+
+    def partial(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(
+                ["query_id", "dot", "neighbor_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            yield pdf.groupby("query_id", sort=False).head(top_k)
+
+    survivors = scored.mapInPandas(partial, schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id").asc())
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -48,11 +80,7 @@ def knn_bruteforce(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .selectExpr("query_id", "neighbor_id", f"{dot} AS dot")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
-    )
+    return _topk_per_query(scored, top_k)
 
 
 def knn_lsh(
@@ -86,11 +114,7 @@ def knn_lsh(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .selectExpr("query_id", "neighbor_id", f"{dot} AS dot")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
-    )
+    return _topk_per_query(scored, top_k)
 
 
 def train_ivf_centroids(
@@ -168,11 +192,7 @@ def knn_ivf(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .selectExpr("query_id", "neighbor_id", f"{dot} AS dot")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
-    )
+    return _topk_per_query(scored, top_k)
 
 
 def knn_ivf_kmeans(
@@ -251,8 +271,4 @@ def knn_ivf_kmeans(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .selectExpr("query_id", "neighbor_id", f"{dot} AS dot")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
-    )
+    return _topk_per_query(scored, top_k)
