@@ -500,6 +500,38 @@ def q_declarative_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_declarative_extract_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dpath response extractor (dpath_extractor.py:18) as Catalyst: a
+    deterministic JSON envelope {"data": [rec, rec]} is built per event and
+    the record list pulled out + exploded via from_json/get_json_object —
+    one row per extracted record, fields lifted to columns. Oracle states
+    the expected output directly (the envelope content is deterministic)."""
+    from airbyte_spark.plans.transforms import apply_transforms
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    body = F.concat(
+        F.lit('{"data": [{"i": '),
+        F.col("event_id").cast("string"),
+        F.lit(', "v": '),
+        F.floor(F.col("value") * 100).cast("long").cast("string"),
+        F.lit('}, {"i": '),
+        (F.col("event_id") + 10000000).cast("string"),
+        F.lit(', "v": 0}]}'),
+    )
+    d = ev.select(F.col("event_id"), body.alias("body"))
+    return apply_transforms(
+        d,
+        [
+            {
+                "op": "extract_path",
+                "column": "body",
+                "path": ["data", "*"],
+                "schema": "struct<i:bigint,v:bigint>",
+            }
+        ],
+    )
+
+
 def q_substream_parent_child(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substream partition router as a join: for each parent (customer) read
     the child stream (orders) with the parent key injected
@@ -561,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_json_extract": q_cdc_json_extract,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "declarative_transforms": q_declarative_transforms,
+        "declarative_extract_path": q_declarative_extract_path,
         "substream_parent_child": q_substream_parent_child,
     }
 
@@ -949,6 +982,14 @@ SELECT event_id, user_id, event_type,
        epoch_ms(date_trunc('day', ts)) AS day_ms,
        CAST(floor(value * 100) AS BIGINT) AS value_cents
 FROM events WHERE event_type IN ('click', 'purchase')
+""",
+        "declarative_extract_path": """
+SELECT event_id, CAST(event_id AS BIGINT) AS i,
+       CAST(floor(value * 100) AS BIGINT) AS v
+FROM events
+UNION ALL
+SELECT event_id, CAST(event_id + 10000000 AS BIGINT) AS i, CAST(0 AS BIGINT) AS v
+FROM events
 """,
         "substream_parent_child": """
 SELECT o_orderkey, o_custkey AS parent_key, c_name, c_mktsegment,

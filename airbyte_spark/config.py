@@ -81,6 +81,13 @@ class EngineConfig:
     # scale the fold runs asynchronously; here it is inline and counted
     # in replay wall time.
     mor_max_delta_files: int = 64
+    # Destinations-V2 raw/audit layer (BigQuerySqlGenerator.java:717-731
+    # raw schema; the reference's replay/debug story): when True, every
+    # batch's enriched pre-dedup events are ALSO appended to a side table
+    # `<stream>_raw` (append-only, batch-id idempotent). Off by default —
+    # it doubles write volume; the changelog itself usually serves as the
+    # replay log in this engine.
+    keep_raw_table: bool = False
     # Tombstone retention horizon (in LSNs): during compaction, drop
     # tombstone rows older than max_committed_lsn - this value. A tombstone
     # is only needed to suppress late out-of-order updates, so once the

@@ -393,6 +393,45 @@ class CdcEngine:
             batch = batch.withColumn(S.COL_META, F.lit(None).cast(S.META_TYPE))
         return inject_cdc_metadata(batch)
 
+    def _append_raw(self, enriched: DataFrame, bid: str, lo: int, hi: int) -> None:
+        """Destinations-V2 raw/audit layer (BigQuerySqlGenerator.java:717-731;
+        the raw table is the reference's replay/debug story): append the
+        enriched PRE-dedup events of this batch to `<stream>_raw`.
+        Append-only (no dedup, no resolution — every delivered event is
+        retained), idempotent via its own batch id in the raw table's
+        snapshot summaries."""
+        raw_root = self.table_root + "_raw"
+        if not LakeTable.exists(raw_root):
+            LakeTable.create(
+                self.spark,
+                raw_root,
+                enriched.schema,
+                primary_key=self.stream.primary_key,
+                num_buckets=self.stream.num_buckets,
+                cursor_col="lsn",
+            )
+        raw = LakeTable.load(self.spark, raw_root)
+        rbid = f"raw-{bid}"
+        if raw.find_batch(rbid) is not None:
+            return
+        raw.write_and_commit(
+            enriched,
+            replace_buckets=None,  # pure append
+            summary={
+                "operation": "raw-append",
+                "batch_id": rbid,
+                "start_lsn": lo,
+                "end_lsn": hi,
+            },
+            write_partitions=self.cfg.write_partitions,
+        )
+        log_metric("raw_appended", batch_id=rbid, start_lsn=lo, end_lsn=hi)
+
+    def read_raw_log(self) -> DataFrame:
+        """The raw/audit table (every delivered event, pre-dedup) — only
+        present when EngineConfig.keep_raw_table is on."""
+        return LakeTable.load(self.spark, self.table_root + "_raw").scan()
+
     def _dedup_winners(self, batch: DataFrame, table: LakeTable) -> DataFrame:
         """Shared batch prep + LWW dedup to one row per PK. In plain
         ``append`` sync mode every record is kept (no dedup), matching the
@@ -663,22 +702,33 @@ class CdcEngine:
             save_checkpoint(self.checkpoint_path, ckpt)
             return 0
 
+        enriched = prefetched[0] if prefetched is not None else None
+        own_enriched = False  # we persisted it here (raw-table path)
+        if self.cfg.keep_raw_table:
+            if enriched is None:
+                enriched = self._prepare_batch(batch, table).persist()
+                own_enriched = True
+            self._append_raw(enriched, bid, lo, hi)
+
         if self._use_full_merge(table, n_events):
-            return self._apply_batch_full(
-                batch, table, bid, ckpt, lo, hi, t0,
-                prefetched=prefetched[0] if prefetched is not None else None,
-            )
+            try:
+                return self._apply_batch_full(
+                    batch, table, bid, ckpt, lo, hi, t0, prefetched=enriched
+                )
+            finally:
+                if own_enriched:
+                    enriched.unpersist()
         use_mor = self._use_mor(table, n_events)
 
-        if prefetched is not None:
-            # the prefetched df IS the enriched batch: in append mode it is
+        if enriched is not None:
+            # the enriched df IS the prepared batch: in append mode it is
             # the winners verbatim (no dedup in that mode), otherwise only
             # the LWW step remains.
             if self.stream.sync_mode == SYNC_APPEND:
-                winners = prefetched[0]
+                winners = enriched
             else:
                 winners = lww_dedup(
-                    prefetched[0],
+                    enriched,
                     key=self.stream.primary_key,
                     strategy=self.cfg.dedup_strategy,
                     salt_buckets=self.cfg.salt_buckets,
@@ -727,6 +777,8 @@ class CdcEngine:
             )
         finally:
             winners.unpersist()
+            if own_enriched:
+                enriched.unpersist()
 
         wall_ms = int((time.monotonic() - t0) * 1000)
         rows_applied = sum(int(r["rows"]) for r in part_stats)

@@ -100,3 +100,38 @@ def test_merge_scan_reads_only_affected_buckets(spark, workdir):
     expected = {f.path for f in t.snapshot().files if f.bucket in (1, 3)}
     assert some.count() == sum(f.rows for f in t.snapshot().files if f.bucket in (1, 3))
     assert len(expected) < len(all_files)
+
+
+def test_dpath_extract_and_sanitize_cursor(spark):
+    """dpath extractor (single-object and array-* paths) + NUL-byte cursor
+    sanitization (StateDecoratingIterator.java:93-100)."""
+    from airbyte_spark.plans.transforms import apply_transforms
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"data": [{"i": 10, "v": "a"}, {"i": 11, "v": "b"}]}', "c\u0000ur"),
+            (2, '{"data": []}', "ok"),
+        ],
+        "rid int, body string, cur string",
+    )
+    out = apply_transforms(
+        df,
+        [
+            {"op": "sanitize_cursor", "column": "cur"},
+            {"op": "extract_path", "column": "body", "path": ["data", "*"],
+             "schema": "struct<i:bigint,v:string>"},
+        ],
+    )
+    rows = sorted((r["rid"], r["i"], r["v"], r["cur"]) for r in out.collect())
+    assert rows == [(1, 10, "a", "cur"), (1, 11, "b", "cur")]
+
+    # single-object path (no trailing *)
+    df2 = spark.createDataFrame(
+        [(5, '{"meta": {"n": 7, "s": "x"}}')], "rid int, body string"
+    )
+    out2 = apply_transforms(
+        df2,
+        [{"op": "extract_path", "column": "body", "path": ["meta"],
+          "schema": "struct<n:bigint,s:string>"}],
+    )
+    assert [(r["rid"], r["n"], r["s"]) for r in out2.collect()] == [(5, 7, "x")]

@@ -165,3 +165,48 @@ def test_weird_column_names_evolve_and_apply(spark, workdir):
     assert all(
         r["select"] is None for r in eng.read_final().filter(F.col("doc_id").startswith("doc")).collect()
     )
+
+
+def test_evolution_with_mor_deltas(spark, workdir):
+    """Schema evolution interleaved with merge-on-read delta commits:
+    delta files written pre-evolution read back NULL-padded/upcast, the
+    resolved state is correct, and the fold compaction normalizes files to
+    the evolved schema."""
+    eng = CdcEngine(
+        spark,
+        os.path.join(workdir, "lake"),
+        StreamConfig(num_buckets=4),
+        # large table + tiny batches -> MoR path; no auto-compaction
+        EngineConfig(batch_events=500, compact_after_replay_max_files=None),
+    )
+    eng.create_table()
+    eng.bootstrap(seed_df(spark, ChangelogConfig(n_events=0, n_seed_docs=5000)))
+
+    p1 = os.path.join(workdir, "cl1")
+    spark.createDataFrame(
+        [("U", "doc000000001", 1, 1000, 0, [5], 1, "web")], _schema()
+    ).write.parquet(p1)
+    eng.replay(p1)
+    assert eng.table.delta_file_count() > 0  # pre-evolution delta
+
+    p2 = os.path.join(workdir, "cl2")
+    spark.createDataFrame(
+        [("U", "doc000000002", 2, 2000, 0, [7], 1, "web", "en")],
+        _schema(with_lang=True),
+    ).write.parquet(p2)
+    eng.replay(p2)
+
+    fin = eng.read_final()
+    assert "lang" in fin.columns
+    assert fin.filter(F.col("doc_id") == "doc000000002").first().lang == "en"
+    assert fin.filter(F.col("doc_id") == "doc000000001").first().lang is None
+    before = {(r.doc_id, r.lang) for r in fin.select("doc_id", "lang").collect()}
+
+    # fold: deltas disappear, resolved rows unchanged
+    eng.table.compact()
+    assert eng.table.delta_file_count() == 0
+    after = {
+        (r.doc_id, r.lang)
+        for r in eng.read_final().select("doc_id", "lang").collect()
+    }
+    assert after == before

@@ -165,3 +165,35 @@ def test_cursor_change_detected_and_soft_reset_recovers(spark, workdir):
         apply_golden(seed.toPandas(), changelog_df(spark, cfg).toPandas(), cfg.vocab_size)
     )
     assert_frames_equal(final_as_pandas(eng2.read_final()), exp)
+
+
+def test_raw_audit_table(spark, workdir):
+    """Optional Destinations-V2 raw layer: every delivered pre-dedup event
+    is retained in <stream>_raw, append-only and batch-id idempotent
+    (BigQuerySqlGenerator.java:717-731)."""
+    import os
+
+    from airbyte_spark.changelog import ChangelogConfig, seed_df, write_changelog
+    from airbyte_spark.config import EngineConfig, StreamConfig
+    from airbyte_spark.engine import CdcEngine
+
+    cfg = ChangelogConfig(n_events=400, n_seed_docs=100, dup_pct=2.0)
+    clpath = os.path.join(workdir, "cl")
+    write_changelog(spark, cfg, clpath)
+    root = os.path.join(workdir, "lake")
+    ecfg = EngineConfig(batch_events=150, keep_raw_table=True)
+    eng = CdcEngine(spark, root, StreamConfig(num_buckets=4), ecfg)
+    eng.create_table()
+    eng.bootstrap(seed_df(spark, cfg))
+    eng.replay(clpath)
+    raw = eng.read_raw_log()
+    assert raw.count() == cfg.n_events  # every delivered event, dups included
+    # dedup NOT applied in the raw layer
+    assert raw.select("doc_id", "lsn").distinct().count() <= cfg.n_events
+    # idempotence: a re-replay (and a fresh engine) appends nothing
+    eng2 = CdcEngine(spark, root, StreamConfig(num_buckets=4), ecfg)
+    stats = eng2.replay(clpath)
+    assert stats["batches"] == 0
+    assert eng2.read_raw_log().count() == cfg.n_events
+    # final table unaffected by the raw layer
+    assert eng2.read_final().count() > 0
