@@ -201,6 +201,61 @@ def _finish_child(proc: subprocess.Popen, cores: int) -> dict:
     )
 
 
+def mor_demo() -> dict:
+    """Merge-on-read evidence for the bench record: small batches against a
+    table ~100x their size must write ~batch-sized delta commits, never
+    table-sized rewrites. Reports rows written per merge commit and the
+    write-amplification ratio vs the table (1.0 == full rewrite)."""
+    import shutil
+    import tempfile
+
+    from airbyte_spark.changelog import ChangelogConfig, seed_df, write_changelog
+    from airbyte_spark.config import EngineConfig, StreamConfig
+    from airbyte_spark.engine import CdcEngine
+    from airbyte_spark.session import get_spark
+
+    spark = get_spark(app_name="mor-demo", master=f"local[{min(8, CPUS)}]", shuffle_partitions=16)
+    n_docs = max(100_000, BENCH_SEED_DOCS // 2)
+    batch = max(2_000, n_docs // 100)
+    cfg = ChangelogConfig(n_events=batch * 3, n_seed_docs=n_docs, dup_pct=2.0, max_tokens=64)
+    root = tempfile.mkdtemp(prefix="ab_mor_demo_", dir=TMPFS)
+    try:
+        eng = CdcEngine(
+            spark, root, StreamConfig(num_buckets=NUM_BUCKETS),
+            EngineConfig(batch_events=batch, compact_after_replay_max_files=None),
+        )
+        eng.create_table()
+        eng.bootstrap(seed_df(spark, cfg))
+        cl = os.path.join(root, "cl")
+        write_changelog(spark, cfg, cl)
+        eng.replay(cl)
+        table_rows = sum(
+            f.rows for f in eng.table.snapshot().files if f.kind != "delta"
+        )
+        per_commit: dict[int, int] = {}
+        ops = []
+        for snap in eng.table.history():
+            op = snap.summary.get("operation")
+            if op in ("merge-delta", "merge", "merge-full"):
+                ops.append(op)
+                new_rows = sum(
+                    f.rows for f in snap.files
+                    if f.path.startswith(f"data/v{snap.version}-")
+                )
+                per_commit[snap.version] = new_rows
+        writes = list(per_commit.values())
+        return {
+            "table_rows": table_rows,
+            "batch_events": batch,
+            "merge_ops": ops,
+            "rows_written_per_commit": writes,
+            "write_ratio": round(max(writes) / max(table_rows, 1), 4) if writes else None,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--child":
         child_replay(
@@ -260,6 +315,11 @@ def main() -> None:
         r_hi = _run_child(SCALE_HI, n_runs)
         cdc[f"local{SCALE_HI}"] = r_hi
 
+    mor = None
+    if os.environ.get("SPARK_GRAFT_BENCH_MOR", "1") != "0":
+        mor = mor_demo()
+        cdc["mor"] = mor
+
     total = round(time.monotonic() - t_total0, 3)
     result = {
         "metric": "cdc-replay-events-per-sec+query-suite-sec",
@@ -278,6 +338,13 @@ def main() -> None:
         k: ({kk: vv for kk, vv in v.items() if kk != "runs"} if isinstance(v, dict) else v)
         for k, v in cdc.items()
     }
+    if mor is not None:
+        # keep the stdout line short: full MoR detail stays in the file
+        compact_cdc["mor"] = {
+            "table_rows": mor["table_rows"],
+            "batch_events": mor["batch_events"],
+            "write_ratio": mor["write_ratio"],
+        }
     compact = dict(result, cdc_replay=compact_cdc)
     print(json.dumps(compact, separators=(",", ":")), flush=True)
 

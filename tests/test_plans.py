@@ -135,3 +135,57 @@ def test_dpath_extract_and_sanitize_cursor(spark):
           "schema": "struct<n:bigint,s:string>"}],
     )
     assert [(r["rid"], r["n"], r["s"]) for r in out2.collect()] == [(5, 7, "x")]
+
+
+def test_standardize_columns_collisions(spark):
+    """NamingConventionTransformer analog: invalid chars -> _, digit guard,
+    collision counters (StandardNameTransformer + CatalogParser)."""
+    from airbyte_spark.functions.naming import (
+        standardize_columns,
+        standardize_identifier,
+    )
+
+    assert standardize_identifier("normal_col") == "normal_col"
+    assert standardize_identifier("weird col!") == "weird_col_"
+    assert standardize_identifier("1starts_digit") == "_1starts_digit"
+    assert standardize_identifier("") == "_"
+
+    df = spark.createDataFrame(
+        [(1, 2, 3, 4)], ["a b", "a_b", "a-b", "2x"]
+    )
+    out, mapping = standardize_columns(df)
+    assert out.columns == ["a_b", "a_b_1", "a_b_2", "_2x"]
+    assert mapping == {"a b": "a_b", "a_b": "a_b_1", "a-b": "a_b_2", "2x": "_2x"}
+    assert out.first() == (1, 2, 3, 4)
+
+
+def test_mor_scan_plan_shape(spark, tmp_path):
+    """MoR resolution plan: ONE aggregate-exchange pair (partial max_by ->
+    exchange -> final max_by), and base-only scans keep the manifest-driven
+    file list (no resolution operators at all)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.schemas import tokenseq_schema
+
+    root = os.path.join(str(tmp_path), "t")
+    t = LakeTable.create(spark, root, tokenseq_schema(), "doc_id", 4, "_ab_lsn")
+    df = spark.range(100).select(
+        F.format_string("d%03d", F.col("id")).alias("doc_id"),
+        F.array(F.lit(1)).alias("tokens"), F.lit(1).alias("n_tok"),
+        F.lit("s").alias("source"), F.col("id").alias("_ab_lsn"),
+        F.current_timestamp().alias("_ab_extracted_at"),
+        F.lit("r").alias("_ab_raw_id"),
+        F.lit(None).cast("timestamp").alias("_ab_cdc_deleted_at"),
+        F.lit(None).cast("struct<errors:array<string>>").alias("_ab_meta"),
+    )
+    t.write_and_commit(df, replace_buckets=None, summary={"operation": "seed"})
+    base_plan = t.scan()._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" not in base_plan  # no resolution on a base-only table
+
+    t.append_delta(df.limit(5), summary={"operation": "d"}, num_files=1)
+    plan = t.scan()._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1  # one resolve shuffle
+    assert "max_by" in plan  # LWW resolution present
