@@ -60,6 +60,66 @@ def stream_replay(
     return applied
 
 
+def stream_replay_continuous(
+    engine: CdcEngine,
+    changelog_path: str,
+    checkpoint_dir: str,
+    idle_timeout_s: float = 10.0,
+    trigger_interval: str = "1 second",
+    max_files_per_trigger: int | None = None,
+    poll_s: float = 0.5,
+    max_wall_s: float = 300.0,
+) -> dict:
+    """Unbounded tail with a LIVENESS guard: run on a processing-time
+    trigger and stop the query once no data-carrying trigger has completed
+    for ``idle_timeout_s`` — the engine's analog of the reference's
+    heartbeat-driven idle handling (DebeziumRecordIterator.java:78-140
+    waits on heartbeats and finishes when the source goes quiet;
+    heartbeats.md:11-34 kills a source unresponsive past a deadline).
+    Time-based rather than trigger-counting because Structured Streaming
+    does not advance batchId on no-data triggers. ``max_wall_s`` is the
+    hard deadline backstop. Returns progress stats + the stop reason
+    ("idle" | "deadline")."""
+    import time as _time
+
+    spark = engine.spark
+    schema = spark.read.parquet(changelog_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(changelog_path)
+
+    applied = {"epochs": 0, "rows_applied": 0, "last_data_at": _time.monotonic()}
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        applied["epochs"] += 1
+        applied["rows_applied"] += engine.apply_stream_epoch(batch_df, epoch_id)
+        applied["last_data_at"] = _time.monotonic()
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=trigger_interval)
+        .start()
+    )
+    reason = "deadline"
+    deadline = _time.monotonic() + max_wall_s
+    try:
+        while _time.monotonic() < deadline:
+            _time.sleep(poll_s)
+            if q.isActive and _time.monotonic() - applied["last_data_at"] > idle_timeout_s:
+                reason = "idle"
+                break
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return {
+        "epochs": applied["epochs"],
+        "rows_applied": applied["rows_applied"],
+        "stop_reason": reason,
+    }
+
+
 def streaming_dedup(changelog_stream: DataFrame, watermark_delay: str = "1 hour") -> DataFrame:
     """The pure-streaming duplicate absorber: event-time watermark +
     dropDuplicates on (doc_id, lsn) — the Structured Streaming shape of the

@@ -132,3 +132,27 @@ def test_partition_cursor_tracker_stateful(spark, workdir):
     for _, g in got.groupby("source_partition"):
         lsns = g.sort_values("events_seen")["last_lsn"].tolist()
         assert lsns == sorted(lsns)
+
+
+def test_stream_replay_continuous_idle_stop(spark, workdir):
+    """Liveness guard (heartbeats/DebeziumRecordIterator analog): the
+    continuous tail drains all files, then stops ITSELF after
+    max_idle_triggers empty triggers — and the result matches golden."""
+    from airbyte_spark.streaming import stream_replay_continuous
+
+    eng, seed, clpath = _setup(spark, workdir)
+    stats = stream_replay_continuous(
+        eng,
+        clpath,
+        os.path.join(workdir, "ss_ckpt_cont"),
+        idle_timeout_s=8.0,
+        trigger_interval="1 second",
+        max_files_per_trigger=3,
+        max_wall_s=120,
+    )
+    assert stats["stop_reason"] == "idle"
+    assert stats["rows_applied"] > 0
+    exp = golden_normalize(
+        apply_golden(seed.toPandas(), changelog_df(spark, CFG).toPandas(), CFG.vocab_size)
+    )
+    assert_frames_equal(final_as_pandas(eng.read_final()), exp)
