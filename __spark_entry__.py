@@ -271,6 +271,53 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_components(pairs)
 
 
+def q_dedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable end of the dedup pipeline: the documents to DELETE —
+    every member of a near-dup component except its canonical keeper
+    (component id == min id == the keeper)."""
+    from airbyte_spark.operators.components import connected_components
+
+    pairs = ngram_jaccard_pairs(_dup_docs(spark, sf_dir), jaccard_pct=50)
+    cc = connected_components(pairs)
+    return cc.filter(F.col("doc_id") != F.col("component_id")).select(
+        F.col("doc_id").alias("drop_doc_id"), "component_id"
+    )
+
+
+def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-repetition quality signal (the C4/Gopher-style repetition
+    filters): words, distinct words, and the most-frequent word's count
+    per document — all integer-exact."""
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct_words"),
+        F.array_max(
+            F.transform(
+                F.array_distinct(words),
+                lambda w: F.size(F.filter(words, lambda x: x == w)),
+            )
+        ).cast("long").alias("max_word_freq"),
+    )
+
+
+def q_tokens_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token-frequency histogram over the change stream (the vocab
+    coverage / stop-token profile a training pipeline computes): explode ->
+    groupBy token. Map-side partial counts crush the fan-in before the
+    exchange; the shuffle carries <= vocab-size rows per mapper."""
+    ch = _changelog(spark, sf_dir)
+    f = ch.filter((F.col("op") != "D") & (F.col("lsn") <= 3000))
+    return (
+        f.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= 2)
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint buckets over documents."""
     return simhash_groups(_docs(spark, sf_dir))
@@ -577,6 +624,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_components": q_dedup_components,
+        "dedup_drop_list": q_dedup_drop_list,
+        "docs_repetition": q_docs_repetition,
+        "tokens_histogram": q_tokens_histogram,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_neardup": q_dedup_embedding_neardup,
         "knn_bruteforce": q_knn_bruteforce,
@@ -842,6 +892,45 @@ r(src, dst) AS (
 labels AS (SELECT src AS doc_id, min(dst) AS component_id FROM r GROUP BY src)
 SELECT component_id, count(*) AS group_size, min(doc_id) AS keep_doc_id
 FROM labels GROUP BY component_id
+""",
+        "dedup_drop_list": f"""
+WITH RECURSIVE {_LSH_CTES},
+dsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM nz),
+okb AS (SELECT band, band_key FROM bands GROUP BY band, band_key
+        HAVING count(*) <= 64),
+bandsf AS (SELECT bands.doc_id, bands.band, bands.band_key
+           FROM bands JOIN okb USING (band, band_key)),
+cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         FROM bandsf x JOIN bandsf y
+           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+j AS (SELECT a_id, b_id,
+             CAST(len(list_filter(a.sh, t -> list_contains(b.sh, t))) AS BIGINT) AS inter,
+             CAST(len(a.sh) + len(b.sh) AS BIGINT) AS both_n
+      FROM cand JOIN dsh a ON cand.a_id = a.doc_id JOIN dsh b ON cand.b_id = b.doc_id),
+pairs AS (SELECT a_id, b_id FROM j WHERE 100 * inter >= 50 * (both_n - inter)),
+e AS (SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION SELECT b_id, a_id FROM pairs),
+r(src, dst) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM e)
+  UNION
+  SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src),
+labels AS (SELECT src AS doc_id, min(dst) AS component_id FROM r GROUP BY src)
+SELECT doc_id AS drop_doc_id, component_id FROM labels WHERE doc_id != component_id
+""",
+        "docs_repetition": """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_words,
+       CAST(list_max(list_transform(list_distinct(string_split(text, ' ')),
+            w -> len(list_filter(string_split(text, ' '), x -> x = w)))) AS BIGINT)
+         AS max_word_freq
+FROM documents
+""",
+        "tokens_histogram": f"""
+WITH ch AS ({_CH}),
+f AS (SELECT tokens FROM ch WHERE op != 'D' AND lsn <= 3000),
+u AS (SELECT unnest(tokens) AS token FROM f)
+SELECT token, count(*) AS freq FROM u GROUP BY token HAVING count(*) >= 2
 """,
         "dedup_simhash": f"""
 WITH w AS (SELECT doc_id, {_DOC_SH} AS sh FROM documents),

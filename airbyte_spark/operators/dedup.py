@@ -8,11 +8,16 @@ BY cursor DESC, _airbyte_extracted_at DESC) = 1``
 Spark-first redesign: a window forces a full shuffle + per-partition SORT of
 *all* events, and a hot key lands on one task (the reference never faces
 this — it is single-process). We instead compute the winner with a
-``max_by(payload_struct, order_struct)`` **hash aggregate**: Catalyst plans
-it as partial_max_by (map-side, before the shuffle) -> exchange ->
-final_max_by, so each map task emits at most one row per key it saw. A
-doc_id with 10^7 duplicate events shuffles ~num_map_tasks rows, not 10^7 —
-skew is crushed before the wire, no sort anywhere.
+``max_by(payload_struct, order_struct)`` aggregate: Catalyst plans it as
+partial_max_by (map-side, BEFORE the shuffle) -> exchange -> final_max_by,
+so each map task emits at most one row per key it saw. A doc_id with 10^7
+duplicate events shuffles ~num_map_tasks rows, not 10^7 — skew is crushed
+before the wire. Plan nuance (see PLANS.md): with an array payload in the
+buffer the aggregate is sort-based (HashAggregate needs fixed-width
+mutable buffers), i.e. partition-local sorts on both sides of the single
+exchange; the hot key still never concentrates, and the alternative
+(hash-agg the order key, join winners back) would cost a second full
+exchange — strictly worse.
 
 Ordering is made *total* with a deterministic content-hash tie-break so
 resumed replays are bit-identical even on pathological (same lsn, same
