@@ -81,6 +81,13 @@ class EngineConfig:
     # scale the fold runs asynchronously; here it is inline and counted
     # in replay wall time.
     mor_max_delta_files: int = 64
+    # Union / oneOf type fallback (supported-data-types.md:74-113): when an
+    # incoming column's type conflicts non-additively with the table's, the
+    # reference's destinations degrade the column to a JSON-string
+    # serialization rather than failing. When True, such a conflict evolves
+    # the column to string (old values cast, complex values to_json) instead
+    # of raising SchemaEvolutionError (soft-reset territory).
+    union_type_fallback: bool = False
     # Destinations-V2 raw/audit layer (BigQuerySqlGenerator.java:717-731
     # raw schema; the reference's replay/debug story): when True, every
     # batch's enriched pre-dedup events are ALSO appended to a side table

@@ -207,6 +207,21 @@ class CdcEngine:
                 changed = True
             elif _WIDENINGS.get((new_t, cur_t)):
                 continue  # source narrower than table — scans upcast, fine
+            elif cur_t == "string":
+                continue  # already degraded to the union fallback type
+            elif self.cfg.union_type_fallback:
+                # Union/oneOf fallback (supported-data-types.md:74-113): the
+                # column degrades to a JSON-string serialization — old files
+                # cast (complex: to_json) at scan, incoming batches at align.
+                from pyspark.sql.types import StringType
+
+                idx = next(i for i, x in enumerate(new_fields) if x.name == f.name)
+                new_fields[idx] = f.__class__(f.name, StringType(), True)
+                changed = True
+                log_metric(
+                    "union_type_fallback", column=f.name,
+                    from_type=cur_t, to_type=new_t,
+                )
             else:
                 raise SchemaEvolutionError(
                     f"non-additive change on column {f.name}: {cur_t} -> {new_t}"
@@ -371,14 +386,24 @@ class CdcEngine:
 
     def _align_to_table(self, batch: DataFrame, table_schema: StructType) -> DataFrame:
         """Project the batch to source cols + the table's payload columns
-        (missing -> NULL, narrower types upcast)."""
-        batch_cols = set(batch.columns)
+        (missing -> NULL, narrower types upcast, union-fallback string
+        columns JSON-serialized when the incoming value is complex)."""
+        from pyspark.sql.types import ArrayType, MapType, StringType
+        from pyspark.sql.types import StructType as _Struct
+
+        batch_types = {f.name: f.dataType for f in batch.schema.fields}
         out = [F.col(c) for c in ("op", "lsn", "ts_ms", "source_partition")]
         for f in table_schema.fields:
             if f.name in S.ENGINE_COLS or f.name == "op":
                 continue
-            if f.name in batch_cols:
-                out.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            if f.name in batch_types:
+                src = batch_types[f.name]
+                if isinstance(f.dataType, StringType) and isinstance(
+                    src, (ArrayType, MapType, _Struct)
+                ):
+                    out.append(F.to_json(F.col(f.name)).alias(f.name))
+                else:
+                    out.append(F.col(f.name).cast(f.dataType).alias(f.name))
             else:
                 out.append(F.lit(None).cast(f.dataType).alias(f.name))
         return batch.select(*out)

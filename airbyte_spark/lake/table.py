@@ -326,19 +326,26 @@ class LakeTable:
             by_sv.setdefault(f.schema_version, []).append(
                 os.path.join(self.root, f.path)
             )
+        from pyspark.sql.types import ArrayType, MapType, StringType
+        from pyspark.sql.types import StructType as _Struct
+
+        def project(fld, write_schema):
+            if fld.name not in write_schema.fieldNames():
+                return F.lit(None).cast(fld.dataType).alias(fld.name)
+            src = write_schema[fld.name].dataType
+            # union-fallback column (evolved to string): old complex values
+            # serialize as JSON, not Spark's display-format cast
+            if isinstance(fld.dataType, StringType) and isinstance(
+                src, (ArrayType, MapType, _Struct)
+            ):
+                return F.to_json(F.col(fld.name)).alias(fld.name)
+            return F.col(fld.name).cast(fld.dataType).alias(fld.name)
+
         parts: list[DataFrame] = []
         for sv, paths in sorted(by_sv.items()):
             write_schema = snap.schema_for(sv)
             df = self.spark.read.schema(write_schema).parquet(*paths)
-            projected = [
-                (
-                    F.col(fld.name).cast(fld.dataType)
-                    if fld.name in write_schema.fieldNames()
-                    else F.lit(None).cast(fld.dataType)
-                ).alias(fld.name)
-                for fld in current.fields
-            ]
-            parts.append(df.select(*projected))
+            parts.append(df.select(*[project(f, write_schema) for f in current.fields]))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

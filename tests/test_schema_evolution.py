@@ -210,3 +210,55 @@ def test_evolution_with_mor_deltas(spark, workdir):
         for r in eng.read_final().select("doc_id", "lang").collect()
     }
     assert after == before
+
+
+def test_union_type_fallback_to_json_string(spark, workdir):
+    """Union/oneOf fallback (supported-data-types.md:74-113): a non-additive
+    type conflict degrades the column to a JSON-string serialization when
+    union_type_fallback is on — old int values read back as "5", new
+    struct values as JSON — instead of raising."""
+    from pyspark.sql.types import StructField, StructType
+
+    eng = CdcEngine(
+        spark,
+        os.path.join(workdir, "lake"),
+        StreamConfig(num_buckets=4),
+        EngineConfig(batch_events=500, union_type_fallback=True),
+    )
+    base = _schema()
+    with_extra_int = StructType(list(base.fields) + [StructField("v", IntegerType(), True)])
+    eng.create_table()
+    eng.bootstrap(seed_df(spark, ChangelogConfig(n_events=0, n_seed_docs=20)))
+
+    p1 = os.path.join(workdir, "cl1")
+    spark.createDataFrame(
+        [("U", "doc000000001", 1, 1000, 0, [5], 1, "web", 42)], with_extra_int
+    ).write.parquet(p1)
+    eng.replay(p1)  # adds v:int
+    assert eng.read_final().filter(F.col("doc_id") == "doc000000001").first().v == 42
+
+    p2 = os.path.join(workdir, "cl2")
+    with_extra_struct = StructType(
+        list(base.fields)
+        + [StructField("v", StructType([StructField("a", LongType(), True)]), True)]
+    )
+    spark.createDataFrame(
+        [("U", "doc000000002", 2, 2000, 0, [7], 1, "web", (9,))], with_extra_struct
+    ).write.parquet(p2)
+    eng.replay(p2)  # conflict int vs struct -> fallback to string
+
+    fin = eng.read_final()
+    assert dict(fin.dtypes)["v"] == "string"
+    assert fin.filter(F.col("doc_id") == "doc000000001").first().v == "42"
+    assert fin.filter(F.col("doc_id") == "doc000000002").first().v == '{"a":9}'
+
+    # without the flag the same conflict still raises (soft-reset territory)
+    eng2 = CdcEngine(
+        spark, os.path.join(workdir, "lake2"),
+        StreamConfig(num_buckets=4), EngineConfig(batch_events=500),
+    )
+    eng2.create_table()
+    eng2.bootstrap(seed_df(spark, ChangelogConfig(n_events=0, n_seed_docs=10)))
+    eng2.replay(p1)
+    with pytest.raises(SchemaEvolutionError):
+        eng2.replay(p2)
