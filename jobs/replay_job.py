@@ -38,6 +38,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--dedup-strategy", default="agg", choices=["agg", "salted", "window"])
     p.add_argument("--write-partitions", type=int, default=None)
     p.add_argument("--vocab-size", type=int, default=50_257)
+    p.add_argument("--mor-max-fraction", type=float, default=0.05,
+                   help="batches below this fraction of table rows append "
+                        "merge-on-read deltas (0 disables MoR)")
+    p.add_argument("--keep-raw-table", action="store_true",
+                   help="also append every batch's pre-dedup events to "
+                        "<stream>_raw (Destinations-V2 raw layer)")
+    p.add_argument("--tombstone-retention-lsns", type=int, default=None,
+                   help="GC tombstones older than max_lsn - N at compaction")
+    p.add_argument("--union-type-fallback", action="store_true",
+                   help="degrade conflicting column types to JSON strings "
+                        "instead of requiring a soft reset")
     p.add_argument("--streaming", action="store_true",
                    help="drain via Structured Streaming (availableNow) instead "
                         "of bounded batch replay; offsets live in --ss-checkpoint")
@@ -65,6 +76,10 @@ def main(argv: list[str] | None = None) -> int:
             dedup_strategy=args.dedup_strategy,
             write_partitions=args.write_partitions,
             vocab_size=args.vocab_size,
+            mor_max_fraction=args.mor_max_fraction or None,
+            keep_raw_table=args.keep_raw_table,
+            tombstone_retention_lsns=args.tombstone_retention_lsns,
+            union_type_fallback=args.union_type_fallback,
         ),
     )
     if not LakeTable.exists(eng.table_root):
