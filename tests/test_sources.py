@@ -60,3 +60,23 @@ def test_open_changelog_parquet_roundtrip(spark, workdir):
     back = open_changelog(spark, os.path.join(workdir, "cl_pq"))
     assert back.count() == events.count()
     assert set(back.columns) == set(events.columns)
+
+
+def test_jdbc_pk_range_options():
+    """Keyset-chunking analog: the JDBC partition options split the PK
+    range declaratively (MySqlInitialLoadRecordIterator.java:30-45)."""
+    import pytest
+
+    from airbyte_spark.sources.jdbc import pk_range_options
+
+    opts = pk_range_options(0, 999_999, 32, "id")
+    assert opts == {
+        "partitionColumn": "id",
+        "lowerBound": "0",
+        "upperBound": "999999",
+        "numPartitions": "32",
+    }
+    # degenerate range collapses to one partition
+    assert pk_range_options(5, 5, 32, "id")["numPartitions"] == "1"
+    with pytest.raises(ValueError):
+        pk_range_options(10, 5, 4, "id")
