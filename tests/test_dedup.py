@@ -79,3 +79,24 @@ def test_winner_is_max_order(spark):
         (F.col("lsn") != F.col("m.lsn")) | (F.col("ts_ms") != F.col("m.ts_ms"))
     )
     assert bad.count() == 0
+
+
+def test_strategies_agree_with_null_cursor(spark):
+    """All three LWW strategies produce the identical winner when the
+    primary order column is NULLABLE (null loses to non-null; all-null ties
+    fall to the secondary column) — the NULL-cursor rules of
+    BigQuerySqlGenerator.java:456-477 hold strategy-independently."""
+    from airbyte_spark.operators.dedup import lww_dedup
+
+    rows = [
+        ("a", None, 5, "x1"), ("a", 100, 1, "x2"), ("a", None, 9, "x3"),
+        ("b", None, 3, "y1"), ("b", None, 9, "y2"),
+        ("c", 7, 1, "z1"), ("c", 7, 2, "z2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, lsn bigint, ts_ms bigint, v string")
+    outs = {}
+    for s in ("agg", "salted", "window"):
+        out = lww_dedup(df, key="doc_id", strategy=s)
+        outs[s] = {r["doc_id"]: r["v"] for r in out.collect()}
+    assert outs["agg"] == {"a": "x2", "b": "y2", "c": "z2"}
+    assert outs["agg"] == outs["salted"] == outs["window"]

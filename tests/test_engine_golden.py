@@ -219,3 +219,15 @@ def test_read_changes_since_prunes_and_matches(spark, workdir):
     pruned = [f for f in snap.files if f.max_cursor is None or f.max_cursor > hi - 1]
     assert len(pruned) < all_files
     assert eng.read_changes_since(hi).count() == 0 or hi == 0
+
+
+def test_extreme_hot_key_skew(spark, workdir):
+    """Axes-A stress: a single doc_id receives ~90% of all updates/deletes.
+    The max_by partial aggregate must crush the hot key map-side (replay
+    completes, golden holds) — the straggler case a window-based dedup
+    would serialize onto one task."""
+    cfg = ChangelogConfig(
+        n_events=3000, n_seed_docs=200, hot_keys=1, hot_pct=90,
+        dup_pct=5.0, corrupt_pct=1.0,
+    )
+    _run_golden(spark, workdir, cfg, batch_events=1000)

@@ -96,3 +96,41 @@ def test_resume_after_lost_checkpoint(spark, workdir):
     ref.bootstrap(seed)
     ref.replay(clpath)
     pd.testing.assert_frame_equal(_full_table_pdf(e2), _full_table_pdf(ref), check_dtype=False)
+
+
+def test_resume_sweep_mor_path(spark, workdir):
+    """The resume-everywhere sweep on the MERGE-ON-READ path: a big seed
+    table + tiny batches force every batch into delta appends; restarting
+    from each checkpoint must still be bit-identical to the uninterrupted
+    run, with delta files live at the kill points."""
+    cfg = ChangelogConfig(n_events=400, n_seed_docs=4000, dup_pct=5.0, corrupt_pct=2.0)
+    batch = 100  # 4 batches, each < 5% of 4000 rows -> MoR
+
+    def mk(root):
+        return CdcEngine(
+            spark, root, StreamConfig(num_buckets=8),
+            EngineConfig(batch_events=batch, compact_after_replay_max_files=None),
+        )
+
+    clpath = os.path.join(workdir, "cl_mor")
+    seed = seed_df(spark, cfg)
+    write_changelog(spark, cfg, clpath)
+
+    ref_root = os.path.join(workdir, "mor_ref")
+    ref = mk(ref_root)
+    ref.create_table()
+    ref.bootstrap(seed)
+    ref.replay(clpath)
+    assert ref.table.delta_file_count() > 0
+    expected = _full_table_pdf(ref)
+
+    for k in range(1, 4):
+        root = os.path.join(workdir, f"mor_run{k}")
+        e = mk(root)
+        e.create_table()
+        e.bootstrap(seed)
+        e.replay(clpath, max_batches=k)
+        assert e.table.delta_file_count() > 0  # killed mid-MoR
+        e2 = mk(root)
+        e2.replay(clpath)
+        pd.testing.assert_frame_equal(_full_table_pdf(e2), expected, check_dtype=False)
