@@ -9,19 +9,33 @@ from airbyte_spark.operators.fuzzy_dedup import (
     ngram_jaccard_pairs,
     simhash_groups,
 )
+from airbyte_spark.operators.components import connected_components, dedup_components
 from airbyte_spark.operators.metadata import inject_cdc_metadata
-from airbyte_spark.operators.merge import merge_upsert
-from airbyte_spark.operators.similarity import knn_bruteforce, knn_lsh
+from airbyte_spark.operators.merge import merge_upsert, merge_upsert_full, merge_upsert_mor
+from airbyte_spark.operators.normalize import normalize_child_table
+from airbyte_spark.operators.similarity import (
+    knn_bruteforce,
+    knn_ivf,
+    knn_ivf_kmeans,
+    knn_lsh,
+)
 
 __all__ = [
     "lww_dedup",
     "inject_cdc_metadata",
     "merge_upsert",
+    "merge_upsert_full",
+    "merge_upsert_mor",
     "minhash_signatures",
     "minhash_lsh_groups",
     "ngram_jaccard_pairs",
     "simhash_groups",
     "embedding_neardup_pairs",
+    "connected_components",
+    "dedup_components",
+    "normalize_child_table",
     "knn_bruteforce",
     "knn_lsh",
+    "knn_ivf",
+    "knn_ivf_kmeans",
 ]

@@ -6,5 +6,13 @@ collapse to Spark's built-in readers plus explicit-schema enforcement.
 """
 
 from airbyte_spark.sources.files import FileSource, open_changelog
+from airbyte_spark.sources.http import HttpStreamSource, Paginator
+from airbyte_spark.sources.jdbc import jdbc_snapshot
 
-__all__ = ["FileSource", "open_changelog"]
+__all__ = [
+    "FileSource",
+    "open_changelog",
+    "HttpStreamSource",
+    "Paginator",
+    "jdbc_snapshot",
+]
