@@ -33,6 +33,11 @@ class StreamConfig:
     sync_mode: str = SYNC_APPEND_DEDUP
     # Lake layout: final table bucketed by hash(primary_key) % num_buckets so
     # MERGE rewrites only affected buckets and dedup shuffles align.
+    # SIZING RULE: pick num_buckets ~ table_bytes / target_file_bytes
+    # (256 MB-1 GB files), rounded to a power of two — a 100 TB table wants
+    # tens of thousands of buckets, not this test-scale default. More
+    # buckets = finer CoW granularity and more merge/write parallelism;
+    # small batches dodge the rewrite question entirely via merge-on-read.
     num_buckets: int = 32
 
 

@@ -943,13 +943,17 @@ class CdcEngine:
 
     # ----------------------------------------------------------------- read
 
-    def read_final(self) -> DataFrame:
+    def read_final(self, version: int | None = None) -> DataFrame:
         """The deduped final table: tombstones filtered (they are retained in
-        storage for ordering — BigQuerySqlGenerator.java:577-586)."""
-        return self.table.scan().filter(F.col(S.COL_DELETED_AT).isNull())
+        storage for ordering — BigQuerySqlGenerator.java:577-586).
+        ``version`` time-travels to an earlier snapshot (every commit is a
+        readable snapshot; merge-on-read deltas resolve per version)."""
+        return self.table.scan(version=version).filter(
+            F.col(S.COL_DELETED_AT).isNull()
+        )
 
-    def read_raw(self) -> DataFrame:
-        return self.table.scan()
+    def read_raw(self, version: int | None = None) -> DataFrame:
+        return self.table.scan(version=version)
 
     def read_changes_since(self, lsn: int, include_deletes: bool = True) -> DataFrame:
         """Incremental CONSUMER view: rows whose last applied change is

@@ -146,3 +146,41 @@ class HttpStreamSource:
         engine (bootstrap seed or declarative-transform input)."""
         rows = list(self.read_records(max_pages=max_pages))
         return spark.createDataFrame(rows, schema)
+
+    def read_incremental(
+        self,
+        cursor_field: str,
+        state: Any = None,
+        cursor_param: str = "since",
+        max_pages: int | None = None,
+    ) -> tuple[list[dict], Any]:
+        """Incremental API read (HttpStream + IncrementalMixin semantics:
+        streams/core.py:127-176 read_incremental; inclusive-cursor rule
+        incremental-append-deduped.md:108-112): inject the checkpointed
+        cursor as a request param, stream the pages, track the running max
+        cursor. Returns (records, new_state). The INCLUSIVE >= comparison
+        means boundary records can be re-delivered — downstream LWW dedup
+        absorbs them, exactly like the reference."""
+        params = dict(self.params)
+        if state is not None:
+            params[cursor_param] = state
+        src = HttpStreamSource(
+            transport=self.transport,
+            url=self.url,
+            params=params,
+            headers=self.headers,
+            records_field=self.records_field,
+            paginator=self.paginator,
+            max_retries=self.max_retries,
+            backoff_base_s=self.backoff_base_s,
+            min_call_interval_s=self.min_call_interval_s,
+            sleep=self.sleep,
+        )
+        records = []
+        new_state = state
+        for rec in src.read_records(max_pages=max_pages):
+            records.append(rec)
+            cur = rec.get(cursor_field)
+            if cur is not None and (new_state is None or cur > new_state):
+                new_state = cur
+        return records, new_state

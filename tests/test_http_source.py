@@ -108,3 +108,25 @@ def test_to_dataframe_handoff(spark):
     df = src.to_dataframe(spark, "id long, v string")
     assert df.count() == 7
     assert df.columns == ["id", "v"]
+
+
+def test_read_incremental_tracks_cursor_state():
+    """Incremental API read: checkpointed cursor injected as a request
+    param, running max cursor returned as the new state
+    (streams/core.py:127-176)."""
+    t1 = StubTransport([
+        (200, {"data": [{"id": 1, "updated_at": 100}, {"id": 2, "updated_at": 300}]}),
+    ])
+    src = HttpStreamSource(
+        transport=t1, url="u", paginator=Paginator(page_size=10)
+    )
+    recs, state = src.read_incremental("updated_at", state=None)
+    assert [r["id"] for r in recs] == [1, 2] and state == 300
+
+    # second sync: state goes out as the since-param; no newer records ->
+    # state echoed unchanged (the CAT abnormally-large-state contract)
+    t2 = StubTransport([(200, {"data": []})])
+    src2 = HttpStreamSource(transport=t2, url="u", paginator=Paginator(page_size=10))
+    recs2, state2 = src2.read_incremental("updated_at", state=300)
+    assert recs2 == [] and state2 == 300
+    assert t2.calls[0]["params"]["since"] == 300
