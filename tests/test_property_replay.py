@@ -70,3 +70,44 @@ def test_replay_matches_golden(spark, tmp_path_factory, pairs, batch_events):
     exp = golden_normalize(apply_golden(None, df.toPandas(), vocab_size=100))
     got = final_as_pandas(eng.read_final())
     assert_frames_equal(got, exp)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(pairs=pairs, batch_events=st.integers(1, 12))
+def test_replay_matches_golden_mor_path(spark, tmp_path_factory, pairs, batch_events):
+    """Same fuzz, but on a SEEDED table with merge-on-read forced for every
+    batch (mor_max_fraction=1.0): arbitrary streams, duplication, and
+    batch splits must resolve through delta files to the exact golden
+    state. Event doc ids collide with seeded ids so updates/deletes hit
+    pre-existing rows through the MoR resolution path."""
+    from airbyte_spark.changelog import ChangelogConfig, seed_df
+
+    rows = [_event(d, l) for d, l in pairs]
+    # retarget the fuzzed events at the seeded id space
+    rows = [(op, f"doc{int(did[1:]):09d}", *rest) for (op, did, *rest) in rows]
+    df = spark.createDataFrame(rows, changelog_schema())
+
+    root = str(tmp_path_factory.mktemp("prop_mor"))
+    seed = seed_df(spark, ChangelogConfig(n_events=0, n_seed_docs=60, vocab_size=100))
+    eng = CdcEngine(
+        spark,
+        os.path.join(root, "lake"),
+        StreamConfig(num_buckets=4),
+        EngineConfig(
+            batch_events=batch_events,
+            vocab_size=100,
+            mor_max_fraction=1.0,
+            compact_after_replay_max_files=None,
+        ),
+    )
+    eng.create_table()
+    eng.bootstrap(seed)
+    eng.replay(df)
+    assert eng.table.delta_file_count() > 0  # every batch took the MoR path
+
+    exp = golden_normalize(apply_golden(seed.toPandas(), df.toPandas(), vocab_size=100))
+    assert_frames_equal(final_as_pandas(eng.read_final()), exp)
