@@ -289,17 +289,22 @@ def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters): words, distinct words, and the most-frequent word's count
     per document — all integer-exact."""
     d = _docs(spark, sf_dir)
-    words = F.split(F.col("text"), " ")
-    return d.select(
-        "doc_id",
-        F.size(words).cast("long").alias("n_words"),
-        F.size(F.array_distinct(words)).cast("long").alias("n_distinct_words"),
-        F.array_max(
-            F.transform(
-                F.array_distinct(words),
-                lambda w: F.size(F.filter(words, lambda x: x == w)),
-            )
-        ).cast("long").alias("max_word_freq"),
+    # LINEAR in document length: explode -> per-(doc, word) count -> per-doc
+    # rollup. The per-row expression form (for each distinct word, filter
+    # the whole words array) is O(words^2) inside ONE task — a 10k-word web
+    # document does ~10^8 comparisons in a single row and cannot be split.
+    # Both groupBys hash-aggregate with map-side partials, and a document's
+    # words are contiguous within a partition, so the first combine crushes
+    # the (doc_id, word) fan-in before the exchange.
+    per_word = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return per_word.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        F.count("*").cast("long").alias("n_distinct_words"),
+        F.max("cnt").cast("long").alias("max_word_freq"),
     )
 
 

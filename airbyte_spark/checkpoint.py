@@ -33,6 +33,20 @@ class Checkpoint:
     per_partition: dict[str, dict] = field(default_factory=dict)
     batches: list[str] = field(default_factory=list)
 
+    # The batches list is a FAST-PATH window, not the durable idempotence
+    # record (that is the batch_id stamped in each snapshot summary,
+    # consulted via LakeTable.find_batch). Keeping every id forever makes
+    # the checkpoint doc the largest state artifact on a long tail and its
+    # rewrite O(n^2) cumulative; ids behind max_committed_lsn are redundant.
+    BATCH_WINDOW = 64  # class constant (unannotated: not a dataclass field)
+
+    def note_batch(self, batch_id: str) -> None:
+        """Record a committed batch id, keeping only a recent window."""
+        if batch_id not in self.batches:
+            self.batches.append(batch_id)
+        if len(self.batches) > self.BATCH_WINDOW:
+            del self.batches[: len(self.batches) - self.BATCH_WINDOW]
+
     def to_json(self) -> dict:
         return {
             "shared_state": {

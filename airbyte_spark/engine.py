@@ -163,7 +163,7 @@ class CdcEngine:
         rows = sum(f.rows for f in table.snapshot(version).files)
         ckpt = load_checkpoint(self.checkpoint_path) or Checkpoint()
         ckpt.table_schema_version = table.snapshot(version).schema_version
-        ckpt.batches.append(bid)
+        ckpt.note_batch(bid)
         save_checkpoint(self.checkpoint_path, ckpt)
         log_metric(
             "bootstrap_committed",
@@ -207,8 +207,13 @@ class CdcEngine:
                 changed = True
             elif _WIDENINGS.get((new_t, cur_t)):
                 continue  # source narrower than table — scans upcast, fine
-            elif cur_t == "string":
-                continue  # already degraded to the union fallback type
+            elif cur_t == "string" and self.cfg.union_type_fallback:
+                # already degraded to the union fallback type (or genuinely
+                # string with fallback coercion on) — align casts the batch.
+                # With fallback OFF a conflicting type against a string
+                # column is a non-additive change and must raise below, not
+                # silently coerce.
+                continue
             elif self.cfg.union_type_fallback:
                 # Union/oneOf fallback (supported-data-types.md:74-113): the
                 # column degrades to a JSON-string serialization — old files
@@ -666,7 +671,7 @@ class CdcEngine:
         ckpt = load_checkpoint(self.checkpoint_path) or Checkpoint()
         ckpt.max_committed_lsn = max(ckpt.max_committed_lsn, hi)
         ckpt.table_schema_version = self.table.snapshot().schema_version
-        ckpt.batches.append(bid)
+        ckpt.note_batch(bid)
         for r in part_stats:
             p = str(int(r["source_partition"]))
             cur = ckpt.per_partition.get(p, {"last_lsn": 0, "rows_applied": 0})
@@ -703,8 +708,7 @@ class CdcEngine:
             # crash happened between commit and checkpoint — reconcile only.
             if hi > ckpt.max_committed_lsn:
                 ckpt.max_committed_lsn = hi
-                if bid not in ckpt.batches:
-                    ckpt.batches.append(bid)
+                ckpt.note_batch(bid)
                 save_checkpoint(self.checkpoint_path, ckpt)
             log_metric("batch_skipped_already_applied", batch_id=bid, snapshot=existing)
             return 0
@@ -824,7 +828,7 @@ class CdcEngine:
 
         ckpt.max_committed_lsn = hi
         ckpt.table_schema_version = self.table.snapshot().schema_version
-        ckpt.batches.append(bid)
+        ckpt.note_batch(bid)
         for r in part_stats:
             p = str(int(r["source_partition"]))
             cur = ckpt.per_partition.get(p, {"last_lsn": 0, "rows_applied": 0})
@@ -898,7 +902,7 @@ class CdcEngine:
             # target with zero batch rows); just advance the checkpoint
             log_metric("batch_empty", batch_id=bid, start_lsn=lo, end_lsn=hi)
             ckpt.max_committed_lsn = hi
-            ckpt.batches.append(bid)
+            ckpt.note_batch(bid)
             save_checkpoint(self.checkpoint_path, ckpt)
             return 0
 
@@ -920,7 +924,7 @@ class CdcEngine:
         )
         ckpt.max_committed_lsn = hi
         ckpt.table_schema_version = self.table.snapshot().schema_version
-        ckpt.batches.append(bid)
+        ckpt.note_batch(bid)
         for r in part_stats:
             p = str(int(r["source_partition"]))
             cur = ckpt.per_partition.get(p, {"last_lsn": 0, "rows_applied": 0})

@@ -66,6 +66,14 @@ BUCKET_COL = "_bucket"
 # files (CoW merge, compaction) re-inline the full list, which also bounds
 # the resolution chain length.
 MANIFEST_REF_MIN = 64
+# A pure-append commit whose parent already sits at the end of this many
+# chained file references re-inlines the full file list instead of adding
+# another link. Bounds cold-reader resolution work (and recursion-free
+# stack use) for append-only streams — e.g. raw/audit tables — that would
+# otherwise build an unbounded parent chain: amortized manifest write cost
+# stays O(batch + files/REF_CHAIN), and a cold scan re-reads at most
+# MANIFEST_REF_CHAIN_MAX manifests before hitting an inline one.
+MANIFEST_REF_CHAIN_MAX = 128
 
 
 class CommitConflict(RuntimeError):
@@ -122,6 +130,11 @@ class Snapshot:
     spec: dict
     files: list[DataFile]
     summary: dict
+    # length of the files_parent reference chain behind this snapshot
+    # (0 = file list stored inline). In-memory bookkeeping only — derived
+    # on load, consulted by _write_snapshot to bound chain growth; not
+    # serialized into the manifest document.
+    ref_depth: int = 0
 
     @property
     def schema(self) -> StructType:
@@ -168,6 +181,11 @@ class LakeTable:
         # by version: find_batch / history walk O(1) amortized file reads
         # per new snapshot instead of re-reading the whole chain per batch.
         self._snap_cache: dict[int, Snapshot] = {}
+        # batch_id -> latest applying snapshot version since the last
+        # soft-reset; extended forward by _index_batches_to so find_batch
+        # is O(1) amortized instead of an O(history) walk per batch.
+        self._batch_index: dict[str, int] = {}
+        self._batch_index_version = 0
 
     # ------------------------------------------------------------------ DDL
 
@@ -234,20 +252,37 @@ class LakeTable:
         cached = self._snap_cache.get(v)
         if cached is not None:
             return cached
-        with open(_snapshot_path(self.root, v)) as fh:
-            d = json.load(fh)
-        if "files_parent" in d:
-            # pure-append manifest: this snapshot's file list = parent's
-            # (resolved recursively, memoized in _snap_cache) + additions
-            parent_files = self.snapshot(d["files_parent"]).files
-            added = [DataFile.from_json(x) for x in d.get("files_add", [])]
-            d = dict(d, files=[])
-            snap = Snapshot.from_json(d)
-            snap.files = list(parent_files) + added
-        else:
-            snap = Snapshot.from_json(d)
-        self._snap_cache[v] = snap
-        return snap
+        # Resolve files_parent reference chains ITERATIVELY: walk parent
+        # pointers collecting the raw ref docs until a cached or inline
+        # ancestor, then compose file lists forward, memoizing every
+        # intermediate. A recursive resolve blows the Python stack after
+        # ~1000 consecutive pure-append commits (the exact regime raw/audit
+        # tables live in); the loop handles arbitrary legacy chain lengths,
+        # and MANIFEST_REF_CHAIN_MAX bounds new chains at write time.
+        chain: list[dict] = []  # ref docs, target first, deepest last
+        cur = v
+        while True:
+            hit = self._snap_cache.get(cur)
+            if hit is not None:
+                base_files, base_depth = hit.files, hit.ref_depth
+                break
+            with open(_snapshot_path(self.root, cur)) as fh:
+                d = json.load(fh)
+            if "files_parent" not in d:
+                snap = Snapshot.from_json(d)
+                self._snap_cache[cur] = snap
+                base_files, base_depth = snap.files, 0
+                break
+            chain.append(d)
+            cur = d["files_parent"]
+        files = list(base_files)
+        for i, d in enumerate(reversed(chain), start=1):
+            files.extend(DataFile.from_json(x) for x in d.get("files_add", []))
+            snap = Snapshot.from_json(dict(d, files=[]))
+            snap.files = list(files)
+            snap.ref_depth = base_depth + i
+            self._snap_cache[snap.version] = snap
+        return self._snap_cache[v]
 
     def history(self) -> list[Snapshot]:
         return [self.snapshot(v) for v in range(1, self.current_version() + 1)]
@@ -260,26 +295,49 @@ class LakeTable:
         the reference's 'state only emitted once records are durable',
         GlobalAsyncStateManager.java:100-141).
 
-        The scan walks backwards and stops at the most recent soft reset:
-        a reset discards all applied data, so batches committed before it
-        must be re-appliable (DefaultTyperDeduper.java:160-165 rebuilds the
-        final table from scratch for the same reason).
+        The lookup is served from an incrementally-maintained batch-id index
+        (batch_id -> latest snapshot version since the last soft-reset):
+        building it costs one forward pass over snapshots not yet indexed —
+        O(new snapshots) per call, O(1) amortized per batch over a long
+        replay — instead of walking the whole history for every batch.
         """
-        for snap in reversed(self.history()):
-            if snap.summary.get("operation") == "soft-reset":
-                return None
-            if snap.summary.get("batch_id") == batch_id:
-                return snap.version
-        return None
+        self._index_batches_to(self.current_version())
+        return self._batch_index.get(batch_id)
+
+    def _index_batches_to(self, cur: int) -> None:
+        """Extend the batch-id index to cover snapshots ``<= cur``.
+
+        Forward order makes latest-version-wins free (later assignment
+        overwrites), and a soft-reset clears the index — batches committed
+        before a reset were discarded with the data and must re-apply
+        (DefaultTyperDeduper.java:160-165 rebuilds from scratch likewise).
+        """
+        for v in range(self._batch_index_version + 1, cur + 1):
+            s = self.snapshot(v)
+            if s.summary.get("operation") == "soft-reset":
+                self._batch_index = {}
+            else:
+                b = s.summary.get("batch_id")
+                if b is not None:
+                    self._batch_index[b] = v
+        self._batch_index_version = max(self._batch_index_version, cur)
 
     def _write_snapshot(self, snap: Snapshot, parent: Snapshot | None = None) -> None:
         doc = snap.to_json()
-        if parent is not None and len(parent.files) >= MANIFEST_REF_MIN:
+        if (
+            parent is not None
+            and len(parent.files) >= MANIFEST_REF_MIN
+            # bound the ref chain: once the parent sits at the cap, pay one
+            # inline rewrite (amortized O(files/CHAIN_MAX) per append) so
+            # cold readers never resolve unbounded chains
+            and parent.ref_depth < MANIFEST_REF_CHAIN_MAX
+        ):
             pf = parent.files
             if len(snap.files) >= len(pf) and snap.files[: len(pf)] == pf:
                 doc.pop("files")
                 doc["files_parent"] = parent.version
                 doc["files_add"] = [f.to_json() for f in snap.files[len(pf):]]
+                snap.ref_depth = parent.ref_depth + 1
         path = _snapshot_path(self.root, snap.version)
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:

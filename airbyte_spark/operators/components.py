@@ -80,6 +80,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exhausted max_rounds with labels still moving: the graph's
+        # diameter exceeds the round budget and the labeling is SPLIT —
+        # downstream keep/drop lists would be wrong. Never return silently.
+        edges.unpersist()
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing); raise max_rounds — rounds "
+            "needed is O(graph diameter)"
+        )
 
     edges.unpersist()
     return labels.select(

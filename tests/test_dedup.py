@@ -100,3 +100,22 @@ def test_strategies_agree_with_null_cursor(spark):
         outs[s] = {r["doc_id"]: r["v"] for r in out.collect()}
     assert outs["agg"] == {"a": "x2", "b": "y2", "c": "z2"}
     assert outs["agg"] == outs["salted"] == outs["window"]
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """ADVICE r2: hitting max_rounds with labels still moving means the
+    labeling is split — it must raise, never return silently."""
+    import pytest as _pytest
+
+    from airbyte_spark.operators.components import connected_components
+
+    chain = spark.createDataFrame(
+        [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(12)], ["a_id", "b_id"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_rounds=2).collect()
+    done = {
+        r.doc_id: r.component_id
+        for r in connected_components(chain, max_rounds=30).collect()
+    }
+    assert set(done.values()) == {"d00"} and len(done) == 13

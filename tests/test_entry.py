@@ -69,3 +69,42 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_docs_repetition_long_document_linear(spark, tmp_path):
+    """Round-3 fix: max_word_freq must be linear in document length.
+
+    A 20k-word web document under the old per-row expression form
+    (per-distinct-word filter over the whole words array) does ~10^8
+    comparisons inside ONE task; the explode+groupBy form streams it.
+    Exact-value check on a constructed doc plus a generous wall bound
+    that the quadratic form cannot meet."""
+    import time
+
+    import pandas as pd
+
+    words = (["the"] * 700 + [f"w{i}" for i in range(19300)]) * 1
+    rng = __import__("random").Random(7)
+    rng.shuffle(words)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [" ".join(words), "tiny tiny doc"],
+            "lang": ["en", "en"],
+            "source": ["web", "web"],
+            "n_chars": [0, 0],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    t0 = time.monotonic()
+    rows = {
+        r.doc_id: r
+        for r in entry_mod.queries()["docs_repetition"](spark, str(tmp_path)).collect()
+    }
+    wall = time.monotonic() - t0
+    assert rows[1].n_words == 20000
+    assert rows[1].n_distinct_words == 19301
+    assert rows[1].max_word_freq == 700
+    assert rows[2].n_words == 3
+    assert rows[2].n_distinct_words == 2
+    assert rows[2].max_word_freq == 2
+    assert wall < 20, f"docs_repetition took {wall:.1f}s on one 20k-word doc"

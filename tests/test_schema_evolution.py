@@ -262,3 +262,20 @@ def test_union_type_fallback_to_json_string(spark, workdir):
     eng2.replay(p1)
     with pytest.raises(SchemaEvolutionError):
         eng2.replay(p2)
+
+
+def test_string_column_conflict_raises_without_fallback(spark, workdir):
+    """ADVICE r2: a conflicting incoming type against a GENUINELY-string
+    table column must raise when union_type_fallback is off — the string
+    shortcut only applies to columns the fallback itself degraded."""
+    eng = _mk_engine(spark, workdir)  # union_type_fallback defaults to False
+    fields = [
+        StructField("source", LongType(), True) if f.name == "source" else f
+        for f in _schema().fields
+    ]
+    p = os.path.join(workdir, "cl_strconflict")
+    spark.createDataFrame(
+        [("U", "doc000000001", 1, 1000, 0, [5], 1, 7)], StructType(fields)
+    ).write.parquet(p)
+    with pytest.raises(SchemaEvolutionError):
+        eng.replay(p)
