@@ -5,14 +5,19 @@ csv_parser.py, jsonl_parser.py, avro_parser.py, parquet_parser.py ~950 LoC)
 collapse to Spark's built-in readers plus explicit-schema enforcement.
 """
 
+from airbyte_spark.sources.auth import BasicHttpAuth, OAuth2Auth, StaticTokenAuth
 from airbyte_spark.sources.files import FileSource, open_changelog
-from airbyte_spark.sources.http import HttpStreamSource, Paginator
+from airbyte_spark.sources.http import DatetimeSlicer, HttpStreamSource, Paginator
 from airbyte_spark.sources.jdbc import jdbc_snapshot
 
 __all__ = [
+    "BasicHttpAuth",
+    "DatetimeSlicer",
     "FileSource",
     "open_changelog",
     "HttpStreamSource",
+    "OAuth2Auth",
     "Paginator",
+    "StaticTokenAuth",
     "jdbc_snapshot",
 ]

@@ -20,6 +20,7 @@ specific HTTP client.
 
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Any, Callable, Iterator
@@ -31,6 +32,46 @@ from airbyte_spark.lineage import log_metric
 Transport = Callable[..., tuple[int, Any]]
 
 RETRYABLE_STATUSES = {429, 500, 502, 503, 504}
+
+
+@dataclass
+class DatetimeSlicer:
+    """Interval-sliced incremental window generator.
+
+    Reference semantics: ``DatetimeBasedCursor`` (airbyte-cdk/python/
+    airbyte_cdk/sources/declarative/incremental/datetime_based_cursor.py)
+    slices a ``[start, end)`` datetime range into fixed ``step`` windows,
+    injects each window's bounds as request params, and checkpoints state
+    per slice so a killed sync resumes at the first incomplete window
+    rather than the range start.
+
+    Times are epoch seconds; ``fmt`` renders a bound into whatever the API
+    expects (ISO string, millis, ...). ``end=None`` freezes ``clock()`` at
+    iteration start — matching the reference's "now" anchor so a slow sync
+    does not chase a moving end. ``lookback_s`` re-opens that much of the
+    last completed window on resume (late-data re-delivery; downstream LWW
+    dedup absorbs the duplicates, exactly like the reference's
+    inclusive-cursor rule).
+    """
+
+    start: float
+    step_s: float
+    end: float | None = None
+    start_param: str = "start_time"
+    end_param: str = "end_time"
+    lookback_s: float = 0.0
+    clock: Callable[[], float] = time.time
+    fmt: Callable[[float], Any] = lambda t: t
+
+    def slices(self, state: float | None = None) -> Iterator[tuple[float, float]]:
+        """Yield ``(slice_start, slice_end)`` windows, resuming from
+        ``state`` (epoch of the last fully-committed slice end)."""
+        lo = self.start if state is None else max(self.start, state - self.lookback_s)
+        hi = self.end if self.end is not None else self.clock()
+        t = lo
+        while t < hi:
+            yield t, min(t + self.step_s, hi)
+            t += self.step_s
 
 
 @dataclass
@@ -62,17 +103,54 @@ class HttpStreamSource:
     backoff_base_s: float = 0.1  # doubles per attempt (exponential)
     min_call_interval_s: float = 0.0  # APIBudget analog
     sleep: Callable[[float], None] = time.sleep  # injectable for tests
+    authenticator: Any = None  # object with auth_header() (sources/auth.py)
+    prefetch_pages: int = 0  # >1 -> concurrent lookahead for offset/page kinds
+
+    _rate_lock: threading.Lock = field(
+        default_factory=threading.Lock, repr=False, compare=False
+    )
+    _last_call: float = field(default=0.0, repr=False, compare=False)
+
+    def _rate_wait(self) -> None:
+        """Serialize the APIBudget interval across callers — with concurrent
+        prefetch multiple threads share one budget, so the lock makes the
+        politeness guarantee identical to the sequential path."""
+        if self.min_call_interval_s <= 0:
+            return
+        with self._rate_lock:
+            wait = self.min_call_interval_s - (time.monotonic() - self._last_call)
+            if wait > 0:
+                self.sleep(wait)
+            self._last_call = time.monotonic()
 
     def _call(self, params: dict[str, Any]) -> Any:
         """One request with exponential backoff on retryable statuses
-        (HttpStream.should_retry/backoff_time semantics)."""
+        (HttpStream.should_retry/backoff_time semantics). The auth header is
+        evaluated PER REQUEST so a token expiring mid-pagination refreshes
+        transparently; a 401 invalidates the cached token and retries once
+        (server-side revocation -> one forced refresh, not a hard failure)."""
         attempt = 0
+        auth_retried = False
         while True:
+            headers = dict(self.headers)
+            if self.authenticator is not None:
+                headers.update(self.authenticator.auth_header())
+            self._rate_wait()
             status, body = self.transport(
-                "GET", self.url, params=params, headers=self.headers
+                "GET", self.url, params=params, headers=headers
             )
             if status < 400:
                 return body
+            if (
+                status == 401
+                and not auth_retried
+                and self.authenticator is not None
+                and hasattr(self.authenticator, "invalidate")
+            ):
+                self.authenticator.invalidate()
+                auth_retried = True
+                log_metric("http_auth_retry", url=self.url)
+                continue
             if status in RETRYABLE_STATUSES and attempt < self.max_retries:
                 delay = self.backoff_base_s * (2**attempt)
                 log_metric(
@@ -91,13 +169,22 @@ class HttpStreamSource:
         return list(recs)
 
     def read_records(self, max_pages: int | None = None) -> Iterator[dict]:
-        """The sequential pagination loop (HttpStream.read_records):
-        request -> extract -> next_page_token -> repeat until exhausted."""
+        """The pagination loop (HttpStream.read_records): request ->
+        extract -> next_page_token -> repeat until exhausted.
+
+        With ``prefetch_pages > 1`` and an offset/page paginator the loop
+        switches to a bounded concurrent lookahead (the reference's
+        concurrent source, concurrent_source.py:74-146): page k+1 is being
+        fetched while page k parses. Records are yielded in exact
+        sequential order; cursor pagination stays sequential because each
+        page's token comes from the previous response."""
         pg = self.paginator
+        if self.prefetch_pages > 1 and pg.kind in ("offset", "page"):
+            yield from self._read_records_prefetch(max_pages)
+            return
         offset = 0
         page_no = 1
         cursor_token: Any = None
-        last_call = 0.0
         pages = 0
         while True:
             params = dict(self.params)
@@ -112,11 +199,6 @@ class HttpStreamSource:
                     params[pg.param] = cursor_token
             else:
                 raise ValueError(f"unknown paginator kind {pg.kind!r}")
-
-            wait = self.min_call_interval_s - (time.monotonic() - last_call)
-            if wait > 0:
-                self.sleep(wait)  # rate budget (call_rate.py APIBudget)
-            last_call = time.monotonic()
 
             body = self._call(params)
             recs = self._extract(body)
@@ -138,14 +220,126 @@ class HttpStreamSource:
                 log_metric("http_stream_done", url=self.url, pages=pages)
                 return
 
+    def _page_params(self, page_index: int) -> dict[str, Any]:
+        """Request params for 0-based ``page_index`` under an offset/page
+        paginator. Valid because the sequential loop only continues past a
+        page when it was FULL (len == page_size), so the running offset for
+        any continuing page is always exactly index * page_size."""
+        pg = self.paginator
+        params = dict(self.params)
+        if pg.size_param:
+            params[pg.size_param] = pg.page_size
+        if pg.kind == "offset":
+            params[pg.param] = page_index * pg.page_size
+        else:
+            params[pg.param] = page_index + 1
+        return params
+
+    def _read_records_prefetch(self, max_pages: int | None) -> Iterator[dict]:
+        """Bounded concurrent lookahead: keep up to ``prefetch_pages``
+        requests in flight, yield strictly in page order, stop at the first
+        short page (the sequential stop rule). At most prefetch_pages - 1
+        requests past the final page are issued — the price of overlap."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        pg = self.paginator
+        futures: dict[int, Any] = {}
+        with ThreadPoolExecutor(max_workers=self.prefetch_pages) as ex:
+            next_submit = 0
+            next_yield = 0
+            pages = 0
+            while True:
+                while len(futures) < self.prefetch_pages and (
+                    max_pages is None or next_submit < max_pages
+                ):
+                    futures[next_submit] = ex.submit(self._call, self._page_params(next_submit))
+                    next_submit += 1
+                if next_yield not in futures:
+                    break  # max_pages reached
+                recs = self._extract(futures.pop(next_yield).result())
+                yield from recs
+                next_yield += 1
+                pages += 1
+                if len(recs) < pg.page_size:
+                    break
+            for f in futures.values():
+                f.cancel()
+        log_metric(
+            "http_stream_done", url=self.url, pages=pages, prefetch=self.prefetch_pages
+        )
+
+    def read_datetime_sliced(
+        self,
+        slicer: DatetimeSlicer,
+        state: float | None = None,
+        max_pages_per_slice: int | None = None,
+    ) -> Iterator[tuple[dict[str, Any], list[dict]]]:
+        """Interval-sliced incremental read (DatetimeBasedCursor semantics):
+        for each ``[slice_start, slice_end)`` window not yet covered by
+        ``state``, inject the bounds as request params, read the slice's
+        pages, and yield ``(state_doc, records)``. The caller commits the
+        records and THEN checkpoints ``state_doc["slice_end_epoch"]`` — so a
+        sync killed mid-range resumes at the first incomplete window with no
+        lost records (and none duplicated when lookback_s == 0)."""
+        for s, e in slicer.slices(state=state):
+            params = dict(self.params)
+            params[slicer.start_param] = slicer.fmt(s)
+            params[slicer.end_param] = slicer.fmt(e)
+            src = HttpStreamSource(
+                transport=self.transport,
+                url=self.url,
+                params=params,
+                headers=self.headers,
+                records_field=self.records_field,
+                paginator=self.paginator,
+                max_retries=self.max_retries,
+                backoff_base_s=self.backoff_base_s,
+                min_call_interval_s=self.min_call_interval_s,
+                sleep=self.sleep,
+                authenticator=self.authenticator,
+                prefetch_pages=self.prefetch_pages,
+            )
+            records = list(src.read_records(max_pages=max_pages_per_slice))
+            log_metric(
+                "http_slice_done",
+                url=self.url,
+                slice_start=s,
+                slice_end=e,
+                records=len(records),
+            )
+            yield {"slice_start_epoch": s, "slice_end_epoch": e}, records
+
     def to_dataframe(
-        self, spark: SparkSession, schema, max_pages: int | None = None
+        self,
+        spark: SparkSession,
+        schema,
+        max_pages: int | None = None,
+        pages_per_chunk: int | None = None,
     ) -> DataFrame:
         """Materialize the paginated read as a typed DataFrame — the
         boundary where the sequential API loop hands off to the columnar
-        engine (bootstrap seed or declarative-transform input)."""
-        rows = list(self.read_records(max_pages=max_pages))
-        return spark.createDataFrame(rows, schema)
+        engine (bootstrap seed or declarative-transform input).
+
+        ``pages_per_chunk`` bounds driver memory: every N pages the
+        accumulated rows are handed to ``createDataFrame`` (which ships them
+        to executors) and unioned, so the driver never holds more than one
+        chunk of raw records at a time."""
+        if pages_per_chunk is None:
+            rows = list(self.read_records(max_pages=max_pages))
+            return spark.createDataFrame(rows, schema)
+        chunk_rows_target = pages_per_chunk * self.paginator.page_size
+        out: DataFrame | None = None
+        buf: list[dict] = []
+        for rec in self.read_records(max_pages=max_pages):
+            buf.append(rec)
+            if len(buf) >= chunk_rows_target:
+                df = spark.createDataFrame(buf, schema)
+                out = df if out is None else out.unionByName(df)
+                buf = []
+        if buf or out is None:
+            df = spark.createDataFrame(buf, schema)
+            out = df if out is None else out.unionByName(df)
+        return out
 
     def read_incremental(
         self,
@@ -175,6 +369,8 @@ class HttpStreamSource:
             backoff_base_s=self.backoff_base_s,
             min_call_interval_s=self.min_call_interval_s,
             sleep=self.sleep,
+            authenticator=self.authenticator,
+            prefetch_pages=self.prefetch_pages,
         )
         records = []
         new_state = state
