@@ -533,6 +533,52 @@ def q_cdc_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_schema_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic JSON-schema-driven T+D extraction (plans/transforms.py
+    schema_extract): a 7-field mixed-type schema — bigint, int, bigint,
+    double, boolean, date, string — compiled to get_json_object + try_cast
+    with per-column error capture. Two deliberately dirty columns (amt is
+    'N/A' every 7th record, flag is 'maybe' every 11th) prove errors are
+    captured PER COLUMN — a record divisible by 77 reports both — while
+    rows never fail (BigQuerySqlGenerator.java:536-566 semantics over an
+    arbitrary configured schema)."""
+    from airbyte_spark.plans.transforms import schema_extract
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.floor(F.col("value") * 100).cast("long").cast("string")
+    amt_raw = F.when(F.col("event_id") % 7 == 0, F.lit("N/A")).otherwise(cents)
+    flag_raw = (
+        F.when(F.col("event_id") % 11 == 0, F.lit("maybe"))
+        .when(F.col("event_id") % 2 == 0, F.lit("true"))
+        .otherwise(F.lit("false"))
+    )
+    data = F.concat(
+        F.lit('{"uid": '), F.col("user_id").cast("string"),
+        F.lit(', "k": '), F.get_json_object("props", "$.k"),
+        F.lit(', "amt": "'), amt_raw,
+        F.lit('", "price": "'), cents, F.lit('.25"'),
+        F.lit(', "flag": "'), flag_raw,
+        F.lit('", "day": "'), F.date_format("ts", "yyyy-MM-dd"),
+        F.lit('", "label": "'), F.col("event_type"), F.lit('"}'),
+    )
+    d = ev.select("event_id", data.alias("_data"))
+    out = schema_extract(
+        d, "_data",
+        {
+            "uid": "bigint", "k": "int", "amt": "bigint", "price": "double",
+            "flag": "boolean", "day": "date", "label": "string",
+        },
+        errors_col="errors",
+    )
+    # day stays a real DATE through extraction (error capture exercises the
+    # date cast); rendered back to ISO text only for the oracle compare,
+    # which can't hash date objects stably across engines
+    return out.select(
+        "event_id", "uid", "k", "amt", "price", "flag",
+        F.col("day").cast("string").alias("day"), "label", "errors",
+    )
+
+
 def q_declarative_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative filter/add_field/remove_fields chain compiled to Catalyst
     (record_filter.py:13-36, add_fields.py:35-130, remove_fields.py:15-63)."""
@@ -646,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_blob_meta": q_multimodal_blob_meta,
         "events_hourly_rollup": q_events_hourly_rollup,
         "cdc_json_extract": q_cdc_json_extract,
+        "cdc_schema_extract": q_cdc_schema_extract,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "declarative_transforms": q_declarative_transforms,
         "declarative_extract_path": q_declarative_extract_path,
@@ -1069,6 +1116,48 @@ SELECT event_id,
        CAST(CASE WHEN json_extract_string(_data, '$.amt') IS NOT NULL
                   AND TRY_CAST(json_extract_string(_data, '$.amt') AS BIGINT) IS NULL
                  THEN 1 ELSE 0 END AS INT) AS n_errors
+FROM d
+""",
+        "cdc_schema_extract": """
+WITH d AS (
+  SELECT event_id,
+         '{"uid": ' || CAST(user_id AS VARCHAR)
+         || ', "k": ' || json_extract_string(props, '$.k')
+         || ', "amt": "' || CASE WHEN event_id % 7 = 0 THEN 'N/A'
+                 ELSE CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) END
+         || '", "price": "' || CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) || '.25"'
+         || ', "flag": "' || CASE WHEN event_id % 11 = 0 THEN 'maybe'
+                 WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END
+         || '", "day": "' || strftime(ts, '%Y-%m-%d')
+         || '", "label": "' || event_type || '"}' AS _data
+  FROM events)
+SELECT event_id,
+       TRY_CAST(json_extract_string(_data, '$.uid') AS BIGINT) AS uid,
+       TRY_CAST(json_extract_string(_data, '$.k') AS INT) AS k,
+       TRY_CAST(json_extract_string(_data, '$.amt') AS BIGINT) AS amt,
+       TRY_CAST(json_extract_string(_data, '$.price') AS DOUBLE) AS price,
+       TRY_CAST(json_extract_string(_data, '$.flag') AS BOOLEAN) AS flag,
+       CAST(TRY_CAST(json_extract_string(_data, '$.day') AS DATE) AS VARCHAR) AS day,
+       json_extract_string(_data, '$.label') AS label,
+       concat_ws(',',
+         CASE WHEN json_extract_string(_data, '$.uid') IS NOT NULL
+               AND TRY_CAST(json_extract_string(_data, '$.uid') AS BIGINT) IS NULL
+              THEN 'uid' END,
+         CASE WHEN json_extract_string(_data, '$.k') IS NOT NULL
+               AND TRY_CAST(json_extract_string(_data, '$.k') AS INT) IS NULL
+              THEN 'k' END,
+         CASE WHEN json_extract_string(_data, '$.amt') IS NOT NULL
+               AND TRY_CAST(json_extract_string(_data, '$.amt') AS BIGINT) IS NULL
+              THEN 'amt' END,
+         CASE WHEN json_extract_string(_data, '$.price') IS NOT NULL
+               AND TRY_CAST(json_extract_string(_data, '$.price') AS DOUBLE) IS NULL
+              THEN 'price' END,
+         CASE WHEN json_extract_string(_data, '$.flag') IS NOT NULL
+               AND TRY_CAST(json_extract_string(_data, '$.flag') AS BOOLEAN) IS NULL
+              THEN 'flag' END,
+         CASE WHEN json_extract_string(_data, '$.day') IS NOT NULL
+               AND TRY_CAST(json_extract_string(_data, '$.day') AS DATE) IS NULL
+              THEN 'day' END) AS errors
 FROM d
 """,
         "declarative_transforms": """

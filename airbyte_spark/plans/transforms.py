@@ -17,6 +17,8 @@ Spec grammar (JSON-friendly, like the low-code YAML manifest):
     {"op": "extract_path", "column": "<json str col>", "path": ["data", "*"],
      "schema": "<element DDL, e.g. struct<id:bigint,v:string>>"}
     {"op": "sanitize_cursor", "column": "<string cursor col>"}
+    {"op": "extract_typed", "column": "<json str col>",
+     "schema": {"<field>": "<DDL type>", ...}, "errors_col": "_ab_errors"}
 """
 
 from __future__ import annotations
@@ -52,6 +54,49 @@ def dpath_extract(
     return df.select(*keep, rec).select(*keep, F.col("_rec.*"))
 
 
+def schema_extract(
+    df: DataFrame,
+    column: str,
+    schema: dict[str, str],
+    errors_col: str = "_ab_errors",
+) -> DataFrame:
+    """Generic JSON-schema-driven typed extraction with per-column error
+    capture — the T+D cast CTE (BigQuerySqlGenerator.java:536-566
+    extractAndCast + caseWhenToError driven by the configured catalog
+    schema; 'destinations never fail on mismatch',
+    airbyte-protocol.md:439-450) compiled for an ARBITRARY ``{name: type}``
+    schema instead of a hard-coded envelope.
+
+    For every (name, type): pull ``$.name`` out of the JSON ``column`` with
+    ``get_json_object`` and safe-cast it — ``try_cast`` for scalars,
+    ``from_json`` for array/struct/map types — so a bad value yields NULL
+    in the typed column and the column NAME lands in ``errors_col``
+    (comma-joined, schema order), never a failed row. String targets take
+    the raw extract (no cast can fail). The whole compile is a single
+    narrow projection: per-field JsonTuple/get_json_object + cast, fused by
+    whole-stage codegen, zero Python on the data path.
+    """
+    keep = [c for c in df.columns if c != column]
+    typed = []
+    errs = []
+    for name, typ in schema.items():
+        raw = F.get_json_object(F.col(column), f"$.{name}")
+        t = typ.lower().strip()
+        if t in ("string", "varchar", "text"):
+            typed.append(raw.alias(name))
+            continue
+        if t.startswith(("array", "struct", "map")):
+            cast = F.from_json(raw, typ)
+        else:
+            cast = raw.try_cast(typ)
+        typed.append(cast.alias(name))
+        # raw present but cast failed -> this column's name joins the
+        # record's error list (concat_ws drops the NULL non-errors)
+        errs.append(F.when(raw.isNotNull() & cast.isNull(), F.lit(name)))
+    err_expr = F.concat_ws(",", *errs) if errs else F.lit("")
+    return df.select(*keep, *typed, err_expr.alias(errors_col))
+
+
 def sanitize_cursor(df: DataFrame, column: str) -> DataFrame:
     """Strip NUL bytes from a string cursor value before comparison /
     checkpointing (StateDecoratingIterator.java:93-100 — some sources emit
@@ -75,6 +120,11 @@ def apply_transforms(df: DataFrame, specs: list[dict]) -> DataFrame:
             df = dpath_extract(df, spec["column"], spec["path"], spec["schema"])
         elif op == "sanitize_cursor":
             df = sanitize_cursor(df, spec["column"])
+        elif op == "extract_typed":
+            df = schema_extract(
+                df, spec["column"], spec["schema"],
+                errors_col=spec.get("errors_col", "_ab_errors"),
+            )
         else:
             raise ValueError(f"unknown transform op {op!r}")
     return df

@@ -137,6 +137,43 @@ def test_dpath_extract_and_sanitize_cursor(spark):
     assert [(r["rid"], r["n"], r["s"]) for r in out2.collect()] == [(5, 7, "x")]
 
 
+def test_schema_extract_typed_columns_and_errors(spark):
+    """Generic JSON-schema extractor (BigQuerySqlGenerator.java:536-566
+    extractAndCast semantics): arbitrary {name: type} schema, per-column
+    error capture, nested array types via from_json, rows never fail."""
+    from airbyte_spark.plans.transforms import apply_transforms, schema_extract
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"n": "12", "f": "true", "arr": "[1,2,3]", "s": "ok"}'),
+            (2, '{"n": "oops", "f": "maybe", "arr": "[4]", "s": "x"}'),
+            (3, '{"n": "7", "f": "false", "arr": "not-json", "s": null}'),
+            (4, '{"f": "true"}'),  # absent fields -> NULL, NOT errors
+        ],
+        "rid int, body string",
+    )
+    out = schema_extract(
+        df, "body",
+        {"n": "bigint", "f": "boolean", "arr": "array<int>", "s": "string"},
+    ).orderBy("rid")
+    rows = [(r["rid"], r["n"], r["f"], r["arr"], r["s"], r["_ab_errors"])
+            for r in out.collect()]
+    assert rows == [
+        (1, 12, True, [1, 2, 3], "ok", ""),
+        (2, None, None, [4], "x", "n,f"),       # two per-column errors
+        (3, 7, False, None, None, "arr"),       # bad nested JSON captured
+        (4, None, True, None, None, ""),        # absent != error
+    ]
+
+    # the declarative-op spelling routes to the same compiler
+    out2 = apply_transforms(
+        df.filter("rid = 2"),
+        [{"op": "extract_typed", "column": "body",
+          "schema": {"n": "bigint"}, "errors_col": "errs"}],
+    )
+    assert [(r["n"], r["errs"]) for r in out2.collect()] == [(None, "n")]
+
+
 def test_standardize_columns_collisions(spark):
     """NamingConventionTransformer analog: invalid chars -> _, digit guard,
     collision counters (StandardNameTransformer + CatalogParser)."""
