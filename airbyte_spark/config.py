@@ -100,6 +100,13 @@ class EngineConfig:
     # it doubles write volume; the changelog itself usually serves as the
     # replay log in this engine.
     keep_raw_table: bool = False
+    # SCD-type-2 history write mode (generate_scd_type_2_model,
+    # normalization stream_processor.py:742-900): when True, every batch
+    # ALSO maintains `<stream>_history` — one row per record version with
+    # (valid_from_ms, valid_to_ms, is_active), intervals closed
+    # incrementally as later batches supersede them. N-batch replay and
+    # 1-batch replay produce bit-identical history tables.
+    scd2_history: bool = False
     # Tombstone retention horizon (in LSNs): during compaction, drop
     # tombstone rows older than max_committed_lsn - this value. A tombstone
     # is only needed to suppress late out-of-order updates, so once the

@@ -462,6 +462,40 @@ class CdcEngine:
         present when EngineConfig.keep_raw_table is on."""
         return LakeTable.load(self.spark, self.table_root + "_raw").scan()
 
+    def _append_scd2(self, batch: DataFrame, bid: str, lo: int, hi: int) -> None:
+        """SCD2 history write mode (operators/scd2.py): maintain
+        `<stream>_history` incrementally — this batch's version rows appended
+        with in-batch validity intervals, previously-open rows of touched
+        docs closed at the batch's first event per doc. Idempotent via its
+        own batch id; runs BEFORE the final-table commit so a crash between
+        the two commits re-runs only the missing one on resume."""
+        from airbyte_spark.operators.scd2 import create_history_table, scd2_apply
+
+        hist_root = self.table_root + "_history"
+        if not LakeTable.exists(hist_root):
+            create_history_table(self.spark, hist_root, self.stream.num_buckets)
+        hist = LakeTable.load(self.spark, hist_root)
+        hbid = f"scd2-{bid}"
+        if hist.find_batch(hbid) is not None:
+            return
+        scd2_apply(
+            hist,
+            batch,
+            summary={
+                "operation": "scd2",
+                "batch_id": hbid,
+                "start_lsn": lo,
+                "end_lsn": hi,
+            },
+            write_partitions=self.cfg.write_partitions,
+        )
+
+    def read_history(self) -> DataFrame:
+        """The SCD2 history table (every record version with validity
+        interval + active flag) — only present when EngineConfig.scd2_history
+        is on."""
+        return LakeTable.load(self.spark, self.table_root + "_history").scan()
+
     def _dedup_winners(self, batch: DataFrame, table: LakeTable) -> DataFrame:
         """Shared batch prep + LWW dedup to one row per PK. In plain
         ``append`` sync mode every record is kept (no dedup), matching the
@@ -738,6 +772,9 @@ class CdcEngine:
                 enriched = self._prepare_batch(batch, table).persist()
                 own_enriched = True
             self._append_raw(enriched, bid, lo, hi)
+
+        if self.cfg.scd2_history:
+            self._append_scd2(batch, bid, lo, hi)
 
         if self._use_full_merge(table, n_events):
             try:

@@ -13,6 +13,7 @@ from airbyte_spark.operators.components import connected_components, dedup_compo
 from airbyte_spark.operators.metadata import inject_cdc_metadata
 from airbyte_spark.operators.merge import merge_upsert, merge_upsert_full, merge_upsert_mor
 from airbyte_spark.operators.normalize import normalize_child_table
+from airbyte_spark.operators.scd2 import batch_history_rows, scd2_apply
 from airbyte_spark.operators.similarity import (
     knn_bruteforce,
     knn_ivf,
@@ -34,6 +35,8 @@ __all__ = [
     "connected_components",
     "dedup_components",
     "normalize_child_table",
+    "batch_history_rows",
+    "scd2_apply",
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",
