@@ -31,10 +31,12 @@ file pruning is manifest-driven (bucket + min/max cursor per file). Commit
 cost is bounded two ways: pure-append commits past MANIFEST_REF_MIN files
 serialize a parent reference + additions only (O(batch), not O(table) —
 the manifest-list reuse idea), and parsed snapshots are memoized per
-version so idempotence walks re-read nothing. Remaining O(files) driver
-work is the in-memory pruning pass per scan; at extreme file counts the
-manifest itself would become a parquet dataset (Iceberg's design) without
-changing the commit protocol or scan logic. Merge-on-read: small batches
+version so idempotence walks re-read nothing. Past MANIFEST_SPILL_MIN
+files, inline manifests spill the file list to a columnar sidecar
+(``snapshots/files-v{N}.parquet`` — Iceberg's manifest-file design) so
+commit serialization and cold-load parse stay columnar-fast at 10^4-10^6
+files; the CAS commit protocol and scan logic are unchanged. Remaining
+O(files) driver work is the in-memory pruning pass per scan. Merge-on-read: small batches
 commit as delta files (kind="delta", bucket -1) resolved by scan() with
 the same LWW total order as the copy-on-write merge; compact() folds them.
 """
@@ -74,6 +76,14 @@ MANIFEST_REF_MIN = 64
 # stays O(batch + files/REF_CHAIN), and a cold scan re-reads at most
 # MANIFEST_REF_CHAIN_MAX manifests before hitting an inline one.
 MANIFEST_REF_CHAIN_MAX = 128
+# Inline manifests at or above this file count spill the file list to a
+# columnar sidecar (snapshots/files-v{N}.parquet) instead of JSON —
+# Iceberg's manifest-file design. The commit CAS is unchanged (still the
+# exclusive-create of the JSON doc; the sidecar is written FIRST and a lost
+# race leaves only an unreferenced orphan, like data files). Keeps commit
+# serialization and cold-load parse O(columnar-ms) instead of O(json-rows)
+# once tables reach ~10^4-10^6 files.
+MANIFEST_SPILL_MIN = 10_000
 
 
 class CommitConflict(RuntimeError):
@@ -169,6 +179,65 @@ class Snapshot:
 
 def _snapshot_path(root: str, version: int) -> str:
     return os.path.join(root, SNAPSHOT_DIR, f"v{version:08d}.json")
+
+
+_MANIFEST_ARROW_SCHEMA = None
+
+
+def _manifest_schema():
+    global _MANIFEST_ARROW_SCHEMA
+    if _MANIFEST_ARROW_SCHEMA is None:
+        import pyarrow as pa
+
+        _MANIFEST_ARROW_SCHEMA = pa.schema(
+            [
+                ("path", pa.string()),
+                ("bucket", pa.int32()),
+                ("rows", pa.int64()),
+                ("schema_version", pa.int32()),
+                ("min_cursor", pa.int64()),
+                ("max_cursor", pa.int64()),
+                ("kind", pa.string()),
+            ]
+        )
+    return _MANIFEST_ARROW_SCHEMA
+
+
+def _files_to_parquet(files: list["DataFile"], path: str) -> None:
+    import pyarrow as pa
+
+    table = pa.table(
+        {
+            "path": [f.path for f in files],
+            "bucket": [f.bucket for f in files],
+            "rows": [f.rows for f in files],
+            "schema_version": [f.schema_version for f in files],
+            "min_cursor": [f.min_cursor for f in files],
+            "max_cursor": [f.max_cursor for f in files],
+            "kind": [f.kind for f in files],
+        },
+        schema=_manifest_schema(),
+    )
+    pq.write_table(table, path)
+
+
+def _files_from_parquet(path: str) -> list["DataFile"]:
+    cols = pq.read_table(path).to_pydict()
+    return [
+        DataFile(
+            path=p,
+            bucket=b,
+            rows=r,
+            schema_version=sv,
+            min_cursor=mn,
+            max_cursor=mx,
+            kind=k,
+        )
+        for p, b, r, sv, mn, mx, k in zip(
+            cols["path"], cols["bucket"], cols["rows"], cols["schema_version"],
+            cols["min_cursor"], cols["max_cursor"], cols["kind"],
+        )
+    ]
 
 
 class LakeTable:
@@ -269,7 +338,14 @@ class LakeTable:
             with open(_snapshot_path(self.root, cur)) as fh:
                 d = json.load(fh)
             if "files_parent" not in d:
-                snap = Snapshot.from_json(d)
+                if "files_parquet" in d:
+                    spilled = _files_from_parquet(
+                        os.path.join(self.root, SNAPSHOT_DIR, d["files_parquet"])
+                    )
+                    snap = Snapshot.from_json(dict(d, files=[]))
+                    snap.files = spilled
+                else:
+                    snap = Snapshot.from_json(d)
                 self._snap_cache[cur] = snap
                 base_files, base_depth = snap.files, 0
                 break
@@ -338,6 +414,15 @@ class LakeTable:
                 doc["files_parent"] = parent.version
                 doc["files_add"] = [f.to_json() for f in snap.files[len(pf):]]
                 snap.ref_depth = parent.ref_depth + 1
+        sidecar = None
+        if "files" in doc and len(snap.files) >= MANIFEST_SPILL_MIN:
+            # spill the inline list to a columnar sidecar BEFORE the CAS;
+            # a lost commit race leaves it as an unreferenced orphan
+            name = f"files-v{snap.version:08d}.parquet"
+            sidecar = os.path.join(self.root, SNAPSHOT_DIR, name)
+            _files_to_parquet(snap.files, sidecar)
+            doc.pop("files")
+            doc["files_parquet"] = name
         path = _snapshot_path(self.root, snap.version)
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
@@ -347,6 +432,8 @@ class LakeTable:
         try:
             os.link(tmp, path)  # atomic exclusive-create == CAS
         except FileExistsError as e:
+            if sidecar is not None:
+                os.unlink(sidecar)  # tidy the orphaned manifest sidecar
             raise CommitConflict(
                 f"snapshot v{snap.version} already committed by another writer"
             ) from e

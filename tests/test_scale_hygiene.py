@@ -203,3 +203,79 @@ def test_find_batch_respects_soft_reset(spark, tmp_path):
     assert cold.find_batch("late") == 4
     # batches before the reset were discarded with the data: must re-apply
     assert cold.find_batch("early") is None
+
+
+def test_manifest_spills_to_parquet_past_threshold(spark, tmp_path):
+    """VERDICT r2 #5: past MANIFEST_SPILL_MIN files the inline manifest
+    becomes a columnar sidecar — the JSON doc stays tiny, the file list
+    round-trips exactly (incl. None cursors and delta kind), and cold-load
+    + scan planning on a 50k-file table is sub-second."""
+    import time as _t
+
+    from airbyte_spark.lake.table import MANIFEST_SPILL_MIN
+
+    root = str(tmp_path / "spill")
+    t = _mk_table(spark, root)
+
+    n = 50_000
+    files = [
+        DataFile(
+            path=f"data/f-{i}.parquet",
+            bucket=i % 4,
+            rows=100,
+            schema_version=1,
+            min_cursor=i * 10,
+            max_cursor=i * 10 + 9,
+            kind="base",
+        )
+        for i in range(n)
+    ] + [DataFile(path="data/d-0.parquet", bucket=-1, rows=5, schema_version=1,
+                  min_cursor=None, max_cursor=None, kind="delta")]
+    assert len(files) > MANIFEST_SPILL_MIN
+    base = t.snapshot()
+    snap = Snapshot(
+        version=2, parent=1, schema_version=1, schemas=base.schemas,
+        spec=base.spec, files=files, summary={"operation": "merge", "batch_id": "big"},
+    )
+    t0 = _t.monotonic()
+    t._write_snapshot(snap)
+    commit_s = _t.monotonic() - t0
+
+    # on-disk shape: tiny JSON doc + parquet sidecar
+    with open(_snapshot_path(root, 2)) as fh:
+        doc = json.load(fh)
+    assert "files" not in doc and doc["files_parquet"] == "files-v00000002.parquet"
+    assert os.path.exists(os.path.join(root, "snapshots", doc["files_parquet"]))
+    assert os.path.getsize(_snapshot_path(root, 2)) < 10_000
+
+    # cold reader: load + resolve + prune (the scan-planning pass) < 1s
+    cold = LakeTable.load(spark, root)
+    t1 = _t.monotonic()
+    s = cold.snapshot()
+    pruned = [f for f in s.files if f.bucket == 2 and (f.max_cursor or 0) > 250_000]
+    plan_s = _t.monotonic() - t1
+    assert len(s.files) == n + 1
+    assert s.files[7] == files[7]          # exact round-trip
+    assert s.files[-1].kind == "delta" and s.files[-1].min_cursor is None
+    assert pruned and plan_s < 1.0, f"scan planning took {plan_s:.2f}s"
+    assert commit_s < 2.0, f"commit serialization took {commit_s:.2f}s"
+    # idempotence index still sees the batch through the sidecar
+    assert cold.find_batch("big") == 2
+
+
+def test_manifest_spill_conflict_removes_sidecar(spark, tmp_path):
+    """A lost CAS race must not leave the loser's sidecar behind."""
+    from airbyte_spark.lake.table import CommitConflict, MANIFEST_SPILL_MIN
+
+    root = str(tmp_path / "race")
+    t = _mk_table(spark, root)
+    base = t.snapshot()
+    files = [_fake_file(i) for i in range(MANIFEST_SPILL_MIN + 1)]
+    s2 = Snapshot(version=2, parent=1, schema_version=1, schemas=base.schemas,
+                  spec=base.spec, files=files[:1], summary={"operation": "append"})
+    t._write_snapshot(s2)  # winner (inline — small)
+    loser = Snapshot(version=2, parent=1, schema_version=1, schemas=base.schemas,
+                     spec=base.spec, files=files, summary={"operation": "merge"})
+    with pytest.raises(CommitConflict):
+        t._write_snapshot(loser)
+    assert not os.path.exists(os.path.join(root, "snapshots", "files-v00000002.parquet"))
