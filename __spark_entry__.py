@@ -308,6 +308,39 @@ def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style salient-term extraction, integer-exact: top-3 terms per
+    document ranked by (tf DESC, df ASC, term ASC) — high in-doc frequency,
+    low corpus spread, the keyword signal a training pipeline uses for
+    topic tagging / quality triage. All-integer ordering keeps the oracle
+    exact (no float log/division to drift across engines).
+
+    Scale shape: explode -> two hash aggregates with map-side partials
+    ((doc, word) tf then word df — df output is vocab-bounded), one shuffle
+    join on word, one per-doc window over <= distinct-words rows. No
+    all-pairs, no per-row Python, no driver materialization."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("word").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("word").asc()
+    )
+    return (
+        tf.join(df_tbl, "word")
+        .select(
+            "doc_id",
+            "word",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+    )
+
+
 def q_tokens_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global token-frequency histogram over the change stream (the vocab
     coverage / stop-token profile a training pipeline computes): explode ->
@@ -677,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_drop_list": q_dedup_drop_list,
         "docs_repetition": q_docs_repetition,
+        "docs_salient_terms": q_docs_salient_terms,
         "tokens_histogram": q_tokens_histogram,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_neardup": q_dedup_embedding_neardup,
@@ -977,6 +1011,18 @@ SELECT doc_id,
             w -> len(list_filter(string_split(text, ' '), x -> x = w)))) AS BIGINT)
          AS max_word_freq
 FROM documents
+""",
+        "docs_salient_terms": """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+dft AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+j AS (SELECT tf.doc_id, tf.word, tf.tf AS tf, dft.df AS df,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                 ORDER BY tf.tf DESC, dft.df ASC, tf.word ASC) AS rank
+      FROM tf JOIN dft USING (word))
+SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(rank AS INT) AS rank
+FROM j WHERE rank <= 3
 """,
         "tokens_histogram": f"""
 WITH ch AS ({_CH}),
