@@ -94,6 +94,13 @@ def ACONTAINS(d: str, arr: str, x: str) -> str:
     return f"array_contains({arr}, {x})" if d == SPARK else f"list_contains({arr}, {x})"
 
 
+def AINTERSECT(d: str, a: str, b: str) -> str:
+    """Set intersection of two DISTINCT arrays (hash-based in both engines —
+    O(|a|+|b|); the filter+contains form is O(|a|*|b|) per pair). Element
+    order differs between engines; callers must only take its SIZE."""
+    return f"array_intersect({a}, {b})" if d == SPARK else f"list_intersect({a}, {b})"
+
+
 def EMPTY_STR_ARRAY(d: str) -> str:
     return "array()" if d == SPARK else "CAST([] AS VARCHAR[])"
 
@@ -128,9 +135,16 @@ def shingles_sql(d: str, col: str = "text", k: int = 3) -> str:
 
 def hexn_sql(d: str, m: str, start: int, n: int = 12) -> str:
     """n hex digits of string expr ``m`` starting at 1-based ``start``,
-    parsed as a non-negative integer via digit arithmetic (portable — the
-    engines have no common hex-parse function)."""
+    parsed as a non-negative integer. The engines have no COMMON hex-parse
+    function, but each has a fast native path — Spark ``conv(x, 16, 10)``
+    (one JVM call vs n instr+substr ops per shingle; the MinHash CPU is the
+    dominant cost of the LSH dedup queries), DuckDB digit arithmetic (the
+    oracle runs at sf0.01 where per-char cost is irrelevant). Both yield the
+    identical non-negative integer for n <= 12 (< 2^48, no sign wrap);
+    equivalence is pinned by tests/test_textsql_dialects.py."""
     _chk(d)
+    if d == SPARK:
+        return f"CAST(conv(substr({m}, {start}, {n}), 16, 10) AS BIGINT)"
     terms = []
     for j in range(n):
         mult = 16 ** (n - 1 - j)
@@ -176,8 +190,11 @@ def band_key_sql(d: str, sig: str, band: str | int, rows_per_band: int) -> str:
 
 
 def hex16_sql(d: str, s: str) -> str:
-    """First 16 bits of md5(s) as an integer, via hex-digit arithmetic."""
+    """First 16 bits of md5(s) as an integer (native hex parse per dialect,
+    same split as hexn_sql)."""
     _chk(d)
+    if d == SPARK:
+        return f"CAST(conv(substr(md5({s}), 1, 4), 16, 10) AS BIGINT)"
     digits = []
     for j, mult in ((1, 4096), (2, 256), (3, 16), (4, 1)):
         digits.append(f"(instr('0123456789abcdef', substr(md5({s}), {j}, 1)) - 1) * {mult}")

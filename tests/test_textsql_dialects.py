@@ -1,0 +1,104 @@
+"""Dialect-equivalence property gate for plans/textsql.py.
+
+Every template emits a Spark and a DuckDB expression that must be
+value-identical; where the two dialects use DIFFERENT native functions
+(hexn_sql / hex16_sql use conv() on Spark vs digit arithmetic on DuckDB,
+AINTERSECT is order-scrambled), the equivalence is no longer true by
+construction — this suite pins it empirically over randomized inputs so a
+dialect regression can never silently skew an oracle comparison.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from airbyte_spark.plans import textsql as X
+
+
+def _rand_texts(n: int, seed: int) -> list[str]:
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(40)] + ["café", "naïve", "東京", "a'b"]
+    out = []
+    for _ in range(n):
+        k = rng.randint(0, 30)
+        out.append(" ".join(rng.choice(vocab) for _ in range(k)))
+    return out
+
+
+def _spark_vals(spark, texts: list[str], expr: str) -> list:
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    return [r[0] for r in df.selectExpr(f"{expr} AS v").collect()]
+
+
+def _duck_vals(texts: list[str], expr: str) -> list:
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t (text VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?)", [(t,) for t in texts])
+        return [r[0] for r in con.sql(f"SELECT {expr} AS v FROM t").fetchall()]
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("start,n", [(1, 12), (13, 12), (1, 4), (5, 8)])
+def test_hexn_conv_matches_digit_arithmetic(spark, start, n):
+    texts = _rand_texts(64, seed=start * 100 + n)
+    s = _spark_vals(spark, texts, X.hexn_sql(X.SPARK, "md5(text)", start, n))
+    d = _duck_vals(texts, X.hexn_sql(X.DUCKDB, "md5(text)", start, n))
+    assert s == d
+    assert all(v is not None and 0 <= v < 16**n for v in s)
+
+
+def test_hex16_matches(spark):
+    texts = _rand_texts(64, seed=7)
+    s = _spark_vals(spark, texts, X.hex16_sql(X.SPARK, "text"))
+    d = _duck_vals(texts, X.hex16_sql(X.DUCKDB, "text"))
+    assert s == d
+
+
+def test_minhash_signature_matches(spark):
+    texts = [t for t in _rand_texts(40, seed=11) if len(t.split()) >= 3]
+    sh_s = X.shingles_sql(X.SPARK, "text", 3)
+    sh_d = X.shingles_sql(X.DUCKDB, "text", 3)
+    s = _spark_vals(spark, texts, X.minhash_sql(X.SPARK, sh_s, 16))
+    d = _duck_vals(texts, X.minhash_sql(X.DUCKDB, sh_d, 16))
+    assert [list(v) for v in s] == [list(v) for v in d]
+
+
+def test_simhash_matches(spark):
+    texts = [t for t in _rand_texts(40, seed=13) if len(t.split()) >= 3]
+    s = _spark_vals(spark, texts, X.simhash16_sql(X.SPARK, X.shingles_sql(X.SPARK, "text", 3)))
+    d = _duck_vals(texts, X.simhash16_sql(X.DUCKDB, X.shingles_sql(X.DUCKDB, "text", 3)))
+    assert s == d
+
+
+def test_aintersect_size_matches(spark):
+    """Order differs between engines by contract; SIZE must not."""
+    texts = _rand_texts(64, seed=17)
+    ex_s = X.SIZE(
+        X.SPARK,
+        X.AINTERSECT(
+            X.SPARK,
+            X.ADISTINCT(X.SPARK, X.SPLIT_WORDS(X.SPARK, "text")),
+            "array('w1','w2','w3','café')",
+        ),
+    )
+    ex_d = X.SIZE(
+        X.DUCKDB,
+        X.AINTERSECT(
+            X.DUCKDB,
+            X.ADISTINCT(X.DUCKDB, X.SPLIT_WORDS(X.DUCKDB, "text")),
+            "['w1','w2','w3','café']",
+        ),
+    )
+    assert _spark_vals(spark, texts, ex_s) == _duck_vals(texts, ex_d)
+
+
+def test_rolling_hash_matches(spark):
+    texts = _rand_texts(48, seed=19) + ["", "x"]
+    s = _spark_vals(spark, texts, X.rolling_hash_sql(X.SPARK, "text"))
+    d = _duck_vals(texts, X.rolling_hash_sql(X.DUCKDB, "text"))
+    assert s == d
