@@ -1009,3 +1009,21 @@ class CdcEngine:
         if not include_deletes:
             out = out.filter(F.col(S.COL_DELETED_AT).isNull())
         return out
+
+    def read_changes_between(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Classified snapshot-diff changelog (insert/update/delete rows
+        with `_change_type`) between two committed snapshots — see
+        LakeTable.read_changes. Every batch commit is a snapshot, so a
+        downstream consumer can subscribe per-batch: remember the snapshot
+        version it last saw, diff to current, repeat."""
+        return self.table.read_changes(
+            from_version, to_version, deleted_col=S.COL_DELETED_AT
+        )
+
+    def expire_snapshots(self, keep_last: int = 10) -> dict:
+        """Table maintenance: drop snapshots (and unreferenced data files)
+        older than the last ``keep_last`` — bounds storage by retained
+        history instead of total churn. See LakeTable.expire_snapshots."""
+        return self.table.expire_snapshots(keep_last=keep_last)

@@ -305,15 +305,21 @@ class LakeTable:
 
     # ----------------------------------------------------------- snapshots
 
-    def current_version(self) -> int:
+    def existing_versions(self) -> list[int]:
+        """Sorted snapshot versions present on disk. Contiguous from 1 on a
+        young table; expire_snapshots removes a prefix, leaving a gap-free
+        suffix [oldest_retained .. current]."""
         d = os.path.join(self.root, SNAPSHOT_DIR)
-        versions = [
+        return sorted(
             int(f[1:-5])
             for f in os.listdir(d)
             if f.startswith("v") and f.endswith(".json")
-        ]
+        )
+
+    def current_version(self) -> int:
+        versions = self.existing_versions()
         if not versions:
-            raise FileNotFoundError(f"no snapshots in {d}")
+            raise FileNotFoundError(f"no snapshots in {os.path.join(self.root, SNAPSHOT_DIR)}")
         return max(versions)
 
     def snapshot(self, version: int | None = None) -> Snapshot:
@@ -361,7 +367,10 @@ class LakeTable:
         return self._snap_cache[v]
 
     def history(self) -> list[Snapshot]:
-        return [self.snapshot(v) for v in range(1, self.current_version() + 1)]
+        """All RETAINED snapshots, oldest first (versions below the
+        expire_snapshots horizon are gone — time travel starts at the
+        oldest retained version, exactly Iceberg's contract)."""
+        return [self.snapshot(v) for v in self.existing_versions()]
 
     def find_batch(self, batch_id: str) -> int | None:
         """Return the snapshot version that applied ``batch_id``, if any.
@@ -388,7 +397,8 @@ class LakeTable:
         before a reset were discarded with the data and must re-apply
         (DefaultTyperDeduper.java:160-165 rebuilds from scratch likewise).
         """
-        for v in range(self._batch_index_version + 1, cur + 1):
+        lo = self._batch_index_version + 1
+        for v in (x for x in self.existing_versions() if lo <= x <= cur):
             s = self.snapshot(v)
             if s.summary.get("operation") == "soft-reset":
                 self._batch_index = {}
@@ -568,6 +578,89 @@ class LakeTable:
         else:
             resolved = lww_dedup(df, key=key, order_cols=(cursor,))
         return resolved.select(*cols)
+
+    def read_changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        deleted_col: str = "_ab_cdc_deleted_at",
+    ) -> DataFrame:
+        """Classified changelog between two snapshots — the Iceberg
+        changelog-scan / CDC-read analog: one row per key whose LIVE state
+        differs between ``from_version`` and ``to_version`` (default:
+        current), with ``_change_type`` in {insert, update, delete}.
+        Insert/update rows carry the after-image, delete rows the
+        before-image. This is what a downstream incremental consumer
+        subscribes to; unlike the cursor view (engine.read_changes_since)
+        it needs no trust in the cursor column and stays correct across
+        compaction, merge-on-read folds and tombstone-horizon GC (a GC'd
+        tombstone still diffs as a delete — the key vanished).
+
+        Scale shape: only files ADDED between the two snapshots can contain
+        changed rows, so their buckets bound BOTH sides of the diff — the
+        old and new states are bucket-pruned manifest scans, the join
+        shuffles only touched buckets, and unchanged rows are suppressed by
+        an integer row fingerprint (xxhash64 over all columns) computed
+        map-side. Delta files (bucket -1) disable pruning for the commit
+        range that contains them; run after compact() for pruned diffs.
+        """
+        snap_to = self.snapshot(to_version)
+        snap_from = self.snapshot(from_version)
+        pk = snap_to.spec["bucket_by"]
+        cols = snap_to.schema.fieldNames()
+        change_field = "_change_type"
+
+        old_paths = {f.path for f in snap_from.files}
+        added = [f for f in snap_to.files if f.path not in old_paths]
+        if not added:
+            empty = self.spark.createDataFrame([], snap_to.schema)
+            return empty.withColumn(change_field, F.lit(None).cast("string"))
+        buckets = None
+        if all(f.bucket >= 0 for f in added):
+            buckets = sorted({f.bucket for f in added})
+
+        def live(df: DataFrame) -> DataFrame:
+            if deleted_col in df.columns:
+                return df.filter(F.col(deleted_col).isNull())
+            return df
+
+        def align(df: DataFrame) -> DataFrame:
+            # schema may have evolved between the snapshots (additive):
+            # project the old side to the new schema, missing cols -> null
+            have = set(df.columns)
+            return df.select(
+                *[
+                    F.col(c) if c in have
+                    else F.lit(None).cast(snap_to.schema[c].dataType).alias(c)
+                    for c in cols
+                ]
+            )
+
+        fp = lambda df: df.withColumn("_fp", F.xxhash64(*[F.col(c) for c in cols]))
+        new_live = fp(align(live(self.scan(version=snap_to.version, buckets=buckets))))
+        old_live = fp(align(live(self.scan(version=snap_from.version, buckets=buckets))))
+
+        o, n = old_live.alias("o"), new_live.alias("n")
+        joined = o.join(n, F.col(f"o.{pk}") == F.col(f"n.{pk}"), "full_outer")
+        change = (
+            F.when(F.col(f"o.{pk}").isNull(), F.lit("insert"))
+            .when(F.col(f"n.{pk}").isNull(), F.lit("delete"))
+            .when(F.col("o._fp") != F.col("n._fp"), F.lit("update"))
+        )
+        # side selection by CHANGE TYPE, not per-column coalesce — an
+        # update whose new value is legitimately NULL must not leak the
+        # old value into the after-image
+        picked = [
+            F.when(F.col(f"n.{pk}").isNull(), F.col(f"o.{c}"))
+            .otherwise(F.col(f"n.{c}"))
+            .alias(c)
+            for c in cols
+        ]
+        return (
+            joined.withColumn(change_field, change)
+            .filter(F.col(change_field).isNotNull())
+            .select(*picked, change_field)
+        )
 
     # ---------------------------------------------------------------- write
 
@@ -868,6 +961,100 @@ class LakeTable:
             replace_buckets=frag,
             summary={"operation": "compact", "buckets": len(frag)},
         )
+
+    def expire_snapshots(self, keep_last: int = 10) -> dict:
+        """Expire snapshots older than the last ``keep_last``, deleting
+        their metadata and any data file no retained snapshot references —
+        the Iceberg ``expire_snapshots`` analog (the reference's Iceberg
+        destination relies on the same table-maintenance procedure family
+        as its rewrite_data_files call, IcebergConsumer.java:210-224).
+
+        Without expiration a long-running CDC table retains every
+        superseded copy-on-write file forever: storage grows with TOTAL
+        CHURN, not table size. With it, storage is bounded by
+        keep_last x table size.
+
+        Safety:
+        - Retained snapshots whose manifest is a files_parent ref chain
+          crossing the horizon are re-inlined (atomic doc replace) BEFORE
+          anything is deleted, so cold readers never chase an expired ref.
+        - Batch-id idempotence entries of expired snapshots disappear from
+          find_batch; callers must keep ``keep_last`` deeper than any replay
+          window that could resubmit old batches (the engine replays from
+          its checkpoint, which is always at current, so any positive
+          keep_last is safe for the engine's own resume path).
+        - Time travel below the horizon raises (snapshot doc gone).
+
+        Returns {"expired_snapshots": n, "removed_files": m}.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        versions = self.existing_versions()
+        horizon = self.current_version() - keep_last + 1
+        expired = [v for v in versions if v < horizon]
+        if not expired:
+            return {"expired_snapshots": 0, "removed_files": 0}
+        kept = [v for v in versions if v >= horizon]
+
+        # Phase 1: make every retained snapshot self-contained. Resolve
+        # fully (snapshot() walks ref chains while ancestors still exist),
+        # then rewrite docs that reference an expired parent. os.replace is
+        # atomic; the doc is value-identical so concurrent readers are safe.
+        expired_paths: dict[int, set[str]] = {
+            v: {f.path for f in self.snapshot(v).files} for v in expired
+        }
+        for v in kept:
+            snap = self.snapshot(v)  # resolves + caches
+            with open(_snapshot_path(self.root, v)) as fh:
+                doc = json.load(fh)
+            fp = doc.get("files_parent")
+            if fp is not None and fp < horizon:
+                new_doc = snap.to_json()
+                sidecar = None
+                if len(snap.files) >= MANIFEST_SPILL_MIN:
+                    name = f"files-v{v:08d}-reinline.parquet"
+                    sidecar = os.path.join(self.root, SNAPSHOT_DIR, name)
+                    _files_to_parquet(snap.files, sidecar)
+                    new_doc.pop("files")
+                    new_doc["files_parquet"] = name
+                path = _snapshot_path(self.root, v)
+                tmp = path + f".tmp-{uuid.uuid4().hex}"
+                with open(tmp, "w") as fh:
+                    json.dump(new_doc, fh)
+                    fh.flush()
+                    os.fsync(fh.fileno())
+                os.replace(tmp, path)
+                snap.ref_depth = 0
+
+        # Phase 2: delete data files referenced ONLY by expired snapshots.
+        referenced = {f.path for v in kept for f in self.snapshot(v).files}
+        removed = 0
+        for paths in expired_paths.values():
+            for rel in paths - referenced:
+                full = os.path.join(self.root, rel)
+                if os.path.exists(full):
+                    os.unlink(full)
+                    removed += 1
+                referenced.add(rel)  # count each at most once
+
+        # Phase 3: delete expired snapshot docs + their manifest sidecars.
+        for v in expired:
+            with open(_snapshot_path(self.root, v)) as fh:
+                doc = json.load(fh)
+            side = doc.get("files_parquet")
+            if side is not None:
+                sp = os.path.join(self.root, SNAPSHOT_DIR, side)
+                if os.path.exists(sp):
+                    os.unlink(sp)
+            os.unlink(_snapshot_path(self.root, v))
+            self._snap_cache.pop(v, None)
+        log_metric(
+            "expire_snapshots",
+            expired=len(expired),
+            removed_files=removed,
+            oldest_retained=horizon,
+        )
+        return {"expired_snapshots": len(expired), "removed_files": removed}
 
     def expire_orphans(self) -> int:
         """Delete data files not referenced by any snapshot (failed-commit
