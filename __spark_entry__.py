@@ -25,6 +25,13 @@ from airbyte_spark.operators.fuzzy_dedup import (
     simhash_groups,
 )
 from airbyte_spark.operators.similarity import knn_bruteforce, knn_ivf, knn_lsh
+from airbyte_spark.operators.text_quality import (
+    EMAIL_PAT,
+    PHONE_PAT,
+    contamination_check,
+    dup_ngram_fraction,
+    pii_scrub,
+)
 from airbyte_spark.plans import textsql as X
 from airbyte_spark.plans.derived import ORACLE_CHANGELOG_CTE, derived_changelog
 
@@ -339,6 +346,52 @@ def q_docs_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= 3)
     )
+
+
+def q_docs_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated n-gram fraction per document (Gopher/RefinedWeb-style
+    cross-corpus repetition signal) over the dup-injected documents — the
+    injected exact/near copies give the signal real positives."""
+    return dup_ngram_fraction(_dup_docs(spark, sf_dir), k=3)
+
+
+def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check (GPT-3/PaLM n-gram-overlap
+    decontamination): the 'benchmark' is the doc_id%50==0 slice of the
+    clean documents; the corpus is the dup-injected table minus those
+    original rows, so the injected copies are guaranteed leaks. The
+    benchmark side is broadcast — the corpus never shuffles."""
+    bench = _docs(spark, sf_dir).filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    corpus = _dup_docs(spark, sf_dir).filter(
+        ~((F.col("doc_id") < 1000000) & (F.col("doc_id") % 50 == 0))
+    )
+    return contamination_check(corpus, bench, k=5)
+
+
+def q_docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents with deterministically injected emails
+    (doc_id%7==0) and phone numbers (doc_id%11==0): per-doc redaction
+    counts + md5 of the scrubbed text. Pure narrow codegen projection."""
+    out = pii_scrub(_pii_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_emails", "n_phones", F.md5("scrubbed").alias("scrubbed_md5")
+    )
+
+
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + deterministic injected PII (mirrored in the oracle CTE):
+    an email appended for doc_id%7==0, a phone for doc_id%11==0 (both for
+    multiples of 77 — the scrub must handle multiple PII kinds per doc)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    email = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com now")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.lit(" call 555-"), (F.col("doc_id") % 10000 + 1000).cast("string"), F.lit(" today")),
+    ).otherwise(F.lit(""))
+    return d.select("doc_id", F.concat("text", email, phone).alias("text"))
 
 
 def q_tokens_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -711,6 +764,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_drop_list": q_dedup_drop_list,
         "docs_repetition": q_docs_repetition,
         "docs_salient_terms": q_docs_salient_terms,
+        "docs_dup_ngram_fraction": q_docs_dup_ngram_fraction,
+        "docs_contamination": q_docs_contamination,
+        "docs_pii_scrub": q_docs_pii_scrub,
         "tokens_histogram": q_tokens_histogram,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_neardup": q_dedup_embedding_neardup,
@@ -1023,6 +1079,54 @@ j AS (SELECT tf.doc_id, tf.word, tf.tf AS tf, dft.df AS df,
 SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
        CAST(rank AS INT) AS rank
 FROM j WHERE rank <= 3
+""",
+        "docs_dup_ngram_fraction": f"""
+WITH {_DUP_DOCS},
+w AS (SELECT doc_id, {_DOC_SH} AS sh FROM dup_docs),
+nz AS (SELECT doc_id, sh FROM w WHERE len(sh) > 0),
+gr AS (SELECT doc_id, md5(unnest(list_distinct(sh))) AS g FROM nz),
+freq AS (SELECT g, COUNT(*) AS gdf FROM gr GROUP BY g),
+agg AS (SELECT gr.doc_id, COUNT(*) AS n_grams,
+               SUM(CASE WHEN freq.gdf >= 2 THEN 1 ELSE 0 END) AS n_dup_grams
+        FROM gr JOIN freq USING (g) GROUP BY gr.doc_id)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_dup_grams AS BIGINT) AS n_dup_grams,
+       CAST((100 * n_dup_grams) // n_grams AS BIGINT) AS dup_pct
+FROM agg
+""",
+        "docs_contamination": f"""
+WITH {_DUP_DOCS},
+corpus AS (SELECT doc_id, text FROM dup_docs
+           WHERE NOT (doc_id < 1000000 AND doc_id % 50 = 0)),
+bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+cw AS (SELECT doc_id, {X.shingles_sql(_D, "text", 5)} AS sh FROM corpus),
+cg AS (SELECT doc_id, md5(unnest(list_distinct(sh))) AS g
+       FROM cw WHERE len(sh) > 0),
+bw AS (SELECT doc_id, {X.shingles_sql(_D, "text", 5)} AS sh FROM bench),
+bg AS (SELECT DISTINCT doc_id AS bench_id, md5(unnest(list_distinct(sh))) AS g
+       FROM bw WHERE len(sh) > 0)
+SELECT cg.doc_id AS doc_id,
+       CAST(COUNT(DISTINCT cg.g) AS BIGINT) AS n_overlap_grams,
+       CAST(COUNT(DISTINCT bg.bench_id) AS BIGINT) AS n_bench_docs
+FROM cg JOIN bg USING (g)
+GROUP BY cg.doc_id
+""",
+        "docs_pii_scrub": f"""
+WITH pii_docs AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 7 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+              ELSE '' END ||
+         CASE WHEN doc_id % 11 = 0
+              THEN ' call 555-' || CAST(doc_id % 10000 + 1000 AS VARCHAR) || ' today'
+              ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+       CAST({X.REGEXP_COUNT(_D, "text", EMAIL_PAT)} AS BIGINT) AS n_emails,
+       CAST({X.REGEXP_COUNT(_D, "text", PHONE_PAT)} AS BIGINT) AS n_phones,
+       md5({X.REGEXP_REPLACE_ALL(_D, X.REGEXP_REPLACE_ALL(_D, "text", EMAIL_PAT, "<EMAIL>"), PHONE_PAT, "<PHONE>")}) AS scrubbed_md5
+FROM pii_docs
 """,
         "tokens_histogram": f"""
 WITH ch AS ({_CH}),

@@ -111,6 +111,16 @@ def REGEXP_COUNT(d: str, col: str, pattern: str) -> str:
     return f"len(regexp_extract_all({col}, '{pattern}'))"
 
 
+def REGEXP_REPLACE_ALL(d: str, col: str, pattern: str, replacement: str) -> str:
+    """Replace ALL matches (Spark replaces globally by default; DuckDB needs
+    the explicit 'g' flag). Patterns must use character classes ([.]) rather
+    than backslash escapes so the single-quoted literal parses identically
+    in both engines."""
+    if d == SPARK:
+        return f"regexp_replace({col}, '{pattern}', '{replacement}')"
+    return f"regexp_replace({col}, '{pattern}', '{replacement}', 'g')"
+
+
 # ------------------------------------------------------------- text operators
 
 
