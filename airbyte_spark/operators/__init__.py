@@ -20,6 +20,11 @@ from airbyte_spark.operators.similarity import (
     knn_ivf_kmeans,
     knn_lsh,
 )
+from airbyte_spark.operators.text_quality import (
+    contamination_check,
+    dup_ngram_fraction,
+    pii_scrub,
+)
 
 __all__ = [
     "lww_dedup",
@@ -41,4 +46,7 @@ __all__ = [
     "knn_lsh",
     "knn_ivf",
     "knn_ivf_kmeans",
+    "dup_ngram_fraction",
+    "contamination_check",
+    "pii_scrub",
 ]

@@ -67,34 +67,50 @@ def schema_extract(
     airbyte-protocol.md:439-450) compiled for an ARBITRARY ``{name: type}``
     schema instead of a hard-coded envelope.
 
-    For every (name, type): pull ``$.name`` out of the JSON ``column`` with
-    ``get_json_object`` and safe-cast it — ``try_cast`` for scalars,
-    ``from_json`` for array/struct/map types — so a bad value yields NULL
-    in the typed column and the column NAME lands in ``errors_col``
-    (comma-joined, schema order), never a failed row. String targets take
-    the raw extract (no cast can fail). The whole compile is a single
-    narrow projection: per-field JsonTuple/get_json_object + cast, fused by
-    whole-stage codegen, zero Python on the data path.
+    Every scalar/string field is pulled in ONE ``from_json`` pass into an
+    all-string struct (a string field reproduces ``get_json_object``
+    semantics exactly: numbers/booleans render as their JSON text, missing
+    and JSON-null both yield NULL) — one JSON parse per row instead of one
+    per field, which dominates wide schemas. Each raw string is then
+    safe-cast with ``try_cast``, so a bad value yields NULL in the typed
+    column and the column NAME lands in ``errors_col`` (comma-joined,
+    schema order), never a failed row. String targets take the raw extract
+    (no cast can fail). Array/struct/map targets keep a per-field
+    ``get_json_object`` + ``from_json`` (a string struct field would NULL a
+    nested object instead of returning its JSON text). The whole compile is
+    a single narrow projection fused by whole-stage codegen, zero Python on
+    the data path.
     """
     keep = [c for c in df.columns if c != column]
+    scalar_names = [
+        n for n, t in schema.items()
+        if not t.lower().strip().startswith(("array", "struct", "map"))
+    ]
+    raw_struct = "_raw_" + errors_col
+    raws = F.from_json(
+        F.col(column),
+        ", ".join(f"`{n}` string" for n in scalar_names),
+    ).alias(raw_struct)
+    base = df.select(*keep, F.col(column), raws) if scalar_names else df
     typed = []
     errs = []
     for name, typ in schema.items():
-        raw = F.get_json_object(F.col(column), f"$.{name}")
         t = typ.lower().strip()
-        if t in ("string", "varchar", "text"):
-            typed.append(raw.alias(name))
-            continue
         if t.startswith(("array", "struct", "map")):
+            raw = F.get_json_object(F.col(column), f"$.{name}")
             cast = F.from_json(raw, typ)
         else:
+            raw = F.col(raw_struct).getField(name)
+            if t in ("string", "varchar", "text"):
+                typed.append(raw.alias(name))
+                continue
             cast = raw.try_cast(typ)
         typed.append(cast.alias(name))
         # raw present but cast failed -> this column's name joins the
         # record's error list (concat_ws drops the NULL non-errors)
         errs.append(F.when(raw.isNotNull() & cast.isNull(), F.lit(name)))
     err_expr = F.concat_ws(",", *errs) if errs else F.lit("")
-    return df.select(*keep, *typed, err_expr.alias(errors_col))
+    return base.select(*keep, *typed, err_expr.alias(errors_col))
 
 
 def sanitize_cursor(df: DataFrame, column: str) -> DataFrame:
