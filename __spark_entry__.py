@@ -394,6 +394,31 @@ def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.concat("text", email, phone).alias("text"))
 
 
+def q_tokens_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over the deduped final table: LWW winners (minus
+    tombstones) greedily packed into 2048-token training contexts within
+    each source partition. Per-bin rollup: docs, tokens, fill%. The window
+    is shard-local (PARTITION BY source_partition) — no global sort."""
+    from airbyte_spark.operators.packing import pack_stats
+
+    ch = _changelog(spark, sf_dir).drop("tokens")
+    winners = lww_dedup(ch, key="doc_id").filter(F.col("op") != "D")
+    return pack_stats(winners, capacity=2048, shard_cols=["source_partition"])
+
+
+def q_docs_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split over documents
+    (md5-prefix bucket mod 100 — engine- and order-independent), rolled up
+    per (split, lang): doc count + total chars."""
+    from airbyte_spark.operators.packing import hash_split
+
+    d = hash_split(_docs(spark, sf_dir))
+    return d.groupBy("split", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("chars_total"),
+    )
+
+
 def q_tokens_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global token-frequency histogram over the change stream (the vocab
     coverage / stop-token profile a training pipeline computes): explode ->
@@ -767,6 +792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dup_ngram_fraction": q_docs_dup_ngram_fraction,
         "docs_contamination": q_docs_contamination,
         "docs_pii_scrub": q_docs_pii_scrub,
+        "tokens_pack": q_tokens_pack,
+        "docs_hash_split": q_docs_hash_split,
         "tokens_histogram": q_tokens_histogram,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_neardup": q_dedup_embedding_neardup,
@@ -1127,6 +1154,33 @@ SELECT doc_id,
        CAST({X.REGEXP_COUNT(_D, "text", PHONE_PAT)} AS BIGINT) AS n_phones,
        md5({X.REGEXP_REPLACE_ALL(_D, X.REGEXP_REPLACE_ALL(_D, "text", EMAIL_PAT, "<EMAIL>"), PHONE_PAT, "<PHONE>")}) AS scrubbed_md5
 FROM pii_docs
+""",
+        "tokens_pack": _WINNERS
+        + """
+, w AS (SELECT source_partition, doc_id, n_tok FROM ranked
+        WHERE rn = 1 AND op != 'D'),
+c AS (SELECT source_partition, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source_partition ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM w),
+b AS (SELECT source_partition, CAST((cum - n_tok) // 2048 AS BIGINT) AS bin, n_tok
+      FROM c)
+SELECT source_partition, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+       CAST((100 * SUM(n_tok)) // 2048 AS BIGINT) AS fill_pct
+FROM b GROUP BY source_partition, bin
+""",
+        "docs_hash_split": f"""
+WITH s AS (
+  SELECT lang, length(text) AS chars,
+         ({X.hexn_sql(_D, "md5(CAST(doc_id AS VARCHAR))", 1, 8)}) % 100 AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(chars) AS BIGINT) AS chars_total
+FROM s GROUP BY 1, 2
 """,
         "tokens_histogram": f"""
 WITH ch AS ({_CH}),

@@ -20,6 +20,7 @@ from airbyte_spark.operators.similarity import (
     knn_ivf_kmeans,
     knn_lsh,
 )
+from airbyte_spark.operators.packing import hash_split, pack_sequences, pack_stats
 from airbyte_spark.operators.text_quality import (
     contamination_check,
     dup_ngram_fraction,
@@ -49,4 +50,7 @@ __all__ = [
     "dup_ngram_fraction",
     "contamination_check",
     "pii_scrub",
+    "pack_sequences",
+    "pack_stats",
+    "hash_split",
 ]

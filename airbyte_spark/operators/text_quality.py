@@ -49,7 +49,8 @@ def doc_grams(
 
 
 def dup_ngram_fraction(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3,
+    cache_grams: bool = True,
 ) -> DataFrame:
     """Duplicated n-gram fraction per document (Gopher/RefinedWeb-style
     repetition-across-corpus signal): of a document's distinct k-grams, how
@@ -58,8 +59,16 @@ def dup_ngram_fraction(
 
     Plan shape: doc_grams (map-side) -> groupBy g count (partial-combined;
     the gram-frequency table) -> join back on g -> per-doc agg. The join is
-    an equi-join on the digest; AQE handles skewed boilerplate grams."""
+    an equi-join on the digest; AQE handles skewed boilerplate grams.
+
+    ``cache_grams`` persists the gram table: both the frequency aggregate
+    and the join probe side consume it, and the shingle+md5 construction
+    behind it is the query's dominant CPU — without the cache Spark
+    recomputes it once per side (same trade as fuzzy_dedup's band cache).
+    Pass False for one-shot pipelines that must not retain cache."""
     g = doc_grams(df, id_col, text_col, k)
+    if cache_grams:
+        g = g.persist()
     freq = g.groupBy("g").agg(F.count("*").alias("gdf"))
     return (
         g.join(freq, "g")
