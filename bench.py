@@ -15,9 +15,11 @@ Two parts:
    (local[N] and local[4N]) on the SAME pre-generated input — the sandbox
    evidence for the >=0.8 N->4N scaling-efficiency rule (BASELINE.md).
    Both levels run CONCURRENTLY on disjoint pinned CPU sets in lock-step
-   barrier-released passes; the scored efficiency is the MEDIAN of
-   per-pass ratios (each pass self-paired in time), and any result >1.05
-   is explicitly flagged UNPHYSICAL rather than reported as a win.
+   barrier-released passes; the first SPARK_GRAFT_BENCH_WARMUP passes
+   (default 1) are JIT warm-up and unscored; the scored efficiency is the
+   MEDIAN of the remaining per-pass ratios (each pass self-paired in
+   time), and any result >1.05 is explicitly flagged UNPHYSICAL rather
+   than reported as a win.
    Disable with SPARK_GRAFT_BENCH_SCALING=0 (then only local[CPUS] runs).
 """
 
@@ -368,15 +370,23 @@ def main() -> None:
     # lucky/unlucky noise phase cannot push past 1.0 (the r2 best-of
     # artifact). Per-level best-of remains the headline THROUGHPUT.
     n_runs = max(4, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4")))
+    # JIT warm-up passes run under the same barrier protocol but are NOT
+    # scored: pass 1 measures a cold JVM on both levels and (as the ramp in
+    # per_pass_efficiency shows) the two levels warm at different rates, so
+    # including it makes the median depend on warm-up behavior instead of
+    # steady state — a long-running executor never replays cold.
+    warmup = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")))
     if scaling:
-        r_lo, r_hi, ratios = _run_paired_passes(n_runs)
+        r_lo, r_hi, ratios = _run_paired_passes(warmup + n_runs)
         factor = SCALE_HI / SCALE_LO
         per_pass_eff = [round(r / factor, 3) for r in ratios]
-        eff = round(_median(ratios) / factor, 3)
+        scored = ratios[warmup:]
+        eff = round(_median(scored) / factor, 3)
         cdc[f"local{SCALE_LO}"] = r_lo
         cdc[f"local{SCALE_HI}"] = r_hi
         cdc["per_pass_efficiency"] = per_pass_eff
-        cdc["speedup"] = round(_median(ratios), 3)
+        cdc["warmup_passes_unscored"] = warmup
+        cdc["speedup"] = round(_median(scored), 3)
         cdc["scaling_efficiency"] = eff
         if eff > 1.05:
             # unphysical — super-linear N->4N cannot be real on this box;
