@@ -102,3 +102,34 @@ def test_rolling_hash_matches(spark):
     s = _spark_vals(spark, texts, X.rolling_hash_sql(X.SPARK, "text"))
     d = _duck_vals(texts, X.rolling_hash_sql(X.DUCKDB, "text"))
     assert s == d
+
+
+def _pii_texts(n: int, seed: int) -> list[str]:
+    rng = random.Random(seed)
+    bits = [
+        "plain words here", "a1@b2.com", "x@y.io and z9@q.org", "555-123",
+        "not-an-email @ nope", "call 555-9 or 555-12345", "UPPER@CASE.COM",
+        "", "café 東京", "trailing dot a@b.c.", "555-", "u@d.net555-1",
+    ]
+    return [" ".join(rng.choice(bits) for _ in range(rng.randint(0, 5))) for _ in range(n)]
+
+
+def test_regexp_count_matches(spark):
+    from airbyte_spark.operators.text_quality import EMAIL_PAT, PHONE_PAT
+
+    texts = _pii_texts(64, seed=11)
+    for pat in (EMAIL_PAT, PHONE_PAT):
+        s = _spark_vals(spark, texts, X.REGEXP_COUNT(X.SPARK, "text", pat))
+        d = _duck_vals(texts, X.REGEXP_COUNT(X.DUCKDB, "text", pat))
+        assert s == d
+
+
+def test_regexp_replace_all_matches(spark):
+    from airbyte_spark.operators.text_quality import EMAIL_PAT, PHONE_PAT
+
+    texts = _pii_texts(64, seed=13)
+    se = X.REGEXP_REPLACE_ALL(X.SPARK, "text", EMAIL_PAT, "<EMAIL>")
+    de = X.REGEXP_REPLACE_ALL(X.DUCKDB, "text", EMAIL_PAT, "<EMAIL>")
+    s = _spark_vals(spark, texts, X.REGEXP_REPLACE_ALL(X.SPARK, se, PHONE_PAT, "<PHONE>"))
+    d = _duck_vals(texts, X.REGEXP_REPLACE_ALL(X.DUCKDB, de, PHONE_PAT, "<PHONE>"))
+    assert s == d
