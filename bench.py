@@ -430,7 +430,14 @@ def main() -> None:
             "write_ratio": mor["write_ratio"],
         }
     compact = dict(result, cdc_replay=compact_cdc)
-    print(json.dumps(compact, separators=(",", ":")), flush=True)
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        # the round driver keeps only a ~2000-char stdout tail; degrade
+        # per-query precision before the line can be truncated mid-JSON
+        # (round 1's was) — full 3-decimal detail stays in BENCH_DETAIL.json
+        compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
