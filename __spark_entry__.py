@@ -521,6 +521,33 @@ def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal as-of lookup over the change stream: for every doc and each
+    probe LSN (2500/5000/7500), the version active at-or-before that
+    instant — union + single key-partitioned carry-forward window
+    (operators/asof.py), never a V×P interval join. Probes before a doc's
+    first event keep NULLs (left semantics); tombstones surface as
+    active_op='D', not a resurrected older image."""
+    from airbyte_spark.operators.asof import asof_enrich
+
+    ch = _changelog(spark, sf_dir).select("doc_id", "lsn", "op", "n_tok")
+    probes = (
+        ch.select("doc_id")
+        .distinct()
+        .select(
+            "doc_id",
+            F.explode(F.array(F.lit(2500), F.lit(5000), F.lit(7500))).alias("lsn"),
+        )
+        .select("doc_id", F.col("lsn").cast("long").alias("lsn"))
+    )
+    out = asof_enrich(probes, ch, key="doc_id", ts_col="lsn",
+                      version_cols=["lsn", "op", "n_tok"])
+    return out.select(
+        "doc_id", "lsn", "active_lsn", "active_op",
+        F.col("active_n_tok").cast("long").alias("active_n_tok"),
+    )
+
+
 def q_cdc_snapshot_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-then-tail in one plan (MySqlInitialReadUtil.java:171-180):
     a derived initial snapshot (lsn=0, one row per user-keyed doc) unioned
@@ -779,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_checkpoint_agg": q_cdc_checkpoint_agg,
         "cdc_tombstone_stats": q_cdc_tombstone_stats,
         "cdc_snapshot_then_tail": q_cdc_snapshot_then_tail,
+        "cdc_asof_enrich": q_cdc_asof_enrich,
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_unnest_tokens": q_cdc_unnest_tokens,
         "cdc_normalize_children": q_cdc_normalize_children,
@@ -1106,6 +1134,27 @@ j AS (SELECT tf.doc_id, tf.word, tf.tf AS tf, dft.df AS df,
 SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
        CAST(rank AS INT) AS rank
 FROM j WHERE rank <= 3
+""",
+        "cdc_asof_enrich": f"""
+WITH ch AS ({_CH}),
+pp AS (SELECT doc_id, CAST(unnest([2500, 5000, 7500]) AS BIGINT) AS lsn
+       FROM (SELECT DISTINCT doc_id FROM ch)),
+u AS (
+  SELECT doc_id, lsn AS ts, 0 AS is_probe,
+         {{'lsn': lsn, 'op': op, 'n_tok': n_tok}} AS v,
+         CAST(NULL AS BIGINT) AS probe_lsn
+  FROM ch
+  UNION ALL
+  SELECT doc_id, lsn AS ts, 1, NULL, lsn FROM pp
+),
+c AS (SELECT doc_id, is_probe, probe_lsn,
+             last_value(v IGNORE NULLS) OVER (
+                 PARTITION BY doc_id ORDER BY ts, is_probe
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS av
+      FROM u)
+SELECT doc_id, probe_lsn AS lsn, av.lsn AS active_lsn, av.op AS active_op,
+       CAST(av.n_tok AS BIGINT) AS active_n_tok
+FROM c WHERE is_probe = 1
 """,
         "docs_dup_ngram_fraction": f"""
 WITH {_DUP_DOCS},

@@ -9,6 +9,7 @@ from airbyte_spark.operators.fuzzy_dedup import (
     ngram_jaccard_pairs,
     simhash_groups,
 )
+from airbyte_spark.operators.asof import asof_enrich
 from airbyte_spark.operators.components import connected_components, dedup_components
 from airbyte_spark.operators.metadata import inject_cdc_metadata
 from airbyte_spark.operators.merge import merge_upsert, merge_upsert_full, merge_upsert_mor
@@ -53,4 +54,5 @@ __all__ = [
     "pack_sequences",
     "pack_stats",
     "hash_split",
+    "asof_enrich",
 ]
