@@ -73,31 +73,71 @@ class CatalogEngine:
         self,
         changelogs: dict[str, DataFrame | str],
         max_batches: int | None = None,
+        concurrency: int = 1,
     ) -> dict[str, dict]:
-        """Sequential per-stream incremental sync (the reference's stream
-        loop). Returns per-stream replay stats; consolidated state is
-        refreshed after EVERY stream so a crash mid-catalog leaves the
-        finished streams' progress recorded. Unknown stream names raise;
-        streams without a changelog entry are skipped (unselected in the
-        configured catalog)."""
+        """Per-stream incremental sync. Default is the reference's
+        sequential stream loop; ``concurrency > 1`` runs streams in a
+        bounded thread pool — the stream-level analog of the reference's
+        concurrent source (airbyte_cdk/python/airbyte_cdk/sources/
+        concurrent_source/concurrent_source.py:74-146, a thread pool over
+        per-stream partition readers). Spark schedules concurrent actions
+        from multiple threads natively; each stream is an independent
+        engine (own table, own checkpoint), so no state is shared beyond
+        the consolidated doc, which is written under a lock.
+
+        Returns per-stream replay stats; consolidated state is refreshed
+        after EVERY stream completion so a crash mid-catalog leaves the
+        finished streams' progress recorded. Failure isolation (both
+        modes, matching the reference contract that one stream's failure
+        never invalidates the others): every selected stream is attempted;
+        failures land in the result as ``{"error": ...}`` and ONE
+        RuntimeError naming the failed streams is raised at the end, with
+        the successful streams' commits and state intact. Unknown stream
+        names raise; streams without a changelog entry are skipped
+        (unselected in the configured catalog)."""
+        import threading
+
         unknown = set(changelogs) - set(self.engines)
         if unknown:
             raise KeyError(f"changelog for unconfigured stream(s): {sorted(unknown)}")
+        selected = [s.name for s in self.streams if s.name in changelogs]
         results: dict[str, dict] = {}
+        lock = threading.Lock()
         t0 = time.monotonic()
-        for s in self.streams:  # deterministic catalog order
-            if s.name not in changelogs:
-                continue
-            stats = self.engines[s.name].replay(
-                changelogs[s.name], max_batches=max_batches
-            )
-            results[s.name] = stats
-            self._write_state()
+
+        def _one(name: str) -> None:
+            try:
+                stats = self.engines[name].replay(
+                    changelogs[name], max_batches=max_batches
+                )
+            except Exception as e:  # isolate: other streams keep their progress
+                with lock:
+                    results[name] = {"error": f"{type(e).__name__}: {e}"}
+                return
+            with lock:
+                results[name] = stats
+                self._write_state()
+
+        if concurrency <= 1:
+            for name in selected:  # deterministic catalog order
+                _one(name)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=concurrency) as pool:
+                list(pool.map(_one, selected))
         log_metric(
             "catalog_sync_done",
             streams=len(results),
+            failed=sum(1 for r in results.values() if "error" in r),
             wall_ms=int((time.monotonic() - t0) * 1000),
         )
+        failed = sorted(n for n, r in results.items() if "error" in r)
+        if failed:
+            raise RuntimeError(
+                f"catalog sync failed for stream(s) {failed}: "
+                + "; ".join(f"{n}: {results[n]['error']}" for n in failed)
+            )
         return results
 
     # ----------------------------------------------------------------- state

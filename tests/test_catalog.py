@@ -101,3 +101,48 @@ def test_catalog_rejects_unknown_stream(spark, workdir):
     cat, seeds, paths = _mk(spark, workdir)
     with pytest.raises(KeyError):
         cat.sync({"nope": paths["s_a"]})
+
+
+def test_catalog_concurrent_sync_golden(spark, workdir):
+    """concurrency=2: both streams replay in parallel threads against the
+    shared SparkSession and still land exactly on golden, with the
+    consolidated state doc holding both final states."""
+    cat, seeds, paths = _mk(spark, workdir)
+    cat.bootstrap(seeds)
+    results = cat.sync(paths, concurrency=2)
+    assert set(results) == {"s_a", "s_b"}
+    exp = _goldens(spark)
+    for name in ("s_a", "s_b"):
+        assert_frames_equal(final_as_pandas(cat.engine(name).read_final()), exp[name])
+    by_name = {
+        e["stream_descriptor"]["name"]: e["stream_state"]
+        for e in cat.state()["global"]["stream_states"]
+    }
+    assert by_name["s_a"]["shared_state"]["max_committed_lsn"] == CFG_A.n_events
+    assert by_name["s_b"]["shared_state"]["max_committed_lsn"] == CFG_B.n_events
+
+
+def test_catalog_failure_isolation(spark, workdir):
+    """One stream's failure never invalidates the others (both modes): the
+    healthy stream commits to golden and its state is recorded; the sync
+    raises ONE error naming the failed stream, which resumes cleanly once
+    its input is fixed."""
+    import pytest
+
+    for concurrency in (1, 2):
+        wd = os.path.join(workdir, f"c{concurrency}")
+        cat, seeds, paths = _mk(spark, wd)
+        cat.bootstrap(seeds)
+        broken = dict(paths, s_a=os.path.join(wd, "does-not-exist"))
+        with pytest.raises(RuntimeError, match="s_a"):
+            cat.sync(broken, concurrency=concurrency)
+        exp = _goldens(spark)
+        assert_frames_equal(final_as_pandas(cat.engine("s_b").read_final()), exp["s_b"])
+        by_name = {
+            e["stream_descriptor"]["name"]: e["stream_state"]
+            for e in cat.state()["global"]["stream_states"]
+        }
+        assert by_name["s_b"]["shared_state"]["max_committed_lsn"] == CFG_B.n_events
+        # fix the input: the failed stream syncs from scratch, golden too
+        cat.sync({"s_a": paths["s_a"]}, concurrency=concurrency)
+        assert_frames_equal(final_as_pandas(cat.engine("s_a").read_final()), exp["s_a"])
