@@ -89,12 +89,18 @@ class CatalogEngine:
         after EVERY stream completion so a crash mid-catalog leaves the
         finished streams' progress recorded. Failure isolation (both
         modes, matching the reference contract that one stream's failure
-        never invalidates the others): every selected stream is attempted;
-        failures land in the result as ``{"error": ...}`` and ONE
+        never invalidates the others): every selected stream is attempted
+        — including when a consolidated-state WRITE fails (the stream's
+        own checkpoint is already durable; only the summary doc is stale).
+        Failures land in the result as ``{"error": ...}`` and ONE
         RuntimeError naming the failed streams is raised at the end, with
-        the successful streams' commits and state intact. Unknown stream
-        names raise; streams without a changelog entry are skipped
-        (unselected in the configured catalog)."""
+        the successful streams' commits and state intact; the original
+        exception objects are preserved on its ``stream_errors`` dict (and
+        the first is its ``__cause__``) so callers can still dispatch on
+        typed errors like ``OffsetLossError``/``CursorChangeError`` to run
+        the documented resync/soft-reset recovery. Unknown stream names
+        raise; streams without a changelog entry are skipped (unselected
+        in the configured catalog)."""
         import threading
 
         unknown = set(changelogs) - set(self.engines)
@@ -102,6 +108,7 @@ class CatalogEngine:
             raise KeyError(f"changelog for unconfigured stream(s): {sorted(unknown)}")
         selected = [s.name for s in self.streams if s.name in changelogs]
         results: dict[str, dict] = {}
+        errors: dict[str, Exception] = {}
         lock = threading.Lock()
         t0 = time.monotonic()
 
@@ -110,13 +117,13 @@ class CatalogEngine:
                 stats = self.engines[name].replay(
                     changelogs[name], max_batches=max_batches
                 )
+                with lock:
+                    results[name] = stats
+                    self._write_state()
             except Exception as e:  # isolate: other streams keep their progress
                 with lock:
                     results[name] = {"error": f"{type(e).__name__}: {e}"}
-                return
-            with lock:
-                results[name] = stats
-                self._write_state()
+                    errors[name] = e
 
         if concurrency <= 1:
             for name in selected:  # deterministic catalog order
@@ -129,15 +136,17 @@ class CatalogEngine:
         log_metric(
             "catalog_sync_done",
             streams=len(results),
-            failed=sum(1 for r in results.values() if "error" in r),
+            failed=len(errors),
             wall_ms=int((time.monotonic() - t0) * 1000),
         )
-        failed = sorted(n for n, r in results.items() if "error" in r)
-        if failed:
-            raise RuntimeError(
+        if errors:
+            failed = sorted(errors)
+            err = RuntimeError(
                 f"catalog sync failed for stream(s) {failed}: "
                 + "; ".join(f"{n}: {results[n]['error']}" for n in failed)
             )
+            err.stream_errors = errors  # typed originals for caller dispatch
+            raise err from errors[failed[0]]
         return results
 
     # ----------------------------------------------------------------- state

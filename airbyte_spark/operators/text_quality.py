@@ -121,9 +121,14 @@ def contamination_check(
 
 # PII patterns, shared with the DuckDB oracle verbatim. Character classes
 # only ([.] not \.) so the literal parses identically in Spark SQL (Java
-# regex) and DuckDB (RE2) string syntax.
-EMAIL_PAT = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
-PHONE_PAT = "555-[0-9]+"
+# regex) and DuckDB (RE2) string syntax; cross-engine equivalence is pinned
+# in tests/test_textsql_dialects.py. Coverage: mixed-case emails with
+# dot/underscore/percent/plus/hyphen local parts and multi-label domains;
+# phones as NNN-NNN-NNNN / (NNN) NNN-NNNN / bare 555-N+ (a leading country
+# code like "+1 " is outside the match and survives — redact-the-number
+# semantics, not full phrase removal).
+EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PHONE_PAT = "[(]?[0-9]{3}[)]?[ -][0-9]{3}[ -]?[0-9]{4}|555-[0-9]+"
 
 
 def pii_scrub(

@@ -115,7 +115,15 @@ def REGEXP_REPLACE_ALL(d: str, col: str, pattern: str, replacement: str) -> str:
     """Replace ALL matches (Spark replaces globally by default; DuckDB needs
     the explicit 'g' flag). Patterns must use character classes ([.]) rather
     than backslash escapes so the single-quoted literal parses identically
-    in both engines."""
+    in both engines. Guarded against the cross-engine traps: a single quote
+    or backslash would break/diverge the SQL literal, and '$' in the
+    replacement is a group reference in Java regex but literal in RE2 —
+    all three are rejected rather than silently diverging."""
+    for s, what in ((pattern, "pattern"), (replacement, "replacement")):
+        if "'" in s or "\\" in s:
+            raise ValueError(f"{what} must not contain quotes/backslashes: {s!r}")
+    if "$" in replacement:
+        raise ValueError(f"replacement must not contain '$' (Java group ref): {replacement!r}")
     if d == SPARK:
         return f"regexp_replace({col}, '{pattern}', '{replacement}')"
     return f"regexp_replace({col}, '{pattern}', '{replacement}', 'g')"

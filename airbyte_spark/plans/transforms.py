@@ -81,10 +81,18 @@ def schema_extract(
     a single narrow projection fused by whole-stage codegen, zero Python on
     the data path.
     """
+    import re
+
     keep = [c for c in df.columns if c != column]
+    # Only plain-identifier names ride the shared from_json struct: a name
+    # containing '.' means nested-path traversal under get_json_object
+    # semantics (NOT a literal top-level key), and a backtick would break
+    # the generated DDL — both keep the legacy per-field path below.
+    plain = re.compile(r"^[A-Za-z0-9_]+$")
     scalar_names = [
         n for n, t in schema.items()
-        if not t.lower().strip().startswith(("array", "struct", "map"))
+        if plain.match(n)
+        and not t.lower().strip().startswith(("array", "struct", "map"))
     ]
     raw_struct = "_raw_" + errors_col
     raws = F.from_json(
@@ -96,15 +104,21 @@ def schema_extract(
     errs = []
     for name, typ in schema.items():
         t = typ.lower().strip()
-        if t.startswith(("array", "struct", "map")):
-            raw = F.get_json_object(F.col(column), f"$.{name}")
-            cast = F.from_json(raw, typ)
-        else:
+        if name in scalar_names:
             raw = F.col(raw_struct).getField(name)
             if t in ("string", "varchar", "text"):
                 typed.append(raw.alias(name))
                 continue
             cast = raw.try_cast(typ)
+        else:  # complex type, dotted path, or non-identifier name
+            raw = F.get_json_object(F.col(column), f"$.{name}")
+            if t.startswith(("array", "struct", "map")):
+                cast = F.from_json(raw, typ)
+            elif t in ("string", "varchar", "text"):
+                typed.append(raw.alias(name))
+                continue
+            else:
+                cast = raw.try_cast(typ)
         typed.append(cast.alias(name))
         # raw present but cast failed -> this column's name joins the
         # record's error list (concat_ws drops the NULL non-errors)

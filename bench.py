@@ -437,6 +437,15 @@ def main() -> None:
         # (round 1's was) — full 3-decimal detail stays in BENCH_DETAIL.json
         compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
         line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        # still too long (query count keeps growing per round): drop the
+        # per-query map entirely rather than risk a mid-JSON cut; the full
+        # timings remain in BENCH_DETAIL.json
+        compact["queries"] = {
+            "suite_total_s": round(sum(timings.values()), 2),
+            "n_queries": len(timings),
+        }
+        line = json.dumps(compact, separators=(",", ":"))
     print(line, flush=True)
 
 

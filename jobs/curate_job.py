@@ -62,10 +62,22 @@ def main(argv: list[str] | None = None) -> int:
     docs = spark.read.parquet(args.input)
     report: dict = {"input_docs": docs.count()}
 
+    def _stage(df):
+        """Persist each stage boundary: every reported counter and the next
+        stage's lineage would otherwise re-execute the whole pipeline from
+        the scan (the jaccard-verify join alone dominates a re-run)."""
+        nonlocal docs
+        old, docs = docs, df.persist()
+        n = docs.count()  # materialize before dropping the parent
+        old.unpersist()
+        return n
+
+    docs = docs.persist()
+
     if not args.no_exact_dedup:
         keep = docs.groupBy(F.md5(tc).alias("_d")).agg(F.min(ic).alias(ic))
-        docs = docs.join(keep.select(ic), ic)  # digest groupBy: 32-byte keys
-        report["after_exact_dedup"] = docs.count()
+        # digest groupBy: 32-byte keys shuffle, never document text
+        report["after_exact_dedup"] = _stage(docs.join(keep.select(ic), ic))
 
     if args.jaccard_pct > 0:
         pairs = ngram_jaccard_pairs(
@@ -76,17 +88,19 @@ def main(argv: list[str] | None = None) -> int:
         drops = cc.filter(F.col("doc_id") != F.col("component_id")).select(
             F.col("doc_id").alias(ic)
         )
-        docs = docs.join(drops, ic, "left_anti")
-        report["after_fuzzy_dedup"] = docs.count()
+        report["after_fuzzy_dedup"] = _stage(docs.join(drops, ic, "left_anti"))
 
     if args.max_dup_ngram_pct < 100 or args.min_words > 0:
-        sig = dup_ngram_fraction(docs, id_col=ic, text_col=tc)
-        bad = sig.filter(F.col("dup_pct") > args.max_dup_ngram_pct).select(
-            F.col("doc_id").alias(ic)
-        )
-        n_words = F.size(F.split(F.col(tc), " "))
-        docs = docs.join(bad, ic, "left_anti").filter(n_words >= args.min_words)
-        report["after_quality"] = docs.count()
+        q = docs
+        if args.max_dup_ngram_pct < 100:  # 100 disables the (expensive) signal
+            sig = dup_ngram_fraction(docs, id_col=ic, text_col=tc)
+            bad = sig.filter(F.col("dup_pct") > args.max_dup_ngram_pct).select(
+                F.col("doc_id").alias(ic)
+            )
+            q = q.join(bad, ic, "left_anti")
+        if args.min_words > 0:
+            q = q.filter(F.size(F.split(F.col(tc), " ")) >= args.min_words)
+        report["after_quality"] = _stage(q)
 
     if not args.no_pii_scrub:
         scrubbed = pii_scrub(docs, id_col=ic, text_col=tc)

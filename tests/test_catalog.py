@@ -134,8 +134,12 @@ def test_catalog_failure_isolation(spark, workdir):
         cat, seeds, paths = _mk(spark, wd)
         cat.bootstrap(seeds)
         broken = dict(paths, s_a=os.path.join(wd, "does-not-exist"))
-        with pytest.raises(RuntimeError, match="s_a"):
+        with pytest.raises(RuntimeError, match="s_a") as ei:
             cat.sync(broken, concurrency=concurrency)
+        # typed originals preserved for caller dispatch (e.g. OffsetLossError)
+        assert set(ei.value.stream_errors) == {"s_a"}
+        assert isinstance(ei.value.stream_errors["s_a"], Exception)
+        assert ei.value.__cause__ is ei.value.stream_errors["s_a"]
         exp = _goldens(spark)
         assert_frames_equal(final_as_pandas(cat.engine("s_b").read_final()), exp["s_b"])
         by_name = {

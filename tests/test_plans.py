@@ -255,3 +255,17 @@ def test_shingle_construction_stays_above_spread_exchange(spark, tmp_path):
     assert "slice(" not in filt.group(1) and "array_join" not in filt.group(1), filt.group(1)
     proj = re.findall(r"\(\d+\) Project\s*\n(?:.*\n)*?Output.*?: (.*)", plan)
     assert any("array_join" in p or "slice(" in p for p in proj), plan
+
+
+def test_schema_extract_dotted_name_traverses_nested(spark):
+    """A schema field name containing '.' keeps get_json_object nested-path
+    semantics (it is NOT a literal top-level key lookup)."""
+    from airbyte_spark.plans.transforms import schema_extract
+
+    df = spark.createDataFrame(
+        [('{"a": {"b": 5}, "plain": 7}',)], "j string"
+    )
+    out = schema_extract(df, "j", {"a.b": "bigint", "plain": "bigint"}).collect()[0]
+    assert out["a.b"] == 5
+    assert out["plain"] == 7
+    assert out["_ab_errors"] == ""

@@ -89,3 +89,31 @@ def test_pii_scrub_no_shuffle(spark):
     d = _docs(spark, [(1, "x y z")])
     plan = pii_scrub(d)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pii_scrub_realworld_forms(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "write Bob.Smith@Example.COM today"),
+            (2, "dial (212) 867-5309 or 212-867-5309 now"),
+            (3, "odd a_b+c%d@mail-host.co.uk form"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(d).collect()}
+    assert out[1]["n_emails"] == 1 and "<EMAIL>" in out[1]["scrubbed"]
+    assert out[2]["n_phones"] == 2
+    assert out[2]["scrubbed"] == "dial <PHONE> or <PHONE> now"
+    assert out[3]["n_emails"] == 1 and "<EMAIL>" in out[3]["scrubbed"]
+
+
+def test_regexp_replace_all_rejects_unsafe_tokens():
+    import pytest
+
+    from airbyte_spark.plans import textsql as X
+
+    for bad in ("it's", "a\\b"):
+        with pytest.raises(ValueError):
+            X.REGEXP_REPLACE_ALL(X.SPARK, "text", bad, "ok")
+    with pytest.raises(ValueError):
+        X.REGEXP_REPLACE_ALL(X.SPARK, "text", "ok", "$1")
