@@ -419,6 +419,24 @@ def q_docs_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word-bigram frequency profile (the counting shape behind
+    n-gram LM stats and BPE merge selection): adjacent-word pairs from
+    every document, globally counted, frequent pairs kept. Map-side
+    shingle construction (k=2, same parallel-side-of-exchange gate as the
+    LSH queries) -> explode -> one partial-combined hash aggregate; the
+    shuffle carries <= distinct-bigram rows per mapper."""
+    from airbyte_spark.operators.fuzzy_dedup import _shingled
+
+    w = _shingled(_docs(spark, sf_dir), "doc_id", "text", k=2)
+    return (
+        w.select(F.explode("sh").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= 5)
+    )
+
+
 def q_tokens_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global token-frequency histogram over the change stream (the vocab
     coverage / stop-token profile a training pipeline computes): explode ->
@@ -820,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dup_ngram_fraction": q_docs_dup_ngram_fraction,
         "docs_contamination": q_docs_contamination,
         "docs_pii_scrub": q_docs_pii_scrub,
+        "docs_word_bigrams": q_docs_word_bigrams,
         "tokens_pack": q_tokens_pack,
         "docs_hash_split": q_docs_hash_split,
         "tokens_histogram": q_tokens_histogram,
@@ -1203,6 +1222,11 @@ SELECT doc_id,
        CAST({X.REGEXP_COUNT(_D, "text", PHONE_PAT)} AS BIGINT) AS n_phones,
        md5({X.REGEXP_REPLACE_ALL(_D, X.REGEXP_REPLACE_ALL(_D, "text", EMAIL_PAT, "<EMAIL>"), PHONE_PAT, "<PHONE>")}) AS scrubbed_md5
 FROM pii_docs
+""",
+        "docs_word_bigrams": f"""
+WITH w AS (SELECT doc_id, {X.shingles_sql(_D, "text", 2)} AS sh FROM documents),
+u AS (SELECT unnest(sh) AS bigram FROM w WHERE len(sh) > 0)
+SELECT bigram, count(*) AS freq FROM u GROUP BY bigram HAVING count(*) >= 5
 """,
         "tokens_pack": _WINNERS
         + """
