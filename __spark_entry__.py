@@ -32,6 +32,7 @@ from airbyte_spark.operators.text_quality import (
     dup_ngram_fraction,
     pii_scrub,
 )
+from airbyte_spark.operators import mixing as _mixing
 from airbyte_spark.plans import textsql as X
 from airbyte_spark.plans.derived import ORACLE_CHANGELOG_CTE, derived_changelog
 
@@ -437,6 +438,41 @@ def q_docs_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: language re-weighting for the mixture query: milli-weights (1000 = 1.0
+#: epoch). en is downsampled, de oversampled 2.5x, es kept exactly, fr and
+#: zh fractionally oversampled — every arithmetic branch exercised.
+_MIX_WEIGHTS = {"en": 500, "de": 2500, "es": 1000, "fr": 1300, "zh": 2000}
+_TOKEN_BUDGET = 700  # per-source token cap (~half of each source's tokens)
+
+
+def q_corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted mixture sampling (GPT-3-style dataset
+    re-weighting): each document is emitted floor(w) times plus once more
+    iff its md5 sampling bucket falls under the fractional weight of its
+    language. Pure narrow pipeline — zero shuffles, zero RNG (plan-gated in
+    tests/test_mixing.py); membership is a function of doc_id alone."""
+    from airbyte_spark.operators.mixing import mixture_sample
+
+    out = mixture_sample(_docs(spark, sf_dir), _MIX_WEIGHTS, group_col="lang")
+    return out.select("doc_id", "lang", "source", "repeat_idx")
+
+
+def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budget: take documents in canonical md5-hash order
+    while the source's running token total stays <= budget. Spark side is
+    a two-phase distributed prefix sum (per-(source,bucket) partials ->
+    tiny offset window -> broadcast join + bucket-local running sum) so no
+    partition ever sorts more than 1/256 of a source; the oracle is the
+    naive single-window form — provably identical because the bucket is a
+    prefix of the order key."""
+    from airbyte_spark.operators.mixing import token_budget_sample
+
+    d = _docs(spark, sf_dir).withColumn(
+        "n_tok", F.size(F.split("text", " ")).cast("long")
+    )
+    return token_budget_sample(d, budget=_TOKEN_BUDGET)
+
+
 def q_tokens_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global token-frequency histogram over the change stream (the vocab
     coverage / stop-token profile a training pipeline computes): explode ->
@@ -839,6 +875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_contamination": q_docs_contamination,
         "docs_pii_scrub": q_docs_pii_scrub,
         "docs_word_bigrams": q_docs_word_bigrams,
+        "corpus_mix_sample": q_corpus_mix_sample,
+        "corpus_token_budget": q_corpus_token_budget,
         "tokens_pack": q_tokens_pack,
         "docs_hash_split": q_docs_hash_split,
         "tokens_histogram": q_tokens_histogram,
@@ -1243,6 +1281,14 @@ SELECT source_partition, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST((100 * SUM(n_tok)) // 2048 AS BIGINT) AS fill_pct
 FROM b GROUP BY source_partition, bin
 """,
+        "corpus_mix_sample": _mixing.mixture_oracle_sql(
+            "documents", _MIX_WEIGHTS, group_col="lang",
+            select_cols="doc_id, lang, source",
+        ),
+        "corpus_token_budget": _mixing.token_budget_oracle_sql(
+            "documents", _TOKEN_BUDGET,
+            size_expr="len(string_split(text, ' '))",
+        ),
         "docs_hash_split": f"""
 WITH s AS (
   SELECT lang, length(text) AS chars,

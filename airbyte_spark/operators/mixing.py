@@ -1,0 +1,186 @@
+"""Corpus mixing: weighted mixture sampling and per-source token budgets.
+
+Training-data-pipeline extension (no analog in rosecape/airbyte — the
+reference moves records, it never composes training mixtures; SURVEY.md
+§2.9b). Both operators are the standard "data mixing" stage of LLM
+pre-training from the public literature: domain/language re-weighting
+(GPT-3's weighted dataset sampling, where e.g. Wikipedia is seen ~3 epochs
+while Common Crawl is sub-sampled) and per-source token budgets (cap each
+source's contribution to the mixture at a fixed token count).
+
+Both are DETERMINISTIC — membership is a pure function of the row's id,
+never of row order, partitioning, RNG state, or engine — so reruns,
+resumes, and the DuckDB oracle all agree bit-for-bit.
+
+Scale design (100 TB):
+- mixture_sample is a pure NARROW projection: weight lookup (CASE),
+  md5-bucket Bernoulli/epoch arithmetic, and an explode whose fan-out is
+  the per-row copy count. Zero shuffles, zero driver state; plan-gated in
+  tests (no Exchange in the plan at all). Oversampling (weight > 1) emits
+  repeat_idx so downstream shuffles (packing, shuffling into training
+  order) see distinct rows.
+- token_budget_sample needs a running token sum per source in a canonical
+  order — the naive form is a window PARTITION BY source ORDER BY hash,
+  which at 100 TB sorts an entire source (possibly 50 TB) inside one
+  partition. Instead it runs a two-phase distributed prefix sum:
+  (1) docs are assigned a 48-bit order key k = hexn(md5(id), 1, 12) and a
+      bucket = the key's top 8 bits (k DIV 16^10) — the bucket is a PREFIX
+      of k, so ordering by (bucket, k) IS ordering by k;
+  (2) per-(source, bucket) token sums — one partially-aggregated exchange
+      on a compact key, output ≤ sources × 256 rows;
+  (3) exclusive bucket offsets via a window over that TINY aggregate;
+  (4) offsets broadcast-joined back, each (source, bucket) partition does
+      a LOCAL running sum + offset, filter cum <= budget.
+  Parallelism is sources × 256 regardless of source skew; no partition
+  ever sorts more than 1/256 of a source. The DuckDB oracle is the naive
+  single window — the two forms are provably identical because the bucket
+  is a prefix of the order key (ties broken by id in both).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from airbyte_spark.plans import textsql as X
+
+#: mixture weights are integers in milli-units: 1000 = keep exactly once,
+#: 500 = keep with probability 0.5, 2500 = 2 copies + a third w.p. 0.5.
+MILLI = 1000
+
+#: token-budget order key: 12 hex chars (48 bits) of md5(id); bucket = the
+#: top 2 hex chars, i.e. k DIV 16^10 — a prefix of k.
+_BUCKET_DIV = 16**10
+
+
+def n_copies_sql(
+    d: str,
+    group_col: str,
+    id_expr: str,
+    weights_milli: dict[str, int],
+    default_milli: int = MILLI,
+) -> str:
+    """Dialect-templated copy count for one row: floor(w) epochs plus one
+    more iff the id's sampling bucket falls under the fractional part.
+    Integer-exact in both engines (shared with the DuckDB oracle)."""
+    w = X.weight_case_sql(d, group_col, weights_milli, default_milli)
+    bucket = X.sample_bucket_sql(d, id_expr, MILLI)
+    whole = X.IDIV(d, w, MILLI)
+    frac = f"(({w}) % {MILLI})"
+    return f"CAST({whole} + (CASE WHEN {bucket} < {frac} THEN 1 ELSE 0 END) AS BIGINT)"
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights_milli: dict[str, int],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    default_milli: int = MILLI,
+) -> DataFrame:
+    """Deterministic weighted mixture sampling: each row is emitted
+    ``floor(w)`` times, plus once more iff its md5 sampling bucket is below
+    the fractional remainder of its group's weight. Emits all input columns
+    plus ``repeat_idx`` (0-based epoch index). Rows whose copy count is 0
+    are dropped. Pure narrow pipeline — no shuffle, no RNG."""
+    n = F.expr(n_copies_sql(X.SPARK, group_col, id_col, weights_milli, default_milli))
+    return (
+        df.withColumn("_n_copies", n)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(
+            "repeat_idx",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("_n_copies") - 1)),
+        )
+        .drop("_n_copies")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    size_col: str = "n_tok",
+) -> DataFrame:
+    """Greedy per-source token budget: documents are taken in canonical
+    hash order (md5 of id — stable across runs/partitionings/engines)
+    while the source's running token total stays <= budget. Returns
+    (source, id, n_tok, cum_tok) for the kept prefix.
+
+    Two-phase distributed prefix sum — see module docstring for why this
+    replaces the naive per-source global-sort window at scale."""
+    k = F.expr(X.hexn_sql(X.SPARK, f"md5({X.STR(X.SPARK, id_col)})", 1, 12))
+    base = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        F.col(size_col).cast("long").alias("n_tok"),
+        k.alias("_k"),
+    ).withColumn("_bkt", F.expr(f"_k DIV {_BUCKET_DIV}"))
+
+    per_bucket = base.groupBy("source", "_bkt").agg(F.sum("n_tok").alias("_bsum"))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        "source",
+        "_bkt",
+        F.coalesce(F.sum("_bsum").over(w_off), F.lit(0)).cast("long").alias("_off"),
+    )
+    w_local = (
+        Window.partitionBy("source", "_bkt")
+        .orderBy(F.col("_k").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.join(F.broadcast(offsets), ["source", "_bkt"])
+        .withColumn("cum_tok", (F.col("_off") + F.sum("n_tok").over(w_local)))
+        .filter(F.col("cum_tok") <= F.lit(int(budget)))
+        .select("source", "doc_id", "n_tok", F.col("cum_tok").cast("long").alias("cum_tok"))
+    )
+
+
+def token_budget_oracle_sql(
+    table_expr: str,
+    budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    size_expr: str = "n_tok",
+) -> str:
+    """The naive single-window DuckDB form of token_budget_sample — the
+    oracle the two-phase Spark plan must match bit-for-bit."""
+    d = X.DUCKDB
+    k = X.hexn_sql(d, f"md5({X.STR(d, id_col)})", 1, 12)
+    return f"""
+        WITH t AS (
+          SELECT {source_col} AS source, {id_col} AS doc_id,
+                 CAST({size_expr} AS BIGINT) AS n_tok, {k} AS k
+          FROM {table_expr}
+        )
+        SELECT source, doc_id, n_tok,
+               SUM(n_tok) OVER (
+                 PARTITION BY source ORDER BY k, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum_tok
+        FROM t
+        QUALIFY cum_tok <= {int(budget)}
+    """
+
+
+def mixture_oracle_sql(
+    table_expr: str,
+    weights_milli: dict[str, int],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    select_cols: str = "doc_id, lang, source",
+    default_milli: int = MILLI,
+) -> str:
+    """DuckDB oracle for mixture_sample: unnest(range(0, n_copies))."""
+    n = n_copies_sql(X.DUCKDB, group_col, id_col, weights_milli, default_milli)
+    return f"""
+        WITH b AS (
+          SELECT {select_cols}, {n} AS n FROM {table_expr}
+        )
+        SELECT {select_cols},
+               CAST(unnest(range(0, n)) AS BIGINT) AS repeat_idx
+        FROM b WHERE n > 0
+    """

@@ -173,6 +173,34 @@ def hexn_sql(d: str, m: str, start: int, n: int = 12) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def IDIV(d: str, x: str | int, y: str | int) -> str:
+    """Integer floor division (non-negative operands only in our uses)."""
+    _chk(d)
+    return f"(({x}) DIV ({y}))" if d == SPARK else f"(({x}) // ({y}))"
+
+
+def sample_bucket_sql(d: str, id_expr: str, denom: int = 1000, start: int = 9) -> str:
+    """Deterministic per-id sampling bucket in [0, denom): 6 hex chars of
+    md5(id) starting at ``start``, mod denom. Uses a different md5 window
+    than hash_split (start=1) so split membership and sampling decisions
+    are decorrelated — a doc's train/val/test assignment must not predict
+    whether the mixture sampler keeps it."""
+    _chk(d)
+    return f"({hexn_sql(d, f'md5({STR(d, id_expr)})', start, 6)} % {denom})"
+
+
+def weight_case_sql(
+    d: str, col: str, weights_milli: dict[str, int], default_milli: int = 1000
+) -> str:
+    """CASE ladder mapping a group column to its integer milli-weight
+    (1000 = keep exactly once). Identical syntax in both dialects."""
+    _chk(d)
+    branches = " ".join(
+        f"WHEN '{k}' THEN {int(v)}" for k, v in sorted(weights_milli.items())
+    )
+    return f"(CASE {col} {branches} ELSE {int(default_milli)} END)"
+
+
 MINHASH_P = 281_474_976_710_677  # prime > 2^48; b*h2 + h1 stays < 2^53
 
 

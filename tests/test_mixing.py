@@ -1,0 +1,158 @@
+"""Corpus mixing operators: weighted mixture sampling + per-source token
+budgets (operators/mixing.py). Properties gated here:
+
+- mixture membership/copy-count law (floor(w) or floor(w)+1, rates within
+  tolerance), determinism under repartition, and the zero-shuffle plan;
+- token budget: kept set is the greedy-maximal hash-order prefix per
+  source, two-phase plan matches the naive-window law, determinism under
+  repartition, and the plan never sorts a whole source in one partition.
+"""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from airbyte_spark.operators.mixing import (
+    MILLI,
+    mixture_oracle_sql,
+    mixture_sample,
+    token_budget_oracle_sql,
+    token_budget_sample,
+)
+
+
+def _explain(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def _docs(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("grp"), (F.col("id") % 4).cast("string")).alias("lang"),
+        (F.col("id") % 37 + 1).cast("long").alias("n_tok"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+
+
+WEIGHTS = {"grp0": 500, "grp1": 1000, "grp2": 2500, "grp3": 3000}
+
+
+def test_mixture_copy_count_law(spark):
+    out = (
+        mixture_sample(_docs(spark), WEIGHTS, group_col="lang")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n"), F.max("repeat_idx").alias("max_idx"))
+        .collect()
+    )
+    per_doc = {r.doc_id: r for r in out}
+    for r in out:
+        w = WEIGHTS[r.lang]
+        lo, hi = w // MILLI, w // MILLI + (1 if w % MILLI else 0)
+        assert lo <= r.n <= hi, (r.lang, r.n)
+        assert r.max_idx == r.n - 1  # repeat_idx is contiguous from 0
+    # exact-weight group: every doc exactly once
+    assert all(r.n == 1 for r in out if r.lang == "grp1")
+    # integer-weight group: every doc exactly 3 times, and all 100 docs present
+    g3 = [r for r in out if r.lang == "grp3"]
+    assert len(g3) == 100 and all(r.n == 3 for r in g3)
+    # Bernoulli group: some dropped, some kept (md5 buckets spread)
+    g0 = [d for d in range(400) if d % 4 == 0]
+    kept0 = [d for d in g0 if d in per_doc]
+    assert 0 < len(kept0) < len(g0)
+
+
+def test_mixture_rates_and_determinism(spark):
+    d = _docs(spark, 2000)
+    out = mixture_sample(d, WEIGHTS, group_col="lang")
+    rates = {
+        r.lang: r.n / 500.0
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for g, w in WEIGHTS.items():
+        assert abs(rates[g] - w / MILLI) < 0.15, (g, rates[g])
+    # determinism: membership survives an adversarial repartition
+    a = sorted(map(tuple, out.select("doc_id", "repeat_idx").collect()))
+    b = sorted(
+        map(
+            tuple,
+            mixture_sample(d.repartition(13, "n_tok"), WEIGHTS, group_col="lang")
+            .select("doc_id", "repeat_idx")
+            .collect(),
+        )
+    )
+    assert a == b
+
+
+def test_mixture_plan_is_narrow(spark):
+    plan = _explain(mixture_sample(_docs(spark), WEIGHTS, group_col="lang"))
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan  # the explode
+
+
+def test_mixture_matches_duckdb_oracle(spark):
+    pdf = _docs(spark, 300).toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    oracle = con.sql(
+        mixture_oracle_sql("docs", WEIGHTS, group_col="lang", select_cols="doc_id, lang")
+    ).df()
+    got = (
+        mixture_sample(_docs(spark, 300), WEIGHTS, group_col="lang")
+        .select("doc_id", "lang", "repeat_idx")
+        .toPandas()
+    )
+    key = ["doc_id", "lang", "repeat_idx"]
+    a = got[key].sort_values(key).reset_index(drop=True)
+    b = oracle[key].astype({"repeat_idx": "int64"}).sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_token_budget_greedy_maximal_prefix(spark):
+    budget = 600
+    d = _docs(spark)
+    kept = token_budget_sample(d, budget).collect()
+    con = duckdb.connect()
+    con.register("docs", d.toPandas())
+    oracle = con.sql(token_budget_oracle_sql("docs", budget)).df()
+    got = sorted((r.source, r.doc_id, r.n_tok, r.cum_tok) for r in kept)
+    want = sorted(map(tuple, oracle.itertuples(index=False)))
+    assert got == want
+    # per-source budget respected, and prefix is maximal: the FIRST excluded
+    # doc in hash order would overflow the budget
+    full = con.sql(
+        token_budget_oracle_sql("docs", 10**9)  # no cut: full ordered cumsum
+    ).df()
+    kept_ids = {(r.source, r.doc_id) for r in kept}
+    for src, grp in full.groupby("source"):
+        cums = grp.sort_values("cum_tok")
+        kept_rows = cums[[(src, d_) in kept_ids for d_ in cums.doc_id]]
+        assert kept_rows.cum_tok.max() <= budget
+        excluded = cums[[(src, d_) not in kept_ids for d_ in cums.doc_id]]
+        if len(excluded):
+            assert excluded.cum_tok.min() > budget
+
+
+def test_token_budget_determinism_under_repartition(spark):
+    d = _docs(spark, 800)
+    a = sorted(map(tuple, token_budget_sample(d, 900).collect()))
+    b = sorted(map(tuple, token_budget_sample(d.repartition(17, "lang"), 900).collect()))
+    assert a == b
+
+
+def test_token_budget_plan_never_sorts_whole_source(spark):
+    """The scale property: exchanges hash on (source, _bkt) — 256-way
+    parallel within every source — and the only source-only partitioning is
+    the window over the TINY per-bucket aggregate. No SinglePartition, no
+    global Sort."""
+    plan = _explain(token_budget_sample(_docs(spark), 600))
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    # big-side data is partitioned by (source, bucket), not by source alone:
+    # every hashpartitioning over the base data must include _bkt
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("_bkt" in p for p in parts), plan
