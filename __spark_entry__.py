@@ -33,6 +33,8 @@ from airbyte_spark.operators.text_quality import (
     pii_scrub,
 )
 from airbyte_spark.operators import mixing as _mixing
+from airbyte_spark.operators import text_quality as _text_quality
+from airbyte_spark.operators import token_dedup as _token_dedup
 from airbyte_spark.plans import textsql as X
 from airbyte_spark.plans.derived import ORACLE_CHANGELOG_CTE, derived_changelog
 
@@ -473,6 +475,41 @@ def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_sample(d, budget=_TOKEN_BUDGET)
 
 
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: md5-rank every doc into
+    (global_pos, shard, pos_in_shard) via the two-phase bucket-prefix sum
+    (operators/mixing.py training_order) — no global sort, 256-way
+    parallel; oracle is the naive global ROW_NUMBER window."""
+    from airbyte_spark.operators.mixing import training_order
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return training_order(d, shard_size=256).select(
+        "doc_id", "lang", "global_pos", "shard", "pos_in_shard"
+    )
+
+
+def q_dedup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-token span reuse across documents (ExactSubstr family, Lee
+    et al. 2021, distributed as rolling-window digests): pairs sharing >= 2
+    distinct 8-token windows, super-common spans excluded
+    (operators/token_dedup.py)."""
+    from airbyte_spark.operators.token_dedup import token_span_pairs
+
+    return token_span_pairs(
+        _dup_docs(spark, sf_dir), k=8, stride=1, min_shared=2
+    )
+
+
+def q_docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear bag-of-words quality classifier (fasttext-style filter,
+    linearized): corpus top-200 vocabulary by frequency -> deterministic
+    word weights -> per-doc score + keep/maybe/drop label
+    (operators/text_quality.py quality_classifier)."""
+    from airbyte_spark.operators.text_quality import quality_classifier
+
+    return quality_classifier(_docs(spark, sf_dir), vocab_top=200)
+
+
 def q_tokens_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global token-frequency histogram over the change stream (the vocab
     coverage / stop-token profile a training pipeline computes): explode ->
@@ -877,6 +914,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_word_bigrams": q_docs_word_bigrams,
         "corpus_mix_sample": q_corpus_mix_sample,
         "corpus_token_budget": q_corpus_token_budget,
+        "corpus_shuffle": q_corpus_shuffle,
+        "dedup_token_spans": q_dedup_token_spans,
+        "docs_quality_classifier": q_docs_quality_classifier,
         "tokens_pack": q_tokens_pack,
         "docs_hash_split": q_docs_hash_split,
         "tokens_histogram": q_tokens_histogram,
@@ -1288,6 +1328,16 @@ FROM b GROUP BY source_partition, bin
         "corpus_token_budget": _mixing.token_budget_oracle_sql(
             "documents", _TOKEN_BUDGET,
             size_expr="len(string_split(text, ' '))",
+        ),
+        "corpus_shuffle": _mixing.training_order_oracle_sql(
+            "documents", shard_size=256, select_cols="doc_id, lang",
+        ),
+        "dedup_token_spans": _token_dedup.token_span_pairs_oracle_sql(
+            "dup_docs", k=8, stride=1, min_shared=2,
+            extra_cte=_DUP_DOCS.strip(),
+        ),
+        "docs_quality_classifier": _text_quality.quality_classifier_oracle_sql(
+            "documents", vocab_top=200,
         ),
         "docs_hash_split": f"""
 WITH s AS (

@@ -140,6 +140,85 @@ def token_budget_sample(
     )
 
 
+def training_order(
+    df: DataFrame,
+    shard_size: int = 1024,
+    id_col: str = "doc_id",
+    salt: str = "order-v1",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    ``global_pos`` = its rank under ``md5(id:salt)`` ordering, plus the
+    derived (shard, pos_in_shard). The pseudorandom-but-reproducible
+    permutation every training run needs — membership and position are
+    pure functions of the id and salt (re-salt for a new epoch order),
+    never of partitioning, engine, or RNG state.
+
+    Scale shape — the naive form is ROW_NUMBER() over a GLOBAL sort (one
+    partition holds the whole corpus). Here: the order key's top 8 bits
+    form a bucket that is a PREFIX of the key, so ordering by (bucket, key)
+    IS ordering by key; per-bucket counts (one partially-aggregated
+    exchange, <= 256 output rows) -> exclusive bucket offsets via a window
+    over that tiny aggregate -> broadcast join back -> bucket-local
+    row_number + offset. 256-way parallel, no partition ever sorts more
+    than 1/256 of the corpus — the same two-phase prefix machinery as
+    token_budget_sample."""
+    k = F.expr(
+        X.hexn_sql(
+            X.SPARK, f"md5(concat({X.STR(X.SPARK, id_col)}, ':{salt}'))", 1, 12
+        )
+    )
+    base = df.withColumn("_k", k).withColumn(
+        "_bkt", F.expr(f"_k DIV {_BUCKET_DIV}")
+    )
+    counts = base.groupBy("_bkt").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_bkt",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).cast("long").alias("_off"),
+    )
+    w_local = Window.partitionBy("_bkt").orderBy(
+        F.col("_k").asc(), F.col(id_col).asc()
+    )
+    pos = (F.col("_off") + F.row_number().over(w_local) - 1).cast("long")
+    return (
+        base.join(F.broadcast(offsets), "_bkt")
+        .withColumn("global_pos", pos)
+        .withColumn(
+            "shard", F.expr(f"CAST(global_pos DIV {int(shard_size)} AS BIGINT)")
+        )
+        .withColumn(
+            "pos_in_shard", (F.col("global_pos") % F.lit(int(shard_size))).cast("long")
+        )
+        .drop("_k", "_bkt", "_off")
+    )
+
+
+def training_order_oracle_sql(
+    table_expr: str,
+    shard_size: int = 1024,
+    id_col: str = "doc_id",
+    salt: str = "order-v1",
+    select_cols: str = "doc_id",
+) -> str:
+    """The naive global-window DuckDB form of training_order — identical
+    because the bucket is a prefix of the order key (ties by id in both)."""
+    d = X.DUCKDB
+    k = X.hexn_sql(d, f"md5(concat({X.STR(d, id_col)}, ':{salt}'))", 1, 12)
+    return f"""
+WITH t AS (
+  SELECT {select_cols}, {k} AS k FROM {table_expr}
+), r AS (
+  SELECT {select_cols},
+         CAST(ROW_NUMBER() OVER (ORDER BY k, {id_col}) - 1 AS BIGINT) AS global_pos
+  FROM t
+)
+SELECT {select_cols}, global_pos,
+       CAST(global_pos // {int(shard_size)} AS BIGINT) AS shard,
+       CAST(global_pos % {int(shard_size)} AS BIGINT) AS pos_in_shard
+FROM r
+"""
+
+
 def token_budget_oracle_sql(
     table_expr: str,
     budget: int,

@@ -119,6 +119,110 @@ def contamination_check(
     )
 
 
+def weight_sql(d: str, word_expr: str) -> str:
+    """Deterministic per-word classifier weight in [-1000, 1000]: 4 hex
+    chars of md5(word) starting at position 3, mod 2001, shifted. A
+    stand-in for learned fasttext-style weights — integer-exact in both
+    engines, so the classifier has an exact oracle (a real model would
+    broadcast its learned table through the identical plan)."""
+    return f"({X.hexn_sql(d, f'md5({word_expr})', 3, 4)} % 2001 - 1000)"
+
+
+def quality_classifier(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_top: int = 200,
+    lo: int = -5000,
+    hi: int = 5000,
+    cache_counts: bool = True,
+) -> DataFrame:
+    """Linear bag-of-words quality classifier (the fasttext-style quality
+    filter of the CCNet/GPT-3 data pipelines, linearized): score(doc) =
+    Σ count(doc, w) · weight(w) over the corpus's ``vocab_top`` most
+    frequent words, bucketed into keep / maybe / drop. Returns
+    (doc_id, score, label).
+
+    Scale shape: explode -> per-(doc, word) counts (hash agg with map-side
+    partials) -> corpus vocabulary = top-N words by total frequency via
+    distributed TakeOrdered (NEVER a global row_number window over the
+    full vocabulary — at corpus scale that is a single-partition sort of
+    10^8 distinct words) -> tiny weight table broadcast back -> per-doc
+    sum. Ties at the vocabulary boundary break by (freq DESC, word ASC) —
+    a deterministic total order, so the oracle's row_number form selects
+    the identical set."""
+    wc = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.expr(X.words_sql(S, text_col))).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    if cache_counts:
+        wc = wc.persist()
+    vocab = (
+        wc.groupBy("w")
+        .agg(F.sum("cnt").alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("w").asc())
+        .limit(vocab_top)
+        .selectExpr("w", f"CAST({weight_sql(S, 'w')} AS BIGINT) AS wt")
+    )
+    return (
+        wc.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.coalesce(F.col("wt"), F.lit(0)))
+            .cast("long")
+            .alias("score")
+        )
+        .select(
+            "doc_id",
+            "score",
+            F.when(F.col("score") >= hi, F.lit("keep"))
+            .when(F.col("score") >= lo, F.lit("maybe"))
+            .otherwise(F.lit("drop"))
+            .alias("label"),
+        )
+    )
+
+
+def quality_classifier_oracle_sql(
+    table_expr: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_top: int = 200,
+    lo: int = -5000,
+    hi: int = 5000,
+) -> str:
+    """DuckDB oracle: row_number-windowed vocabulary (equivalent set to the
+    TakeOrdered by the deterministic (tf DESC, word) total order)."""
+    d = X.DUCKDB
+    return f"""
+WITH wc AS (
+  SELECT {id_col} AS doc_id, unnest({X.words_sql(d, text_col)}) AS w
+  FROM {table_expr}
+), counts AS (
+  SELECT doc_id, w, COUNT(*) AS cnt FROM wc GROUP BY doc_id, w
+), vocab AS (
+  SELECT w, CAST({weight_sql(d, "w")} AS BIGINT) AS wt
+  FROM (
+    SELECT w, ROW_NUMBER() OVER (ORDER BY SUM(cnt) DESC, w ASC) AS rk
+    FROM counts GROUP BY w
+  ) WHERE rk <= {vocab_top}
+), scored AS (
+  SELECT c.doc_id, CAST(SUM(c.cnt * COALESCE(v.wt, 0)) AS BIGINT) AS score
+  FROM counts c LEFT JOIN vocab v USING (w)
+  GROUP BY c.doc_id
+)
+SELECT doc_id, score,
+       CASE WHEN score >= {hi} THEN 'keep'
+            WHEN score >= {lo} THEN 'maybe'
+            ELSE 'drop' END AS label
+FROM scored
+"""
+
+
 # PII patterns, shared with the DuckDB oracle verbatim. Character classes
 # only ([.] not \.) so the literal parses identically in Spark SQL (Java
 # regex) and DuckDB (RE2) string syntax; cross-engine equivalence is pinned

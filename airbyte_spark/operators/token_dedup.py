@@ -1,0 +1,166 @@
+"""Token-level span dedup: documents sharing exact k-token windows.
+
+Training-data-pipeline extension (no analog in rosecape/airbyte — see
+SURVEY.md §2.9b). This is the exact-substring family of dedup from the
+public literature (Lee et al. 2021, "Deduplicating Training Data Makes
+Language Models Better": ExactSubstr removes repeated ≥50-token spans
+across documents): MinHash-style sketches find *mostly*-similar pairs,
+span matching finds verbatim reuse — boilerplate, licenses, quotes — even
+when the surrounding documents differ completely.
+
+Suffix arrays (the paper's tool) are a single-machine construction; the
+distributed re-expression is rolling k-token windows: every document emits
+the md5 digest of each distinct window of ``k`` consecutive token ids
+(stride configurable), and two documents "share a span" iff they share a
+window digest. A stride of s > 1 trades recall for s× less data: a shared
+run of >= k + s - 1 tokens is still always caught (any such run contains a
+window starting at a multiple of s in both docs only when s divides the
+alignment — stride > 1 is the sampling variant; stride=1 is exact-k).
+
+Scale design (100 TB):
+- Window digests are computed MAP-SIDE from the token array (one
+  transform + md5 per window, whole-stage codegen; tokenization itself is
+  1 md5/word) and deduped within-doc (array_distinct) before the explode,
+  so the exchange carries 32-byte digests — never token arrays, never
+  text.
+- Pair generation is an equi-join on the digest (never all-pairs);
+  digests appearing in > ``max_docs_per_span`` documents (ubiquitous
+  boilerplate — the quadratic bombs) are EXCLUDED before the self-join,
+  with the drop loggable from the frequency table, exactly the
+  fuzzy-dedup super-bucket rule.
+- The span table is persisted: the frequency aggregate and both join
+  probes consume it, and window construction is the dominant CPU (same
+  trade as fuzzy_dedup's band cache).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from airbyte_spark.plans import textsql as X
+
+S = X.SPARK
+
+#: digests in more docs than this are boilerplate, not dup evidence
+MAX_DOCS_PER_SPAN = 64
+
+
+def tokens_sql(d: str, text_col: str = "text", vocab: int = 50257) -> str:
+    """Deterministic word→token-id mapping: 8 hex chars of md5(word) mod
+    vocab (a stand-in BPE vocabulary — integer-exact in both engines).
+    Yields array<int> in doc order, duplicates preserved."""
+    X._chk(d)
+    w = X.words_sql(d, text_col)
+    tok = f"CAST({X.hexn_sql(d, 'md5(w)', 1, 8)} % {vocab} AS INT)"
+    return f"{X.T(d)}({w}, w -> {tok})"
+
+
+def span_digests_sql(
+    d: str, text_col: str = "text", k: int = 8, stride: int = 1, vocab: int = 50257
+) -> str:
+    """Array of md5 digests, one per k-token window at positions 1, 1+s,
+    1+2s, ... (1-based). Empty array when the doc has < k tokens."""
+    X._chk(d)
+    toks = tokens_sql(d, text_col, vocab)
+    n = X.SIZE(d, "t")
+    if d == S:
+        win = f"array_join(transform(slice(t, p, {k}), x -> CAST(x AS STRING)), ',')"
+        body = f"transform(sequence(1, {n} - {k} + 1, {stride}), p -> md5({win}))"
+        guard = (
+            f"CASE WHEN {n} >= {k} THEN {body} ELSE CAST(array() AS ARRAY<STRING>) END"
+        )
+        # bind the token array once as lambda var t (projections have no
+        # lateral alias): wrap in a 1-element array, map, take element 0
+        return f"{X.T(d)}(array({toks}), t -> {guard})[0]"
+    win = (
+        f"array_to_string(list_transform(t[p:p+{k}-1], x -> CAST(x AS VARCHAR)), ',')"
+    )
+    body = f"list_transform(range(1, {n} - {k} + 2, {stride}), p -> md5({win}))"
+    guard = f"CASE WHEN {n} >= {k} THEN {body} ELSE CAST([] AS VARCHAR[]) END"
+    return f"{X.T(d)}([{toks}], t -> {guard})[1]"
+
+
+def doc_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    stride: int = 1,
+    vocab: int = 50257,
+) -> DataFrame:
+    """(doc_id, g): distinct k-token window digests per document."""
+    arr = span_digests_sql(S, text_col, k, stride, vocab)
+    return df.selectExpr(
+        f"{id_col} AS doc_id",
+        f"explode({X.ADISTINCT(S, arr)}) AS g",
+    )
+
+
+def token_span_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    stride: int = 1,
+    vocab: int = 50257,
+    max_docs_per_span: int = MAX_DOCS_PER_SPAN,
+    min_shared: int = 1,
+    cache_spans: bool = True,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` distinct k-token windows:
+    (doc_a, doc_b, n_shared_spans), doc_a < doc_b. The distributed
+    ExactSubstr candidate report — what a production pipeline feeds into
+    span-level excision or doc-level dropping."""
+    sp = doc_spans(df, id_col, text_col, k, stride, vocab)
+    if cache_spans:
+        sp = sp.persist()
+    ok = (
+        sp.groupBy("g")
+        .agg(F.count("*").alias("n_docs"))
+        .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= max_docs_per_span))
+        .select("g")
+    )
+    a = sp.join(ok, "g").select("g", F.col("doc_id").alias("doc_a"))
+    b = sp.select("g", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared_spans"))
+        .filter(F.col("n_shared_spans") >= min_shared)
+    )
+
+
+def token_span_pairs_oracle_sql(
+    table_expr: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    stride: int = 1,
+    vocab: int = 50257,
+    max_docs_per_span: int = MAX_DOCS_PER_SPAN,
+    min_shared: int = 1,
+    extra_cte: str = "",
+) -> str:
+    """DuckDB oracle: the same window-digest formula (md5 of identical
+    strings — digests agree across engines), naive self-join form.
+    ``extra_cte`` prepends a CTE (e.g. the dup-injected docs relation)."""
+    d = X.DUCKDB
+    arr = span_digests_sql(d, text_col, k, stride, vocab)
+    pre = f"{extra_cte}," if extra_cte else ""
+    return f"""
+WITH {pre} sp AS (
+  SELECT {id_col} AS doc_id, unnest({X.ADISTINCT(d, arr)}) AS g
+  FROM {table_expr}
+), ok AS (
+  SELECT g FROM sp GROUP BY g
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= {max_docs_per_span}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_spans
+FROM sp a JOIN ok USING (g) JOIN sp b USING (g)
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {min_shared}
+"""

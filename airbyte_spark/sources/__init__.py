@@ -6,6 +6,11 @@ collapse to Spark's built-in readers plus explicit-schema enforcement.
 """
 
 from airbyte_spark.sources.auth import BasicHttpAuth, OAuth2Auth, StaticTokenAuth
+from airbyte_spark.sources.declarative import (
+    DeclarativeStream,
+    ManifestSource,
+    interpolate,
+)
 from airbyte_spark.sources.files import FileSource, open_changelog
 from airbyte_spark.sources.http import DatetimeSlicer, HttpStreamSource, Paginator
 from airbyte_spark.sources.jdbc import jdbc_snapshot
@@ -13,6 +18,9 @@ from airbyte_spark.sources.jdbc import jdbc_snapshot
 __all__ = [
     "BasicHttpAuth",
     "DatetimeSlicer",
+    "DeclarativeStream",
+    "ManifestSource",
+    "interpolate",
     "FileSource",
     "open_changelog",
     "HttpStreamSource",

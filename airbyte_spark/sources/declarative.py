@@ -1,0 +1,372 @@
+"""Declarative low-code source — a manifest interpreter over the HTTP
+stream primitives.
+
+Reference parity: the connector-builder CDK. A YAML/JSON manifest declares
+streams (requester, authenticator, paginator, record selector, incremental
+cursor, transformations, schema) and ``ManifestDeclarativeSource``
+interprets it into a working connector implementing the four protocol
+verbs spec/check/discover/read
+(airbyte-cdk/python/airbyte_cdk/sources/declarative/
+manifest_declarative_source.py:40-150 — validate manifest, build streams
+via model_to_component_factory.py, delegate check/discover/read;
+interpolation of ``{{ config[...] }}`` via declarative/interpolation/).
+
+Spark-first split: the interpreter composes the SAME driver-side request
+machinery the plain HTTP source uses (pagination loop, auth refresh, rate
+budget, datetime slices — inherently sequential, identical in the
+reference), and hands records to Spark at the earliest possible boundary:
+each stream's records become ONE json-lines DataFrame and every declared
+schema field is extracted by the vectorized ``schema_extract`` compiler
+(one ``from_json`` pass + ``try_cast`` per column, per-column error
+capture) — the reference walks records one at a time in Python for the
+same steps. Transform chains compile to Catalyst expressions
+(``plans/transforms.py``), so after ``createDataFrame`` there is zero
+per-record Python.
+
+Config interpolation: ``{{ config.KEY }}`` / ``{{ config['KEY'] }}``
+placeholders anywhere in the manifest resolve from the connection config
+(the reference uses full Jinja; this engine deliberately supports only
+config lookups — the one pattern real manifests overwhelmingly use —
+keeping evaluation pure and injection-free). A string that IS a single
+placeholder resolves to the raw config value, preserving its type.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+from airbyte_spark.lineage import log_metric
+from airbyte_spark.plans.transforms import apply_transforms, schema_extract
+from airbyte_spark.sources.auth import BasicHttpAuth, OAuth2Auth, StaticTokenAuth
+from airbyte_spark.sources.http import DatetimeSlicer, HttpStreamSource, Paginator
+
+Transport = Callable[..., tuple[int, Any]]
+
+_PLACEHOLDER = re.compile(r"\{\{\s*config(?:\.(\w+)|\['(\w+)'\]|\[\"(\w+)\"\])\s*\}\}")
+
+
+def interpolate(value: Any, config: dict[str, Any]) -> Any:
+    """Resolve ``{{ config.* }}`` placeholders recursively. A string that
+    is exactly one placeholder returns the config value itself (type
+    preserved); embedded placeholders render into the string."""
+    if isinstance(value, str):
+        m = _PLACEHOLDER.fullmatch(value.strip())
+        if m:
+            return config[next(g for g in m.groups() if g)]
+        return _PLACEHOLDER.sub(
+            lambda m: str(config[next(g for g in m.groups() if g)]), value
+        )
+    if isinstance(value, dict):
+        return {k: interpolate(v, config) for k, v in value.items()}
+    if isinstance(value, list):
+        return [interpolate(v, config) for v in value]
+    return value
+
+
+_DDL_JSON = {
+    "string": {"type": "string"}, "varchar": {"type": "string"},
+    "text": {"type": "string"}, "boolean": {"type": "boolean"},
+    "tinyint": {"type": "integer"}, "smallint": {"type": "integer"},
+    "int": {"type": "integer"}, "integer": {"type": "integer"},
+    "bigint": {"type": "integer"}, "long": {"type": "integer"},
+    "float": {"type": "number"}, "double": {"type": "number"},
+    "date": {"type": "string", "format": "date"},
+    "timestamp": {"type": "string", "format": "date-time"},
+    "binary": {"type": "string", "contentEncoding": "base64"},
+}
+
+
+def _ddl_json_schema(ddl: str) -> dict:
+    """DDL type string -> JSON-schema fragment (the §1.2 type table,
+    reversed — same mapping as sources/discover.py, session-free)."""
+    t = ddl.strip().lower()
+    if t.startswith("array<") and t.endswith(">"):
+        return {"type": "array", "items": _ddl_json_schema(t[6:-1])}
+    if t.startswith(("struct<", "map<")):
+        return {"type": "object"}
+    if t.startswith("decimal"):
+        return {"type": "number"}
+    return _DDL_JSON.get(t, {"type": "string", "description": f"unsupported ddl {ddl}"})
+
+
+def _build_authenticator(spec: dict | None, transport: Transport):
+    if not spec:
+        return None
+    kind = spec.get("type", "token")
+    if kind == "token":
+        return StaticTokenAuth(
+            token=spec["token"], auth_method=spec.get("auth_method", "Bearer")
+        )
+    if kind == "basic":
+        return BasicHttpAuth(
+            username=spec["username"], password=spec.get("password", "")
+        )
+    if kind == "oauth2":
+        return OAuth2Auth(
+            transport=transport,
+            token_url=spec["token_url"],
+            client_id=spec["client_id"],
+            client_secret=spec["client_secret"],
+            refresh_token=spec["refresh_token"],
+            scopes=spec.get("scopes"),
+        )
+    raise ValueError(f"unknown authenticator type {kind!r}")
+
+
+@dataclass
+class DeclarativeStream:
+    """One manifest stream compiled to runnable form (the analog of the
+    factory-built ``DeclarativeStream`` component tree)."""
+
+    name: str
+    url: str
+    transport: Transport
+    params: dict[str, Any] = field(default_factory=dict)
+    headers: dict[str, str] = field(default_factory=dict)
+    records_field: str | None = "data"
+    paginator: Paginator = field(default_factory=Paginator)
+    authenticator: Any = None
+    primary_key: str | None = None
+    incremental: dict | None = None  # {"type": "datetime"|"cursor", ...}
+    transforms: list[dict] = field(default_factory=list)
+    schema: dict[str, str] = field(default_factory=dict)  # name -> DDL type
+    min_call_interval_s: float = 0.0
+    prefetch_pages: int = 0
+    sleep: Callable[[float], None] | None = None
+
+    @property
+    def cursor_field(self) -> str | None:
+        return (self.incremental or {}).get("cursor_field")
+
+    def _source(self, extra_params: dict | None = None) -> HttpStreamSource:
+        kwargs: dict[str, Any] = {}
+        if self.sleep is not None:
+            kwargs["sleep"] = self.sleep
+        return HttpStreamSource(
+            transport=self.transport,
+            url=self.url,
+            params={**self.params, **(extra_params or {})},
+            headers=dict(self.headers),
+            records_field=self.records_field,
+            paginator=self.paginator,
+            authenticator=self.authenticator,
+            min_call_interval_s=self.min_call_interval_s,
+            prefetch_pages=self.prefetch_pages,
+            **kwargs,
+        )
+
+    def _slicer(self, inc: dict) -> DatetimeSlicer:
+        kwargs = {
+            k: inc[k]
+            for k in ("start", "step_s", "end", "start_param", "end_param", "lookback_s")
+            if k in inc
+        }
+        kwargs["start"] = float(kwargs["start"])
+        kwargs["step_s"] = float(kwargs["step_s"])
+        return DatetimeSlicer(**kwargs)
+
+    def read_records(
+        self, state: Any = None, max_pages: int | None = None
+    ) -> tuple[list[dict], Any]:
+        """Drive the API read in the declared sync mode. Returns
+        ``(records, new_state)`` — state is a slice-end epoch (datetime
+        mode), a max cursor value (cursor mode), or None (full refresh)."""
+        inc = self.incremental
+        if not inc:
+            return list(self._source().read_records(max_pages=max_pages)), None
+        if inc["type"] == "datetime":
+            records: list[dict] = []
+            new_state = state
+            for state_doc, recs in self._source().read_datetime_sliced(
+                self._slicer(inc), state=state, max_pages_per_slice=max_pages
+            ):
+                records.extend(recs)
+                new_state = state_doc["slice_end_epoch"]
+            return records, new_state
+        if inc["type"] == "cursor":
+            return self._source().read_incremental(
+                cursor_field=inc["cursor_field"],
+                state=state,
+                cursor_param=inc.get("cursor_param", "since"),
+                max_pages=max_pages,
+            )
+        raise ValueError(f"unknown incremental type {inc['type']!r}")
+
+    def records_to_df(self, spark: SparkSession, records: list[dict]) -> DataFrame:
+        """The driver→Spark handoff: records become one json-lines column
+        and the declared schema is compiled by ``schema_extract`` (single
+        vectorized from_json + try_cast per field, per-column error
+        capture) — the manifest's schema IS the T+D schema. Transform
+        chains then compile to Catalyst expressions. No per-record Python
+        past this point."""
+        raw = spark.createDataFrame(
+            [(json.dumps(r),) for r in records], "_ab_data string"
+        )
+        df = (
+            schema_extract(raw, "_ab_data", self.schema)
+            if self.schema
+            else raw
+        )
+        return apply_transforms(df, self.transforms)
+
+    def read_df(
+        self, spark: SparkSession, state: Any = None, max_pages: int | None = None
+    ) -> tuple[DataFrame, Any]:
+        records, new_state = self.read_records(state=state, max_pages=max_pages)
+        df = self.records_to_df(spark, records)
+        log_metric(
+            "declarative_stream_read",
+            stream=self.name,
+            records=len(records),
+            state=new_state,
+        )
+        return df, new_state
+
+
+class ManifestSource:
+    """The manifest-interpreted connector: spec / check / discover / read.
+
+    Protocol message shapes follow airbyte-protocol.md (SPEC,
+    CONNECTION_STATUS, CATALOG, RECORD, STATE) so the output of each verb
+    is what a reference platform would consume off stdout. ``read`` is
+    Spark-first: per stream it returns ONE typed DataFrame plus a state
+    doc; ``read_messages`` additionally renders driver-side RECORD/STATE
+    lines for protocol parity (explicitly NOT the data path — a 100 TB
+    sync never serializes per-record JSON on the driver)."""
+
+    def __init__(self, manifest: dict, transport: Transport):
+        self.manifest = manifest
+        self.transport = transport
+
+    # ------------------------------------------------------------ verbs
+
+    def spec(self) -> dict:
+        return {"type": "SPEC", "spec": self.manifest.get("spec", {})}
+
+    def _validate_config(self, config: dict) -> None:
+        spec = self.manifest.get("spec", {})
+        missing = [k for k in spec.get("required", []) if k not in config]
+        if missing:
+            raise ValueError(f"config missing required keys: {missing}")
+
+    def streams(self, config: dict) -> list[DeclarativeStream]:
+        self._validate_config(config)
+        out = []
+        for raw in self.manifest["streams"]:
+            s = interpolate(raw, config)
+            out.append(
+                DeclarativeStream(
+                    name=s["name"],
+                    url=s["url"],
+                    transport=self.transport,
+                    params=s.get("params", {}),
+                    headers=s.get("headers", {}),
+                    records_field=s.get("records_field", "data"),
+                    paginator=Paginator(**s.get("paginator", {})),
+                    authenticator=_build_authenticator(
+                        s.get("authenticator"), self.transport
+                    ),
+                    primary_key=s.get("primary_key"),
+                    incremental=s.get("incremental"),
+                    transforms=s.get("transforms", []),
+                    schema=s.get("schema", {}),
+                    min_call_interval_s=s.get("min_call_interval_s", 0.0),
+                    prefetch_pages=s.get("prefetch_pages", 0),
+                )
+            )
+        return out
+
+    def check(self, config: dict) -> dict:
+        """Read one page of the designated check stream (the reference's
+        ``check_connection`` reads the first stream's first record —
+        declarative/checks/check_stream.py:24-54)."""
+        try:
+            name = self.manifest.get("check", {}).get(
+                "stream", self.manifest["streams"][0]["name"]
+            )
+            stream = next(s for s in self.streams(config) if s.name == name)
+            stream.read_records(max_pages=1)
+            status = {"status": "SUCCEEDED"}
+        except Exception as e:  # protocol: failures are a message, not a crash
+            status = {"status": "FAILED", "message": f"{type(e).__name__}: {e}"}
+        return {"type": "CONNECTION_STATUS", "connectionStatus": status}
+
+    def discover(self, config: dict) -> dict:
+        """Catalog from the declared schemas (the manifest's schema is
+        authoritative — no network I/O and no JVM, mirroring
+        schema-file-based discovery)."""
+        from airbyte_spark.sources.discover import _SYNC_MODES
+
+        entries = []
+        for s in self.streams(config):
+            entries.append({
+                "name": s.name,
+                "json_schema": {
+                    "type": "object",
+                    "properties": {
+                        n: _ddl_json_schema(t) for n, t in s.schema.items()
+                    },
+                },
+                "supported_sync_modes": _SYNC_MODES,
+                "source_defined_cursor": s.cursor_field is not None,
+                "default_cursor_field": [s.cursor_field] if s.cursor_field else [],
+                "source_defined_primary_key": (
+                    [[s.primary_key]] if s.primary_key else []
+                ),
+            })
+        return {"type": "CATALOG", "catalog": {"streams": entries}}
+
+    def read(
+        self,
+        spark: SparkSession,
+        config: dict,
+        state: dict[str, Any] | None = None,
+        streams: list[str] | None = None,
+        max_pages: int | None = None,
+    ) -> dict[str, tuple[DataFrame, Any]]:
+        """Sync every (selected) stream: ``{name: (typed DataFrame, new
+        state)}``. Per-stream state in one consolidated doc, exactly the
+        catalog engine's shape."""
+        state = state or {}
+        out: dict[str, tuple[DataFrame, Any]] = {}
+        for s in self.streams(config):
+            if streams is not None and s.name not in streams:
+                continue
+            out[s.name] = s.read_df(spark, state=state.get(s.name), max_pages=max_pages)
+        return out
+
+    def read_messages(
+        self,
+        spark: SparkSession,
+        config: dict,
+        state: dict[str, Any] | None = None,
+        streams: list[str] | None = None,
+        max_pages: int | None = None,
+    ) -> Iterator[dict]:
+        """Protocol-parity rendering: RECORD lines per row then one STATE
+        per stream (AirbyteMessage shapes, airbyte-protocol.md:337-420).
+        Driver-side by construction — for tests/interop, not the 100 TB
+        path (that's ``read`` → DataFrames)."""
+        for name, (df, new_state) in self.read(
+            spark, config, state=state, streams=streams, max_pages=max_pages
+        ).items():
+            for row in df.toJSON().toLocalIterator():
+                yield {
+                    "type": "RECORD",
+                    "record": {"stream": name, "data": json.loads(row)},
+                }
+            yield {
+                "type": "STATE",
+                "state": {
+                    "type": "STREAM",
+                    "stream": {
+                        "stream_descriptor": {"name": name},
+                        "stream_state": {"cursor": new_state},
+                    },
+                },
+            }

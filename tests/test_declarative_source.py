@@ -1,0 +1,225 @@
+"""Manifest-interpreted declarative source: interpolation, the four
+protocol verbs (spec/check/discover/read), schema-driven typed extraction
+with error capture, transform chains, auth wiring, and datetime-sliced
+incremental state — all through a scripted offline transport (the
+machinery of manifest_declarative_source.py, no network)."""
+
+from __future__ import annotations
+
+import pytest
+
+from airbyte_spark.sources.declarative import (
+    DeclarativeStream,
+    ManifestSource,
+    interpolate,
+)
+
+
+class RoutedTransport:
+    """Routes requests by URL; scripted response list per URL. Records
+    every call (url, params, headers) for assertions."""
+
+    def __init__(self, routes: dict):
+        self.routes = {u: list(rs) for u, rs in routes.items()}
+        self.calls: list[dict] = []
+
+    def __call__(self, method, url, params=None, headers=None):
+        self.calls.append(
+            {"url": url, "params": dict(params or {}), "headers": dict(headers or {})}
+        )
+        return self.routes[url].pop(0)
+
+
+MANIFEST = {
+    "version": "1.0",
+    "spec": {
+        "required": ["api_key", "start_ts"],
+        "properties": {"api_key": {"type": "string"}, "start_ts": {"type": "number"}},
+    },
+    "check": {"stream": "users"},
+    "streams": [
+        {
+            "name": "users",
+            "url": "https://api.test/v1/users",
+            "primary_key": "id",
+            "records_field": "data",
+            "paginator": {"kind": "offset", "param": "offset", "page_size": 2},
+            "authenticator": {"type": "token", "token": "{{ config.api_key }}"},
+            "schema": {
+                "id": "bigint",
+                "name": "string",
+                "score": "bigint",
+                "tags": "array<string>",
+            },
+            "transforms": [
+                {"op": "filter", "predicate": "id >= 2"},
+                {"op": "add_field", "name": "name_upper", "expr": "upper(name)"},
+            ],
+        },
+        {
+            "name": "events",
+            "url": "https://api.test/v1/events",
+            "primary_key": "event_id",
+            "records_field": "data",
+            "paginator": {"kind": "offset", "param": "offset", "page_size": 100},
+            "incremental": {
+                "type": "datetime",
+                "cursor_field": "ts",
+                "start": "{{ config.start_ts }}",
+                "step_s": 100,
+                "end": 300,
+                "start_param": "from",
+                "end_param": "to",
+            },
+            "schema": {"event_id": "bigint", "ts": "double"},
+        },
+    ],
+}
+
+USERS_PAGES = [
+    (200, {"data": [
+        {"id": 1, "name": "ann", "score": 5, "tags": ["a"]},
+        {"id": 2, "name": "bo", "score": "NOT_A_NUMBER", "tags": ["b", "c"]},
+    ]}),
+    (200, {"data": [{"id": 3, "name": "cy", "score": 7, "tags": []}]}),
+]
+
+
+def _events_slice(lo, hi):
+    return (200, {"data": [
+        {"event_id": t, "ts": float(t)} for t in range(int(lo), int(hi), 50)
+    ]})
+
+
+def _transport():
+    return RoutedTransport({
+        "https://api.test/v1/users": [p for p in USERS_PAGES],
+        "https://api.test/v1/events": [
+            _events_slice(0, 100), _events_slice(100, 200), _events_slice(200, 300),
+        ],
+    })
+
+
+CONFIG = {"api_key": "sekrit", "start_ts": 0}
+
+
+def test_interpolate_preserves_type_and_renders_embedded():
+    cfg = {"k": 42, "s": "x"}
+    assert interpolate("{{ config.k }}", cfg) == 42  # full placeholder: raw value
+    assert interpolate("{{ config['k'] }}", cfg) == 42
+    assert interpolate("v={{ config.k }}/{{ config.s }}", cfg) == "v=42/x"
+    assert interpolate({"a": ["{{ config.s }}"]}, cfg) == {"a": ["x"]}
+    with pytest.raises(KeyError):
+        interpolate("{{ config.missing }}", cfg)
+
+
+def test_spec_and_config_validation():
+    src = ManifestSource(MANIFEST, _transport())
+    assert src.spec()["type"] == "SPEC"
+    assert "api_key" in src.spec()["spec"]["required"]
+    with pytest.raises(ValueError, match="missing required"):
+        src.streams({"api_key": "x"})  # start_ts absent
+
+
+def test_check_succeeds_and_sends_auth_header():
+    t = _transport()
+    out = ManifestSource(MANIFEST, t).check(CONFIG)
+    assert out == {
+        "type": "CONNECTION_STATUS",
+        "connectionStatus": {"status": "SUCCEEDED"},
+    }
+    assert t.calls[0]["headers"]["Authorization"] == "Bearer sekrit"
+
+
+def test_check_failure_is_a_message_not_a_crash():
+    t = RoutedTransport({"https://api.test/v1/users": [(401, None)] * 9,
+                         "https://api.test/v1/events": []})
+    out = ManifestSource(MANIFEST, t).check(CONFIG)
+    assert out["connectionStatus"]["status"] == "FAILED"
+    assert "401" in out["connectionStatus"]["message"]
+
+
+def test_discover_catalog_from_declared_schema():
+    cat = ManifestSource(MANIFEST, _transport()).discover(CONFIG)
+    assert cat["type"] == "CATALOG"
+    streams = {s["name"]: s for s in cat["catalog"]["streams"]}
+    u = streams["users"]["json_schema"]["properties"]
+    assert u["id"] == {"type": "integer"}
+    assert u["tags"] == {"type": "array", "items": {"type": "string"}}
+    assert streams["events"]["default_cursor_field"] == ["ts"]
+    assert streams["users"]["source_defined_primary_key"] == [["id"]]
+
+
+def test_read_typed_extraction_transforms_and_error_capture(spark):
+    out = ManifestSource(MANIFEST, _transport()).read(spark, CONFIG, streams=["users"])
+    df, state = out["users"]
+    rows = {r.id: r for r in df.collect()}
+    assert state is None  # full refresh
+    assert set(rows) == {2, 3}  # id >= 2 filter applied
+    assert rows[3].name_upper == "CY"
+    assert rows[3].score == 7 and rows[3]._ab_errors == ""
+    # dirty score on id=2: typed column NULL, column name captured
+    assert rows[2].score is None and rows[2]._ab_errors == "score"
+    assert rows[2].tags == ["b", "c"]
+
+
+def test_read_datetime_incremental_and_resume(spark):
+    t = _transport()
+    src = ManifestSource(MANIFEST, t)
+    df, state = src.read(spark, CONFIG, streams=["events"])["events"]
+    assert state == 300.0
+    assert df.count() == 6  # 3 slices x 2 events
+    slice_bounds = [(c["params"]["from"], c["params"]["to"])
+                    for c in t.calls if c["url"].endswith("/events")]
+    assert slice_bounds == [(0, 100.0), (100.0, 200.0), (200.0, 300.0)]
+    # resume from state: only the un-synced window is requested
+    t2 = RoutedTransport({"https://api.test/v1/events": [_events_slice(200, 300)],
+                          "https://api.test/v1/users": []})
+    df2, state2 = ManifestSource(MANIFEST, t2).read(
+        spark, CONFIG, state={"events": 200.0}, streams=["events"]
+    )["events"]
+    assert state2 == 300.0 and df2.count() == 2
+    assert [c["params"]["from"] for c in t2.calls] == [200.0]
+
+
+def test_read_messages_protocol_shapes(spark):
+    msgs = list(ManifestSource(MANIFEST, _transport()).read_messages(
+        spark, CONFIG, streams=["events"]
+    ))
+    records = [m for m in msgs if m["type"] == "RECORD"]
+    states = [m for m in msgs if m["type"] == "STATE"]
+    assert len(records) == 6 and len(states) == 1
+    assert records[0]["record"]["stream"] == "events"
+    assert states[0]["state"]["stream"]["stream_state"]["cursor"] == 300.0
+
+
+def test_oauth2_stream_refreshes_and_retries_on_401(spark):
+    manifest = {
+        "spec": {"required": [], "properties": {}},
+        "streams": [{
+            "name": "s",
+            "url": "https://api.test/v1/s",
+            "records_field": "data",
+            "paginator": {"kind": "offset", "param": "offset", "page_size": 10},
+            "authenticator": {
+                "type": "oauth2",
+                "token_url": "https://api.test/oauth",
+                "client_id": "ci", "client_secret": "cs",
+                "refresh_token": "{{ config['rt'] }}",
+            },
+            "schema": {"id": "bigint"},
+        }],
+    }
+    t = RoutedTransport({
+        "https://api.test/oauth": [
+            (200, {"access_token": "tokA", "expires_in": 3600}),
+            (200, {"access_token": "tokB", "expires_in": 3600}),
+        ],
+        # first data call 401s (server revoked tokA) -> invalidate+refresh
+        "https://api.test/v1/s": [(401, None), (200, {"data": [{"id": 9}]})],
+    })
+    df, _ = ManifestSource(manifest, t).read(spark, {"rt": "r1"})["s"]
+    assert [r.id for r in df.collect()] == [9]
+    data_calls = [c for c in t.calls if c["url"].endswith("/v1/s")]
+    assert data_calls[0]["headers"]["Authorization"] == "Bearer tokA"
+    assert data_calls[1]["headers"]["Authorization"] == "Bearer tokB"

@@ -22,6 +22,8 @@ from airbyte_spark.operators.mixing import (
     mixture_sample,
     token_budget_oracle_sql,
     token_budget_sample,
+    training_order,
+    training_order_oracle_sql,
 )
 
 
@@ -156,3 +158,52 @@ def test_token_budget_plan_never_sorts_whole_source(spark):
     # every hashpartitioning over the base data must include _bkt
     parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert any("_bkt" in p for p in parts), plan
+
+
+def test_training_order_is_exact_permutation(spark):
+    d = _docs(spark, 777)
+    out = training_order(d, shard_size=100).collect()
+    assert sorted(r.global_pos for r in out) == list(range(777))
+    for r in out:
+        assert r.shard == r.global_pos // 100
+        assert r.pos_in_shard == r.global_pos % 100
+
+
+def test_training_order_matches_oracle_and_salt_changes_order(spark):
+    d = _docs(spark, 300)
+    con = duckdb.connect()
+    con.register("docs", d.toPandas())
+    want = con.sql(
+        training_order_oracle_sql("docs", shard_size=64, select_cols="doc_id")
+    ).df()
+    got = (
+        training_order(d, shard_size=64)
+        .select("doc_id", "global_pos", "shard", "pos_in_shard")
+        .toPandas()
+    )
+    key = ["doc_id", "global_pos", "shard", "pos_in_shard"]
+    assert sorted(map(tuple, got[key].itertuples(index=False))) == sorted(
+        map(tuple, want[key].astype("int64").itertuples(index=False))
+    )
+    # a different salt is a different (but still deterministic) permutation
+    other = {r.doc_id: r.global_pos
+             for r in training_order(d, shard_size=64, salt="epoch-2").collect()}
+    base = {r.doc_id: r.global_pos for r in training_order(d, shard_size=64).collect()}
+    assert base != other
+    assert sorted(other.values()) == list(range(300))
+
+
+def test_training_order_determinism_and_bucketed_plan(spark):
+    d = _docs(spark, 500)
+    a = sorted((r.doc_id, r.global_pos) for r in training_order(d).collect())
+    b = sorted(
+        (r.doc_id, r.global_pos)
+        for r in training_order(d.repartition(11, "source")).collect()
+    )
+    assert a == b
+    # the big-side row_number window partitions by _bkt (256-way), never the
+    # whole corpus; the only SinglePartition is the tiny per-bucket offsets
+    plan = _explain(training_order(d))
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("_bkt" in p for p in parts), plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

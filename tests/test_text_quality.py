@@ -117,3 +117,51 @@ def test_regexp_replace_all_rejects_unsafe_tokens():
             X.REGEXP_REPLACE_ALL(X.SPARK, "text", bad, "ok")
     with pytest.raises(ValueError):
         X.REGEXP_REPLACE_ALL(X.SPARK, "text", "ok", "$1")
+
+
+def test_quality_classifier_matches_oracle_and_labels(spark):
+    import duckdb
+
+    from airbyte_spark.operators.text_quality import (
+        quality_classifier,
+        quality_classifier_oracle_sql,
+    )
+
+    rows = [(i, f"w{i % 7} w{i % 7} common shared tokens {'x' * (i % 3 + 1)}")
+            for i in range(60)]
+    d = _docs(spark, rows)
+    got = quality_classifier(d, vocab_top=5, cache_counts=False).toPandas()
+    con = duckdb.connect()
+    con.register("docs", d.toPandas())
+    want = con.sql(quality_classifier_oracle_sql("docs", vocab_top=5)).df()
+    key = ["doc_id", "score", "label"]
+    assert sorted(map(tuple, got[key].itertuples(index=False))) == sorted(
+        map(tuple, want[key].itertuples(index=False))
+    )
+    assert set(got.label) <= {"keep", "maybe", "drop"}
+    assert len(got) == 60  # every doc scored, even all-out-of-vocab ones
+
+
+def test_quality_classifier_out_of_vocab_scores_zero(spark):
+    from airbyte_spark.operators.text_quality import quality_classifier
+
+    # vocab_top=1 -> only the most frequent word ("common", 3x) is in
+    # vocabulary; doc 9 has none of it -> score exactly 0, still present
+    d = _docs(spark, [
+        (1, "common common common rare"),
+        (9, "totally outside vocabulary words"),
+    ])
+    out = {r.doc_id: r for r in
+           quality_classifier(d, vocab_top=1, cache_counts=False).collect()}
+    assert out[9].score == 0 and out[9].label == "maybe"
+    assert out[1].score != 0
+
+
+def test_quality_classifier_vocab_join_is_broadcast(spark):
+    from airbyte_spark.operators.text_quality import quality_classifier
+    from tests.test_plans import _explain as _ex  # shared plan helper
+
+    plan = _ex(quality_classifier(
+        _docs(spark, [(1, "a b c")]), cache_counts=False
+    ))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
