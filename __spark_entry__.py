@@ -500,6 +500,29 @@ def q_dedup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup (operators/incremental_dedup.py) run as a
+    real two-batch ingest: originals first, then the injected copies
+    arrive as a second batch checked against the accumulated signature
+    index. The batching-independence law says the union of per-batch flags
+    equals a one-shot run — the oracle is that one-shot min-witness
+    aggregation over the verified pair relation. (Bucket sizes in this
+    corpus stay far below the super-bucket cap, so the cap's as-of-batch
+    evaluation cannot diverge here.)"""
+    from airbyte_spark.operators.incremental_dedup import (
+        append_index,
+        incremental_neardup_flags,
+        signature_batch,
+    )
+
+    d = _dup_docs(spark, sf_dir)
+    b1 = signature_batch(d.filter(F.col("doc_id") < 1_000_000))
+    b2 = signature_batch(d.filter(F.col("doc_id") >= 1_000_000))
+    f1 = incremental_neardup_flags(b1, None)
+    f2 = incremental_neardup_flags(b2, append_index(None, b1))
+    return f1.unionByName(f2)
+
+
 def q_docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear bag-of-words quality classifier (fasttext-style filter,
     linearized): corpus top-200 vocabulary by frequency -> deterministic
@@ -916,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_budget": q_corpus_token_budget,
         "corpus_shuffle": q_corpus_shuffle,
         "dedup_token_spans": q_dedup_token_spans,
+        "dedup_incremental_flags": q_dedup_incremental_flags,
         "docs_quality_classifier": q_docs_quality_classifier,
         "tokens_pack": q_tokens_pack,
         "docs_hash_split": q_docs_hash_split,
@@ -1161,6 +1185,26 @@ j AS (SELECT a_id, b_id,
       FROM cand JOIN dsh a ON cand.a_id = a.doc_id JOIN dsh b ON cand.b_id = b.doc_id)
 SELECT a_id, b_id, inter, (both_n - inter) AS uni
 FROM j WHERE 100 * inter >= 50 * uni
+""",
+        "dedup_incremental_flags": f"""
+WITH {_LSH_CTES},
+dsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM nz),
+okb AS (SELECT band, band_key FROM bands GROUP BY band, band_key
+        HAVING count(*) <= 64),
+bandsf AS (SELECT bands.doc_id, bands.band, bands.band_key
+           FROM bands JOIN okb USING (band, band_key)),
+cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         FROM bandsf x JOIN bandsf y
+           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+j AS (SELECT a_id, b_id,
+             CAST(len(list_filter(a.sh, t -> list_contains(b.sh, t))) AS BIGINT) AS inter,
+             CAST(len(a.sh) + len(b.sh) AS BIGINT) AS both_n
+      FROM cand JOIN dsh a ON cand.a_id = a.doc_id JOIN dsh b ON cand.b_id = b.doc_id),
+pairs AS (SELECT a_id, b_id, inter, (both_n - inter) AS uni
+          FROM j WHERE 100 * inter >= 50 * uni)
+SELECT b_id AS doc_id, CAST(MIN(a_id) AS BIGINT) AS dup_of,
+       CAST(COUNT(*) AS BIGINT) AS n_witnesses
+FROM pairs GROUP BY b_id
 """,
         "dedup_components": f"""
 WITH RECURSIVE {_LSH_CTES},

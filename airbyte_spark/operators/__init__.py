@@ -10,6 +10,18 @@ from airbyte_spark.operators.fuzzy_dedup import (
     simhash_groups,
 )
 from airbyte_spark.operators.asof import asof_enrich
+from airbyte_spark.operators.incremental_dedup import (
+    SignatureBatch,
+    append_index,
+    incremental_neardup_flags,
+    signature_batch,
+)
+from airbyte_spark.operators.mixing import (
+    mixture_sample,
+    token_budget_sample,
+    training_order,
+)
+from airbyte_spark.operators.token_dedup import doc_spans, token_span_pairs
 from airbyte_spark.operators.components import connected_components, dedup_components
 from airbyte_spark.operators.metadata import inject_cdc_metadata
 from airbyte_spark.operators.merge import merge_upsert, merge_upsert_full, merge_upsert_mor
@@ -26,6 +38,7 @@ from airbyte_spark.operators.text_quality import (
     contamination_check,
     dup_ngram_fraction,
     pii_scrub,
+    quality_classifier,
 )
 
 __all__ = [
@@ -51,6 +64,16 @@ __all__ = [
     "dup_ngram_fraction",
     "contamination_check",
     "pii_scrub",
+    "quality_classifier",
+    "SignatureBatch",
+    "signature_batch",
+    "incremental_neardup_flags",
+    "append_index",
+    "mixture_sample",
+    "token_budget_sample",
+    "training_order",
+    "doc_spans",
+    "token_span_pairs",
     "pack_sequences",
     "pack_stats",
     "hash_split",

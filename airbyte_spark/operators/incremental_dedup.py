@@ -1,0 +1,152 @@
+"""Incremental near-dup dedup: new batches checked against a persisted
+signature index of everything already ingested.
+
+Training-data-pipeline extension (no analog in rosecape/airbyte — SURVEY.md
+§2.9b). The batch operators (fuzzy_dedup.ngram_jaccard_pairs) re-shingle
+and re-join the WHOLE corpus per run; a CDC-style ingest pipeline cannot
+re-scan 100 TB for every incoming batch. The standard production answer is
+an incremental MinHash index: persist each document's LSH band keys (+ its
+distinct shingle set for exact verification) once, and for every new batch
+join only the batch's signatures against the index.
+
+Drop rule (the "min-witness" greedy): a document d is flagged a duplicate
+iff it has a VERIFIED near-dup pair with any document e < d (by id) seen
+so far — in the index or earlier in the same batch. Because the witness
+set is "all documents seen, kept or dropped", the flagged set is provably
+INDEPENDENT OF BATCHING: any partition of the corpus into ordered batches
+(or one shot) yields the identical drop set, and it equals exactly
+``{b_id} of ngram_jaccard_pairs`` over the full corpus (pairs are emitted
+a < b). That is the resume/replay-safe law a CDC pipeline needs — gated in
+tests/test_incremental_dedup.py. (Dropped docs stay in the index: their
+signatures still witness future copies of the same content; the keeper
+attribution chain is the components operator's job.)
+
+The batching-independence law holds exactly when ``max_bucket_size`` is
+None. With a cap, bucket occupancy is evaluated as-of each batch (a bucket
+can cross the cap mid-stream), so the cap is a DoS guard against
+boilerplate blowup — not a semantic filter — and early members of an
+eventually-super bucket may be flagged where a one-shot run would skip
+them. Tests gate the law with the cap disabled and cap behavior
+separately.
+
+Scale design (100 TB):
+- Per batch, ONLY the batch is shingled/hashed (map-side); the index is
+  never recomputed, only appended (the caller persists the two returned
+  DataFrames — parquet/lake append, partitioned by band for locality).
+- Candidate generation is the band-key equi-join of batch-vs-index and
+  batch-vs-batch — the index side prunes to matching band keys via
+  predicate/partition locality; super-buckets are capped exactly like the
+  batch operator so boilerplate never explodes the pair count.
+- Verification joins fetch shingle arrays for CANDIDATE ids only (the
+  shuffle carries candidate rows, not the corpus).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from airbyte_spark.operators.fuzzy_dedup import _shingled, lsh_bands
+from airbyte_spark.plans import textsql as X
+
+S = X.SPARK
+
+#: band-key buckets holding more docs than this (index + batch combined)
+#: are boilerplate; excluded from pair generation, same as the batch op
+MAX_BUCKET = 64
+
+
+@dataclass
+class SignatureBatch:
+    """One batch's signatures: band keys for candidate generation, distinct
+    shingle sets for exact verification. Append both to the persistent
+    index after flagging (kept AND dropped docs — see module docstring)."""
+
+    bands: DataFrame  # (doc_id, band, band_key)
+    shingles: DataFrame  # (doc_id, sh array<string>)
+
+
+def signature_batch(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 8,
+) -> SignatureBatch:
+    """Compute a batch's signatures (map-side; the only cost that scales
+    with the batch, not the corpus)."""
+    sh = _shingled(df, id_col, text_col, k).selectExpr(
+        "doc_id", f"{X.ADISTINCT(S, 'sh')} AS sh"
+    )
+    return SignatureBatch(
+        bands=lsh_bands(df, id_col, text_col, k, n_hashes, bands),
+        shingles=sh,
+    )
+
+
+def incremental_neardup_flags(
+    batch: SignatureBatch,
+    index: SignatureBatch | None,
+    jaccard_pct: int = 50,
+    max_bucket_size: int | None = MAX_BUCKET,
+) -> DataFrame:
+    """Flag the batch's duplicates against (index ∪ batch): returns
+    (doc_id, dup_of, n_witnesses) — ``dup_of`` the smallest verified
+    witness. ``index=None`` means a cold start (batch-only dedup)."""
+    nb, ns = batch.bands, batch.shingles
+    if index is not None:
+        all_bands = index.bands.unionByName(nb)
+        all_sh = index.shingles.unionByName(ns)
+    else:
+        all_bands, all_sh = nb, ns
+    if max_bucket_size is not None:
+        sizes = all_bands.groupBy("band", "band_key").agg(
+            F.count("*").alias("_gs")
+        )
+        ok = sizes.filter(F.col("_gs") <= max_bucket_size).select("band", "band_key")
+        all_bands = all_bands.join(ok, ["band", "band_key"])
+        nb = nb.join(ok, ["band", "band_key"])
+    # candidates: batch doc d vs ANY seen doc e < d (index or same batch)
+    cand = (
+        nb.alias("d")
+        .join(
+            all_bands.alias("e"),
+            (F.col("d.band") == F.col("e.band"))
+            & (F.col("d.band_key") == F.col("e.band_key"))
+            & (F.col("e.doc_id") < F.col("d.doc_id")),
+        )
+        .select(
+            F.col("d.doc_id").alias("doc_id"), F.col("e.doc_id").alias("wit_id")
+        )
+        .distinct()
+    )
+    inter = X.SIZE(S, X.AINTERSECT(S, "d_sh", "w_sh"))
+    verified = (
+        cand.join(ns.selectExpr("doc_id", "sh AS d_sh"), "doc_id")
+        .join(all_sh.selectExpr("doc_id AS wit_id", "sh AS w_sh"), "wit_id")
+        .selectExpr(
+            "doc_id", "wit_id",
+            f"CAST({inter} AS BIGINT) AS inter",
+            f"CAST({X.SIZE(S, 'd_sh')} + {X.SIZE(S, 'w_sh')} AS BIGINT) AS both_n",
+        )
+        .selectExpr("doc_id", "wit_id", "inter", "(both_n - inter) AS uni")
+        .filter(F.expr(f"100 * inter >= {jaccard_pct} * uni"))
+    )
+    return verified.groupBy("doc_id").agg(
+        F.min("wit_id").alias("dup_of"),
+        F.count("*").cast("long").alias("n_witnesses"),
+    )
+
+
+def append_index(index: SignatureBatch | None, batch: SignatureBatch) -> SignatureBatch:
+    """The index after ingesting the batch (caller persists; in-memory
+    composition for job pipelines and tests)."""
+    if index is None:
+        return batch
+    return SignatureBatch(
+        bands=index.bands.unionByName(batch.bands),
+        shingles=index.shingles.unionByName(batch.shingles),
+    )
