@@ -86,17 +86,26 @@ def _changelog_cfg():
     )
 
 
-def _child_barrier(sync_dir: str, cores: int, i: int) -> None:
+def _child_barrier(sync_dir: str, cores: int, i: int) -> bool:
     """Announce readiness for pass ``i`` and block until the parent releases
     it (both levels ready) — so each measured pass STARTS in the same noise
-    window on both levels and the per-pass ratio is genuinely paired."""
-    open(os.path.join(sync_dir, f"ready-{cores}-{i}"), "w").close()
+    window on both levels and the per-pass ratio is genuinely paired.
+
+    Returns False when the parent posted the ``stop`` sentinel instead of a
+    release: the time budget ran out (degraded machine) and the child must
+    finish with the passes it has — both levels see the stop at the SAME
+    pass boundary, so pairing is preserved."""
+    stop = os.path.join(sync_dir, "stop")
     go = os.path.join(sync_dir, f"go-{i}")
-    deadline = time.monotonic() + 1800
+    open(os.path.join(sync_dir, f"ready-{cores}-{i}"), "w").close()
+    deadline = time.monotonic() + 5400
     while not os.path.exists(go):
+        if os.path.exists(stop):
+            return False
         if time.monotonic() > deadline:
             raise RuntimeError(f"barrier timeout waiting for {go}")
         time.sleep(0.05)
+    return True
 
 
 def child_replay(
@@ -157,8 +166,8 @@ def child_replay(
     seed = seed_df(spark, cfg)
     runs = []
     for run_i in range(n_runs):
-        if sync_dir is not None:
-            _child_barrier(sync_dir, cores, run_i)
+        if sync_dir is not None and not _child_barrier(sync_dir, cores, run_i):
+            break  # parent budget-stop: finish with the passes we have
         root = tempfile.mkdtemp(prefix=f"ab_bench_lake_{cores}_", dir=TMPFS)
         eng = CdcEngine(
             spark,
@@ -235,7 +244,7 @@ def _finish_child(proc: subprocess.Popen, cores: int) -> dict:
     )
 
 
-def _run_paired_passes(n_runs: int) -> tuple[dict, dict, list[float]]:
+def _run_paired_passes(n_runs: int, min_passes: int = 2) -> tuple[dict, dict, list[float]]:
     """The scaling protocol (VERDICT r2 #6): both levels live concurrently
     on DISJOINT pinned CPU sets, and every pass k is released by a barrier
     only when both levels are ready — so each per-pass ratio compares the
@@ -248,11 +257,20 @@ def _run_paired_passes(n_runs: int) -> tuple[dict, dict, list[float]]:
         _finish_child(_spawn_child(SCALE_HI, 0, SCALE_LO), SCALE_HI)
     p_lo = _spawn_child(SCALE_LO, n_runs, 0, sync_dir)
     p_hi = _spawn_child(SCALE_HI, n_runs, SCALE_LO, sync_dir)
+    # Degraded-machine guard: this sandbox VM's effective speed swings by
+    # integer factors between rounds (steal storms; pinned small-core sets
+    # hit hardest). Rather than die at a fixed deadline and emit NOTHING,
+    # release at least min_passes (warmup + 1 scored) and then keep
+    # releasing passes only while the time budget holds; on budget
+    # exhaustion post the stop sentinel — both children finish at the same
+    # pass boundary with however many paired passes completed.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_SCALING_BUDGET", "2400"))
+    t_start = time.monotonic()
     try:
         for i in range(n_runs):
             ready_lo = os.path.join(sync_dir, f"ready-{SCALE_LO}-{i}")
             ready_hi = os.path.join(sync_dir, f"ready-{SCALE_HI}-{i}")
-            deadline = time.monotonic() + 1800
+            deadline = time.monotonic() + 5400
             while not (os.path.exists(ready_lo) and os.path.exists(ready_hi)):
                 if p_lo.poll() is not None and p_lo.returncode != 0:
                     raise RuntimeError("lo child died before barrier")
@@ -261,6 +279,9 @@ def _run_paired_passes(n_runs: int) -> tuple[dict, dict, list[float]]:
                 if time.monotonic() > deadline:
                     raise RuntimeError(f"parent barrier timeout at pass {i}")
                 time.sleep(0.1)
+            if i >= min_passes and time.monotonic() - t_start > budget_s:
+                open(os.path.join(sync_dir, "stop"), "w").close()
+                break
             open(os.path.join(sync_dir, f"go-{i}"), "w").close()
         r_lo = _finish_child(p_lo, SCALE_LO)
         r_hi = _finish_child(p_hi, SCALE_HI)
@@ -360,8 +381,28 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.monotonic() - t0, 3)
     spark.stop()
+    suite_wall_s = time.monotonic() - t_total0
 
-    cdc: dict = {"events": BENCH_EVENTS}
+    # Machine-speed calibration: a healthy pass of this suite takes ~3-6
+    # min; this sandbox VM's effective speed swings by integer factors
+    # between rounds (steal storms). When the suite crawled, shrink the
+    # scaling replay's event count so the paired passes still finish inside
+    # the budget — the hi/lo RATIO is computed at equal event counts either
+    # way, and the absolute throughput is always reported WITH its event
+    # count. Explicit SPARK_GRAFT_BENCH_EVENTS wins over calibration.
+    if "SPARK_GRAFT_BENCH_EVENTS" not in os.environ:
+        shrink = 1
+        if suite_wall_s > 1200:
+            shrink = 8
+        elif suite_wall_s > 600:
+            shrink = 4
+        if shrink > 1:
+            global BENCH_EVENTS, BENCH_SEED_DOCS, BATCH_EVENTS
+            BENCH_EVENTS = max(500_000, BENCH_EVENTS // shrink)
+            BENCH_SEED_DOCS = max(1000, BENCH_EVENTS // 10)
+            BATCH_EVENTS = max(250_000, BENCH_EVENTS // 2)
+
+    cdc: dict = {"events": BENCH_EVENTS, "suite_wall_s": round(suite_wall_s, 1)}
     scaling = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
     # Paired-pass protocol (VERDICT r2 #6): >=4 lock-step passes, both
     # levels concurrent on disjoint pinned CPU sets, each pass barrier-
@@ -377,24 +418,40 @@ def main() -> None:
     # steady state — a long-running executor never replays cold.
     warmup = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")))
     if scaling:
-        r_lo, r_hi, ratios = _run_paired_passes(warmup + n_runs)
-        factor = SCALE_HI / SCALE_LO
-        per_pass_eff = [round(r / factor, 3) for r in ratios]
-        scored = ratios[warmup:]
-        eff = round(_median(scored) / factor, 3)
-        cdc[f"local{SCALE_LO}"] = r_lo
-        cdc[f"local{SCALE_HI}"] = r_hi
-        cdc["per_pass_efficiency"] = per_pass_eff
-        cdc["warmup_passes_unscored"] = warmup
-        cdc["speedup"] = round(_median(scored), 3)
-        cdc["scaling_efficiency"] = eff
-        if eff > 1.05:
-            # unphysical — super-linear N->4N cannot be real on this box;
-            # never let a noise artifact read as a valid scaling number
-            cdc["scaling_efficiency_flag"] = (
-                "UNPHYSICAL (>1.05): residual noise overwhelmed the "
-                "paired-median protocol; treat as unmeasured, see per-pass"
+        try:
+            r_lo, r_hi, ratios = _run_paired_passes(
+                warmup + n_runs, min_passes=warmup + 1
             )
+        except Exception as e:  # noqa: BLE001 — a bench must DEGRADE, not die
+            # scaling unmeasurable this invocation (e.g. the VM collapsed
+            # mid-pass): report the failure in-band; the JSON line and the
+            # rest of the bench still land for the round record
+            cdc["scaling_error"] = f"{type(e).__name__}: {e}"
+            ratios = []
+        if ratios:
+            factor = SCALE_HI / SCALE_LO
+            per_pass_eff = [round(r / factor, 3) for r in ratios]
+            scored = ratios[warmup:] or ratios[-1:]
+            eff = round(_median(scored) / factor, 3)
+            cdc[f"local{SCALE_LO}"] = r_lo
+            cdc[f"local{SCALE_HI}"] = r_hi
+            cdc["per_pass_efficiency"] = per_pass_eff
+            cdc["warmup_passes_unscored"] = warmup
+            cdc["scored_passes"] = len(scored)
+            if len(scored) < n_runs:
+                cdc["scaling_budget_degraded"] = (
+                    f"machine too slow for {n_runs} scored passes within "
+                    "SPARK_GRAFT_BENCH_SCALING_BUDGET; scored what completed"
+                )
+            cdc["speedup"] = round(_median(scored), 3)
+            cdc["scaling_efficiency"] = eff
+            if eff > 1.05:
+                # unphysical — super-linear N->4N cannot be real on this box;
+                # never let a noise artifact read as a valid scaling number
+                cdc["scaling_efficiency_flag"] = (
+                    "UNPHYSICAL (>1.05): residual noise overwhelmed the "
+                    "paired-median protocol; treat as unmeasured, see per-pass"
+                )
     else:
         r_hi = _finish_child(_spawn_child(SCALE_HI, n_runs, 0), SCALE_HI)
         cdc[f"local{SCALE_HI}"] = r_hi
