@@ -422,6 +422,16 @@ def q_docs_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: overlapping fixed-size character windows
+    (512 chars, stride 384) per document — the pre-tokenization split for
+    docs longer than the training sequence length. One row per chunk with
+    the chunk's md5 (text never leaves the projection)."""
+    from airbyte_spark.operators.packing import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), window=512, stride=384)
+
+
 def q_docs_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus word-bigram frequency profile (the counting shape behind
     n-gram LM stats and BPE merge selection): adjacent-word pairs from
@@ -943,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_classifier": q_docs_quality_classifier,
         "tokens_pack": q_tokens_pack,
         "docs_hash_split": q_docs_hash_split,
+        "docs_chunk_windows": q_docs_chunk_windows,
         "tokens_histogram": q_tokens_histogram,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_neardup": q_dedup_embedding_neardup,
@@ -1383,6 +1394,15 @@ FROM b GROUP BY source_partition, bin
         "docs_quality_classifier": _text_quality.quality_classifier_oracle_sql(
             "documents", vocab_top=200,
         ),
+        "docs_chunk_windows": """
+SELECT doc_id,
+       CAST(start_c / 384 AS BIGINT) AS chunk_idx,
+       CAST(start_c AS BIGINT) AS chunk_start,
+       CAST(length(substring(text, start_c + 1, 512)) AS BIGINT) AS chunk_len,
+       md5(substring(text, start_c + 1, 512)) AS chunk_md5
+FROM (SELECT doc_id, text, unnest(range(0, length(text), 384)) AS start_c
+      FROM documents WHERE length(text) > 0)
+""",
         "docs_hash_split": f"""
 WITH s AS (
   SELECT lang, length(text) AS chars,

@@ -109,3 +109,42 @@ def hash_split(
         .when(bucket < train_pct + val_pct, "val")
         .otherwise("test"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 512,
+    stride: int = 384,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-size character windows with overlap
+    (stride < window ⇒ window-stride chars of context carry across chunk
+    boundaries) — the context-window chunking step that precedes
+    tokenization when documents exceed the training sequence length.
+
+    One row per chunk: (id, chunk_idx, chunk_start, chunk_len, chunk_md5).
+    Chunk starts are 0, stride, 2·stride, … < length(text), so membership
+    is a pure function of the text value — engine/order/partition
+    independent, exactly reproducible by the SQL oracle.
+
+    Scale design (100 TB): a narrow projection + explode — zero shuffles;
+    row expansion is bounded by len/stride per doc and the text payload is
+    dropped in the same projection (only the md5 survives), so nothing
+    downstream ever shuffles document bodies."""
+    starts = F.explode(
+        F.sequence(F.lit(0), F.length(text_col) - 1, F.lit(stride))
+    ).alias("chunk_start")
+    chunk = F.expr(f"substring({text_col}, chunk_start + 1, {window})")
+    return (
+        df.where(F.length(text_col) > 0)
+        .select(id_col, text_col)
+        .select(F.col(id_col), starts, F.col(text_col))
+        .select(
+            id_col,
+            (F.col("chunk_start") / stride).cast("long").alias("chunk_idx"),
+            F.col("chunk_start").cast("long"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )

@@ -68,6 +68,33 @@ def interpolate(value: Any, config: dict[str, Any]) -> Any:
     return value
 
 
+# ``{{ stream_partition.field }}`` — resolved per partition at request time
+# (the reference accepts ``stream_slice`` as an alias for the same scope:
+# declarative/interpolation/jinja.py ALIASES).
+_PARTITION_PLACEHOLDER = re.compile(
+    r"\{\{\s*(?:stream_partition|stream_slice)"
+    r"(?:\.(\w+)|\['(\w+)'\]|\[\"(\w+)\"\])\s*\}\}"
+)
+
+
+def interpolate_partition(value: Any, partition: dict[str, Any]) -> Any:
+    """Resolve ``{{ stream_partition.* }}`` placeholders against one
+    partition dict — same contract as :func:`interpolate` (a string that is
+    exactly one placeholder keeps the raw value's type)."""
+    if isinstance(value, str):
+        m = _PARTITION_PLACEHOLDER.fullmatch(value.strip())
+        if m:
+            return partition[next(g for g in m.groups() if g)]
+        return _PARTITION_PLACEHOLDER.sub(
+            lambda m: str(partition[next(g for g in m.groups() if g)]), value
+        )
+    if isinstance(value, dict):
+        return {k: interpolate_partition(v, partition) for k, v in value.items()}
+    if isinstance(value, list):
+        return [interpolate_partition(v, partition) for v in value]
+    return value
+
+
 _DDL_JSON = {
     "string": {"type": "string"}, "varchar": {"type": "string"},
     "text": {"type": "string"}, "boolean": {"type": "boolean"},
@@ -138,18 +165,25 @@ class DeclarativeStream:
     min_call_interval_s: float = 0.0
     prefetch_pages: int = 0
     sleep: Callable[[float], None] | None = None
+    # {"type": "list", "values": [...], "partition_field": ...,
+    #  "request_param": ...} or {"type": "substream", "parent_stream": ...,
+    #  "parent_key": ..., "partition_field": ..., "request_param": ...}
+    partition_router: dict | None = None
+    parent: "DeclarativeStream | None" = None  # wired by ManifestSource
 
     @property
     def cursor_field(self) -> str | None:
         return (self.incremental or {}).get("cursor_field")
 
-    def _source(self, extra_params: dict | None = None) -> HttpStreamSource:
+    def _source(
+        self, extra_params: dict | None = None, url: str | None = None
+    ) -> HttpStreamSource:
         kwargs: dict[str, Any] = {}
         if self.sleep is not None:
             kwargs["sleep"] = self.sleep
         return HttpStreamSource(
             transport=self.transport,
-            url=self.url,
+            url=url or self.url,
             params={**self.params, **(extra_params or {})},
             headers=dict(self.headers),
             records_field=self.records_field,
@@ -170,32 +204,113 @@ class DeclarativeStream:
         kwargs["step_s"] = float(kwargs["step_s"])
         return DatetimeSlicer(**kwargs)
 
-    def read_records(
-        self, state: Any = None, max_pages: int | None = None
+    def partitions(self) -> list[dict[str, Any]]:
+        """Resolve the partition router into a list of partition dicts
+        ({partition_field: value}), one request scope per entry.
+
+        - ``list``: one partition per declared value
+          (declarative/partition_routers/list_partition_router.py:15-37,77).
+        - ``substream``: a full-refresh driver-side read of the parent
+          stream, one partition per distinct ``parent_key`` value in
+          declaration order
+          (declarative/partition_routers/substream_partition_router.py:18-44).
+        """
+        pr = self.partition_router
+        if not pr:
+            return [{}]
+        field_ = pr["partition_field"]
+        if pr["type"] == "list":
+            return [{field_: v} for v in pr["values"]]
+        if pr["type"] == "substream":
+            if self.parent is None:
+                raise ValueError(
+                    f"stream {self.name!r}: parent stream "
+                    f"{pr.get('parent_stream')!r} not wired"
+                )
+            parent_records, _ = self.parent.read_records()
+            key = pr["parent_key"]
+            seen: dict[Any, None] = {}
+            for rec in parent_records:
+                if key in rec and rec[key] not in seen:
+                    seen[rec[key]] = None
+            return [{field_: v} for v in seen]
+        raise ValueError(f"unknown partition_router type {pr['type']!r}")
+
+    def _read_one(
+        self, state: Any, max_pages: int | None, partition: dict[str, Any]
     ) -> tuple[list[dict], Any]:
-        """Drive the API read in the declared sync mode. Returns
-        ``(records, new_state)`` — state is a slice-end epoch (datetime
-        mode), a max cursor value (cursor mode), or None (full refresh)."""
+        """One partition's read in the declared sync mode. The partition
+        scope resolves ``{{ stream_partition.* }}`` in the url/params and,
+        when ``request_param`` is declared, is injected as a request
+        parameter (RequestOption(request_parameter) semantics,
+        substream_partition_router.py:66,95-103)."""
+        url = interpolate_partition(self.url, partition) if partition else None
+        extra: dict[str, Any] = (
+            {k: interpolate_partition(v, partition) for k, v in self.params.items()}
+            if partition else {}
+        )
+        rp = (self.partition_router or {}).get("request_param")
+        if rp and partition:
+            extra[rp] = partition[self.partition_router["partition_field"]]
         inc = self.incremental
         if not inc:
-            return list(self._source().read_records(max_pages=max_pages)), None
+            return (
+                list(
+                    self._source(extra_params=extra, url=url).read_records(
+                        max_pages=max_pages
+                    )
+                ),
+                None,
+            )
         if inc["type"] == "datetime":
             records: list[dict] = []
             new_state = state
-            for state_doc, recs in self._source().read_datetime_sliced(
+            for state_doc, recs in self._source(
+                extra_params=extra, url=url
+            ).read_datetime_sliced(
                 self._slicer(inc), state=state, max_pages_per_slice=max_pages
             ):
                 records.extend(recs)
                 new_state = state_doc["slice_end_epoch"]
             return records, new_state
         if inc["type"] == "cursor":
-            return self._source().read_incremental(
+            return self._source(extra_params=extra, url=url).read_incremental(
                 cursor_field=inc["cursor_field"],
                 state=state,
                 cursor_param=inc.get("cursor_param", "since"),
                 max_pages=max_pages,
             )
         raise ValueError(f"unknown incremental type {inc['type']!r}")
+
+    def read_records(
+        self, state: Any = None, max_pages: int | None = None
+    ) -> tuple[list[dict], Any]:
+        """Drive the API read in the declared sync mode. Returns
+        ``(records, new_state)`` — state is a slice-end epoch (datetime
+        mode), a max cursor value (cursor mode), or None (full refresh).
+
+        With a partition router the read loops partitions; every record is
+        tagged with the partition field (so the child table carries its FK
+        even when the API response omits it) and state becomes a
+        per-partition dict keyed by the JSON-serialized partition — the
+        PerPartitionCursor contract
+        (declarative/incremental/per_partition_cursor.py:97-185): each
+        partition's cursor advances independently and a resumed sync
+        re-reads only what each partition hasn't seen."""
+        if not self.partition_router:
+            return self._read_one(state, max_pages, {})
+        field_ = self.partition_router["partition_field"]
+        state = state if isinstance(state, dict) else {}
+        records: list[dict] = []
+        new_state: dict[str, Any] = dict(state)
+        for part in self.partitions():
+            pkey = json.dumps(part, sort_keys=True, default=str)
+            recs, pstate = self._read_one(state.get(pkey), max_pages, part)
+            for r in recs:
+                r.setdefault(field_, part[field_])
+            records.extend(recs)
+            new_state[pkey] = pstate
+        return records, new_state
 
     def records_to_df(self, spark: SparkSession, records: list[dict]) -> DataFrame:
         """The driver→Spark handoff: records become one json-lines column
@@ -277,8 +392,20 @@ class ManifestSource:
                     schema=s.get("schema", {}),
                     min_call_interval_s=s.get("min_call_interval_s", 0.0),
                     prefetch_pages=s.get("prefetch_pages", 0),
+                    partition_router=s.get("partition_router"),
                 )
             )
+        by_name = {st.name: st for st in out}
+        for st in out:
+            pr = st.partition_router or {}
+            if pr.get("type") == "substream":
+                parent_name = pr["parent_stream"]
+                if parent_name not in by_name:
+                    raise ValueError(
+                        f"stream {st.name!r}: parent_stream {parent_name!r} "
+                        "is not declared in the manifest"
+                    )
+                st.parent = by_name[parent_name]
         return out
 
     def check(self, config: dict) -> dict:

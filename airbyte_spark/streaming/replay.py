@@ -89,12 +89,26 @@ def stream_replay_continuous(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(changelog_path)
 
-    applied = {"epochs": 0, "rows_applied": 0, "last_data_at": _time.monotonic()}
+    applied = {
+        "epochs": 0, "rows_applied": 0,
+        "last_data_at": _time.monotonic(), "busy": False,
+    }
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        applied["epochs"] += 1
-        applied["rows_applied"] += engine.apply_stream_epoch(batch_df, epoch_id)
+        # Idleness means NO DATA ARRIVING — a batch mid-apply is workload,
+        # not idleness. Mark busy for the guard and stamp activity on both
+        # edges, so a single batch slower than idle_timeout_s can never be
+        # declared idle and killed mid-apply (the reference's heartbeat
+        # guard likewise only fires between records, never during a poll:
+        # DebeziumRecordIterator.java:78-140 computeNext blocks per record).
+        applied["busy"] = True
         applied["last_data_at"] = _time.monotonic()
+        try:
+            applied["epochs"] += 1
+            applied["rows_applied"] += engine.apply_stream_epoch(batch_df, epoch_id)
+        finally:
+            applied["busy"] = False
+            applied["last_data_at"] = _time.monotonic()
 
     q = (
         stream.writeStream.foreachBatch(sink)
@@ -107,7 +121,13 @@ def stream_replay_continuous(
     try:
         while _time.monotonic() < deadline:
             _time.sleep(poll_s)
-            if q.isActive and _time.monotonic() - applied["last_data_at"] > idle_timeout_s:
+            if not q.isActive or applied["busy"]:
+                continue
+            # isDataAvailable covers the startup race: files discovered but
+            # the first trigger not yet fired under load is NOT idleness
+            if q.status.get("isDataAvailable"):
+                continue
+            if _time.monotonic() - applied["last_data_at"] > idle_timeout_s:
                 reason = "idle"
                 break
     finally:

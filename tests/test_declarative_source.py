@@ -223,3 +223,127 @@ def test_oauth2_stream_refreshes_and_retries_on_401(spark):
     data_calls = [c for c in t.calls if c["url"].endswith("/v1/s")]
     assert data_calls[0]["headers"]["Authorization"] == "Bearer tokA"
     assert data_calls[1]["headers"]["Authorization"] == "Bearer tokB"
+
+
+# ---------------------------------------------------------------- routers
+
+SUBSTREAM_MANIFEST = {
+    "spec": {"required": [], "properties": {}},
+    "streams": [
+        {
+            "name": "boards",
+            "url": "https://api.test/v1/boards",
+            "primary_key": "id",
+            "records_field": "data",
+            "paginator": {"kind": "offset", "param": "offset", "page_size": 10},
+            "schema": {"id": "bigint", "title": "string"},
+        },
+        {
+            "name": "cards",
+            "url": "https://api.test/v1/boards/{{ stream_partition.board_id }}/cards",
+            "primary_key": "card_id",
+            "records_field": "data",
+            "paginator": {"kind": "offset", "param": "offset", "page_size": 10},
+            "partition_router": {
+                "type": "substream",
+                "parent_stream": "boards",
+                "parent_key": "id",
+                "partition_field": "board_id",
+            },
+            "incremental": {"type": "cursor", "cursor_field": "ts",
+                            "cursor_param": "since"},
+            "schema": {"card_id": "bigint", "board_id": "bigint", "ts": "bigint"},
+        },
+        {
+            "name": "metrics",
+            "url": "https://api.test/v1/metrics",
+            "records_field": "data",
+            "paginator": {"kind": "offset", "param": "offset", "page_size": 10},
+            "partition_router": {
+                "type": "list",
+                "values": ["eu", "us"],
+                "partition_field": "region",
+                "request_param": "region",
+            },
+            "schema": {"metric": "string", "value": "bigint", "region": "string"},
+        },
+    ],
+}
+
+
+def _boards_page():
+    return (200, {"data": [{"id": 1, "title": "a"}, {"id": 2, "title": "b"},
+                           {"id": 1, "title": "a"}]})  # dup parent key: one slice
+
+
+def test_list_partition_router_injects_param_and_tags_records(spark):
+    t = RoutedTransport({
+        "https://api.test/v1/metrics": [
+            (200, {"data": [{"metric": "m", "value": 1}]}),
+            (200, {"data": [{"metric": "m", "value": 2}]}),
+        ],
+    })
+    df, state = ManifestSource(SUBSTREAM_MANIFEST, t).read(
+        spark, {}, streams=["metrics"]
+    )["metrics"]
+    rows = {r.region: r.value for r in df.collect()}
+    assert rows == {"eu": 1, "us": 2}  # partition field tagged onto records
+    assert [c["params"]["region"] for c in t.calls] == ["eu", "us"]
+    # full refresh under a router: per-partition state dict of Nones
+    assert set(state) == {'{"region": "eu"}', '{"region": "us"}'}
+
+
+def test_substream_router_reads_parents_and_templates_url(spark):
+    t = RoutedTransport({
+        "https://api.test/v1/boards": [_boards_page()],
+        "https://api.test/v1/boards/1/cards": [
+            (200, {"data": [{"card_id": 10, "ts": 5}]}),
+        ],
+        "https://api.test/v1/boards/2/cards": [
+            (200, {"data": [{"card_id": 20, "ts": 7}, {"card_id": 21, "ts": 3}]}),
+        ],
+    })
+    df, state = ManifestSource(SUBSTREAM_MANIFEST, t).read(
+        spark, {}, streams=["cards"]
+    )["cards"]
+    rows = sorted((r.board_id, r.card_id) for r in df.collect())
+    assert rows == [(1, 10), (2, 20), (2, 21)]  # FK column present
+    # per-partition cursor state (PerPartitionCursor semantics)
+    assert state == {'{"board_id": 1}': 5, '{"board_id": 2}': 7}
+    urls = [c["url"] for c in t.calls]
+    assert "https://api.test/v1/boards/1/cards" in urls
+    assert "https://api.test/v1/boards/2/cards" in urls
+
+
+def test_substream_per_partition_incremental_resume(spark):
+    """A resumed sync passes each partition its OWN cursor and only that
+    partition's new records arrive — no cross-partition cursor bleed."""
+    prior = {'{"board_id": 1}': 5, '{"board_id": 2}': 7}
+    t = RoutedTransport({
+        "https://api.test/v1/boards": [_boards_page()],
+        "https://api.test/v1/boards/1/cards": [
+            (200, {"data": [{"card_id": 11, "ts": 9}]}),
+        ],
+        "https://api.test/v1/boards/2/cards": [(200, {"data": []})],
+    })
+    df, state = ManifestSource(SUBSTREAM_MANIFEST, t).read(
+        spark, {}, state={"cards": prior}, streams=["cards"]
+    )["cards"]
+    assert [(r.board_id, r.card_id) for r in df.collect()] == [(1, 11)]
+    since = {c["url"]: c["params"].get("since")
+             for c in t.calls if c["url"].endswith("/cards")}
+    assert since == {"https://api.test/v1/boards/1/cards": 5,
+                     "https://api.test/v1/boards/2/cards": 7}
+    # board 1 advanced; board 2 (no new data) kept its cursor
+    assert state == {'{"board_id": 1}': 9, '{"board_id": 2}': 7}
+
+
+def test_substream_unknown_parent_is_a_manifest_error():
+    bad = {"spec": {"required": [], "properties": {}},
+           "streams": [{
+               "name": "c", "url": "u", "records_field": "data",
+               "partition_router": {"type": "substream", "parent_stream": "nope",
+                                    "parent_key": "id", "partition_field": "pid"},
+           }]}
+    with pytest.raises(ValueError, match="not declared"):
+        ManifestSource(bad, _transport()).streams({})

@@ -55,3 +55,38 @@ def test_hash_split_deterministic_and_complete(spark):
     c = Counter(a.values())
     assert set(c) == {"train", "val", "test"}
     assert 700 < c["train"] < 900  # ~80% of 1000, loose band
+
+
+def test_chunk_documents_covers_and_reconstructs(spark):
+    """Chunks tile the document: stride-prefixes of chunks 0..k-1 plus the
+    final chunk concatenate back to the original text, every chunk is
+    window-sized except possibly the last, and empty docs emit nothing."""
+    from airbyte_spark.operators.packing import chunk_documents
+
+    docs = [
+        (1, "abcdefghij"),          # 10 chars: 3 chunks at w=4,s=3
+        (2, "xy"),                  # shorter than one window
+        (3, ""),                    # empty: no chunks
+        (4, "a" * 7),               # exact boundary: starts 0,3,6
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = chunk_documents(df, window=4, stride=3).orderBy("doc_id", "chunk_idx")
+    rows = out.collect()
+    assert [r.doc_id for r in rows].count(3) == 0
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    texts = dict((d, t) for d, t in docs)
+    for doc_id, chunks in by_doc.items():
+        text = texts[doc_id]
+        assert [c.chunk_start for c in chunks] == [
+            i * 3 for i in range(len(chunks))
+        ]
+        # every chunk is full-width except possibly the final one
+        assert all(c.chunk_len == 4 for c in chunks[:-1])
+        assert chunks[-1].chunk_len == len(text) - chunks[-1].chunk_start
+        # md5s match the real substrings (reconstruction via hashes)
+        import hashlib
+        for c in chunks:
+            seg = text[c.chunk_start:c.chunk_start + 4]
+            assert c.chunk_md5 == hashlib.md5(seg.encode()).hexdigest()
