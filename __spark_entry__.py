@@ -469,6 +469,16 @@ def q_corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source", "repeat_idx")
 
 
+def q_corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: the 25 smallest-md5 documents per
+    (lang, source) — the standard per-group eval/ablation draw. Same
+    bucket-prefix two-phase as the token budget, so no group ever sorts in
+    one partition; the ranking window runs over candidates only."""
+    from airbyte_spark.operators.mixing import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), k=25)
+
+
 def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token budget: take documents in canonical md5-hash order
     while the source's running token total stays <= budget. Spark side is
@@ -946,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pii_scrub": q_docs_pii_scrub,
         "docs_word_bigrams": q_docs_word_bigrams,
         "corpus_mix_sample": q_corpus_mix_sample,
+        "corpus_stratified_sample": q_corpus_stratified_sample,
         "corpus_token_budget": q_corpus_token_budget,
         "corpus_shuffle": q_corpus_shuffle,
         "dedup_token_spans": q_dedup_token_spans,
@@ -1379,6 +1390,9 @@ FROM b GROUP BY source_partition, bin
         "corpus_mix_sample": _mixing.mixture_oracle_sql(
             "documents", _MIX_WEIGHTS, group_col="lang",
             select_cols="doc_id, lang, source",
+        ),
+        "corpus_stratified_sample": _mixing.stratified_oracle_sql(
+            "documents", 25,
         ),
         "corpus_token_budget": _mixing.token_budget_oracle_sql(
             "documents", _TOKEN_BUDGET,

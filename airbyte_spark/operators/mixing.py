@@ -263,3 +263,79 @@ def mixture_oracle_sql(
                CAST(unnest(range(0, n)) AS BIGINT) AS repeat_idx
         FROM b WHERE n > 0
     """
+
+
+def stratified_sample(
+    df: DataFrame,
+    k: int,
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling: the k documents with the SMALLEST
+    md5 order keys per group — a uniform random sample under the hash, but
+    a pure function of the id values (reruns, resumes, repartitions, and
+    the DuckDB oracle all pick the identical set). The standard
+    "N examples per language/domain" eval-set and ablation-subset draw.
+
+    Scale design (100 TB): the naive form is row_number() over
+    (PARTITION BY group ORDER BY hash) — which sorts every group in one
+    partition (a 50 TB group = one 50 TB sort-partition). Instead, the
+    same bucket-prefix two-phase as token_budget_sample:
+    (1) bucket = top 8 bits of the 48-bit order key (a PREFIX of the key,
+        so (bucket, key) order IS key order);
+    (2) per-(group, bucket) counts — one partially-aggregated exchange on
+        a compact key, ≤ groups × 256 rows;
+    (3) buckets whose preceding cumulative count >= k can't contribute —
+        filtered via a window over the tiny aggregate, survivors
+        broadcast-joined back (candidates ≈ k + one bucket per group);
+    (4) the ranking window runs over CANDIDATES only.
+    Returns group cols + (id, sample_rank), sample_rank in 1..k."""
+    key = F.expr(X.hexn_sql(X.SPARK, f"md5({X.STR(X.SPARK, id_col)})", 1, 12))
+    gcols = [F.col(c) for c in group_cols]
+    base = df.select(
+        *gcols, F.col(id_col), key.alias("_k")
+    ).withColumn("_bkt", F.expr(f"_k DIV {_BUCKET_DIV}"))
+
+    per_bucket = base.groupBy(*group_cols, "_bkt").agg(F.count("*").alias("_n"))
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    live = (
+        per_bucket.withColumn(
+            "_nbefore", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+        )
+        .filter(F.col("_nbefore") < k)
+        .select(*group_cols, "_bkt")
+    )
+    w_rank = Window.partitionBy(*group_cols).orderBy(
+        F.col("_k").asc(), F.col(id_col).asc()
+    )
+    return (
+        base.join(F.broadcast(live), [*group_cols, "_bkt"])
+        .withColumn("sample_rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+        .select(*group_cols, id_col, "sample_rank")
+    )
+
+
+def stratified_oracle_sql(
+    table_expr: str,
+    k: int,
+    group_cols: str = "lang, source",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for stratified_sample: the naive per-group ranking
+    window — provably identical to the two-phase form because the bucket
+    is a prefix of the order key (ties broken by id in both)."""
+    key = X.hexn_sql(X.DUCKDB, f"md5({X.STR(X.DUCKDB, id_col)})", 1, 12)
+    return f"""
+        SELECT {group_cols}, {id_col}, sample_rank FROM (
+          SELECT {group_cols}, {id_col},
+                 CAST(row_number() OVER (
+                   PARTITION BY {group_cols}
+                   ORDER BY {key}, {id_col}) AS BIGINT) AS sample_rank
+          FROM {table_expr})
+        WHERE sample_rank <= {int(k)}
+    """

@@ -207,3 +207,50 @@ def test_training_order_determinism_and_bucketed_plan(spark):
     parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert any("_bkt" in p for p in parts), plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+# ------------------------------------------------------------- stratified
+
+
+def test_stratified_sample_is_k_smallest_hashes_per_group(spark):
+    from airbyte_spark.operators.mixing import stratified_oracle_sql, stratified_sample
+
+    d = _docs(spark, 600)
+    out = stratified_sample(d, k=10).toPandas()
+    # exactly min(k, group_size) per group, ranks 1..n contiguous
+    sizes = out.groupby(["lang", "source"]).size()
+    assert (sizes == 10).all()  # 600 rows / 12 groups = 50 each > k
+    for _, g in out.groupby(["lang", "source"]):
+        assert sorted(g.sample_rank) == list(range(1, 11))
+    # membership == the naive oracle's k-smallest-md5 per group
+    con = duckdb.connect()
+    con.register("documents", d.toPandas())
+    exp = con.sql(stratified_oracle_sql("documents", 10)).df()
+    key = ["lang", "source", "doc_id"]
+    a = out.sort_values(key).reset_index(drop=True)
+    b = exp.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[key + ["sample_rank"]], b[key + ["sample_rank"]],
+                                  check_dtype=False)
+
+
+def test_stratified_sample_small_group_returns_all(spark):
+    from airbyte_spark.operators.mixing import stratified_sample
+
+    d = _docs(spark, 24)  # 12 groups x 2 docs, k=5 > group size
+    out = stratified_sample(d, k=5).toPandas()
+    assert len(out) == 24
+    assert set(out.groupby(["lang", "source"]).size()) == {2}
+
+
+def test_stratified_sample_repartition_invariant_and_plan(spark):
+    from airbyte_spark.operators.mixing import stratified_sample
+
+    d = _docs(spark, 500)
+    a = sorted(map(tuple, stratified_sample(d, 7).collect()))
+    b = sorted(map(tuple, stratified_sample(d.repartition(13, "doc_id"), 7).collect()))
+    assert a == b
+    # scale shape: candidates join is broadcast; base data never
+    # hash-partitions on the group alone (always with _bkt)
+    plan = _explain(stratified_sample(d, 7))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SinglePartition" not in plan
