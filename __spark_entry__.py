@@ -33,8 +33,10 @@ from airbyte_spark.operators.text_quality import (
     pii_scrub,
 )
 from airbyte_spark.operators import mixing as _mixing
+from airbyte_spark.operators import semantic_dedup as _semantic_dedup
 from airbyte_spark.operators import text_quality as _text_quality
 from airbyte_spark.operators import token_dedup as _token_dedup
+from airbyte_spark.operators import tokenize as _tokenize
 from airbyte_spark.plans import textsql as X
 from airbyte_spark.plans.derived import ORACLE_CHANGELOG_CTE, derived_changelog
 
@@ -579,6 +581,27 @@ def q_dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(_dup_embeddings(spark, sf_dir), cos_pct=80)
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): deterministic
+    coarse-quantizer clusters, within-cluster integer-cosine near-dup test,
+    min-witness greedy keep rule (operators/semantic_dedup.py). Runs over
+    the dup-injected embeddings so real drops occur (scaled copies have
+    cosine exactly 1)."""
+    from airbyte_spark.operators.semantic_dedup import semantic_dedup
+
+    return semantic_dedup(_dup_embeddings(spark, sf_dir), cos_pct=80)
+
+
+def q_tokens_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization (operators/tokenize.py): corpus top-512 word
+    vocabulary -> per-doc token-id sequences — the bridge from `documents`
+    to the engine's (doc_id, tokens, n_tok, source) input shape. Gated via
+    the md5 digest of the id sequence (order-exact), plus n_tok/n_oov."""
+    from airbyte_spark.operators.tokenize import tokenize_digest
+
+    return tokenize_digest(_docs(spark, sf_dir), vocab_top=512)
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact inner-product top-5 for the first 10 vectors (broadcast queries)."""
     emb = _embeddings(spark, sf_dir)
@@ -968,6 +991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_histogram": q_tokens_histogram,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_neardup": q_dedup_embedding_neardup,
+        "dedup_semantic": q_dedup_semantic,
+        "tokens_encode": q_tokens_encode,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
@@ -1454,6 +1479,10 @@ p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
 SELECT a_id, b_id, dot, na2, nb2
 FROM p WHERE dot > 0 AND 10000 * dot * dot >= 6400 * na2 * nb2
 """,
+        "dedup_semantic": _semantic_dedup.semantic_dedup_oracle_sql(
+            "dup_emb", n_clusters=16, cos_pct=80, extra_ctes=_DUP_EMB.strip(),
+        ),
+        "tokens_encode": _tokenize.tokenize_oracle_sql("documents", vocab_top=512),
         "knn_bruteforce": f"""
 WITH q AS (SELECT vec_id, {X.quantize_sql(_D, "embedding")} AS e FROM embeddings),
 s AS (SELECT qa.vec_id AS query_id, c.vec_id AS neighbor_id,
