@@ -144,18 +144,19 @@ class CdcEngine:
         snap = table.snapshot()
         cols = snap.schema.fieldNames()
         out = df.select(*cols)
+        # bucket count from the TABLE spec (it may have been rebucketed
+        # since creation; stream config only seeds the initial count)
+        n_buckets = snap.spec["num_buckets"]
         aligned = snap.spec.get("bucket_fn") == "murmur3"
         if aligned:
             # hashpartitioning(pk, B) == the bucket function: the parallel
             # snapshot load (PK-range chunking analog,
             # MySqlInitialLoadRecordIterator.java:30-45) lands bucket-pure
             # with no second shuffle or cross-bucket sort
-            out = out.repartition(
-                self.stream.num_buckets, F.col(self.stream.primary_key)
-            )
+            out = out.repartition(n_buckets, F.col(self.stream.primary_key))
         version = table.write_and_commit(
             out,
-            replace_buckets=range(self.stream.num_buckets),
+            replace_buckets=range(n_buckets),
             summary={"operation": "bootstrap", "batch_id": bid},
             write_partitions=self.cfg.write_partitions,
             pre_aligned=aligned,
@@ -584,7 +585,11 @@ class CdcEngine:
         table = self.table
         cols = table.snapshot().schema.fieldNames()
         rows = winners.select(*cols)
-        replace = range(self.stream.num_buckets) if mode == SYNC_OVERWRITE else None
+        # replace range comes from the TABLE's spec, not stream config: after
+        # a rebucket the table may hold more buckets than the config says
+        replace = (
+            range(table.snapshot().spec["num_buckets"]) if mode == SYNC_OVERWRITE else None
+        )
         return table.write_and_commit(
             rows,
             replace_buckets=replace,
@@ -604,7 +609,7 @@ class CdcEngine:
         empty = self.spark.createDataFrame([], table.snapshot().schema)
         version = table.write_and_commit(
             empty,
-            replace_buckets=range(self.stream.num_buckets),
+            replace_buckets=range(table.snapshot().spec["num_buckets"]),
             summary={"operation": "soft-reset"},
             drop_deltas=True,
         )
@@ -633,7 +638,7 @@ class CdcEngine:
         cols = table.snapshot().schema.fieldNames()
         version = table.write_and_commit(
             df.select(*cols),
-            replace_buckets=range(self.stream.num_buckets),
+            replace_buckets=range(table.snapshot().spec["num_buckets"]),
             summary={"operation": "resync-bootstrap"},
             write_partitions=self.cfg.write_partitions,
             drop_deltas=True,

@@ -466,7 +466,10 @@ class LakeTable:
         so merge/compact never reassigns rows across buckets they aren't
         replacing (a PK's old row would otherwise be stranded in its legacy
         bucket while the new winner lands elsewhere: duplicate PKs)."""
-        spec = self.snapshot().spec
+        return self._bucket_expr_for(self.snapshot().spec, col_name)
+
+    @staticmethod
+    def _bucket_expr_for(spec: dict, col_name: str | None = None):
         pk = col_name or spec["bucket_by"]
         fn = spec.get("bucket_fn", "xxhash64")
         h = F.hash(F.col(pk)) if fn == "murmur3" else F.xxhash64(F.col(pk))
@@ -808,6 +811,7 @@ class LakeTable:
         write_partitions: int | None = None,
         pre_aligned: bool = False,
         drop_deltas: bool = False,
+        new_spec: dict | None = None,
     ) -> int:
         """Write ``df`` as new data files and commit a snapshot.
 
@@ -829,7 +833,9 @@ class LakeTable:
         """
         base = self.snapshot(expected_version)
         new_version = (expected_version or base.version) + 1
-        spec = base.spec
+        # a spec change (rebucket) must ride a FULL rewrite: every file in
+        # the new snapshot is laid out by the new spec, atomically
+        spec = new_spec if new_spec is not None else base.spec
         cursor_col = spec.get("cursor_col")
 
         schemas = dict(base.schemas)
@@ -839,7 +845,7 @@ class LakeTable:
             schemas[str(schema_version)] = new_schema.jsonValue()
 
         staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
-        with_bucket = df.withColumn(BUCKET_COL, self.bucket_expr())
+        with_bucket = df.withColumn(BUCKET_COL, self._bucket_expr_for(spec))
         if not pre_aligned:
             # Hash-repartition on the bucket column: each bucket lands in
             # exactly one task -> one file per bucket per commit. partitionBy
@@ -960,6 +966,44 @@ class LakeTable:
             df,
             replace_buckets=frag,
             summary={"operation": "compact", "buckets": len(frag)},
+        )
+
+    def rebucket(self, new_num_buckets: int) -> int | None:
+        """Change the table's bucket count — the Iceberg partition-spec
+        evolution analog (``ALTER TABLE ... REPLACE PARTITION FIELD
+        bucket(B, pk) WITH bucket(B', pk)``), needed because a bucket count
+        sized for an empty table is wrong at 100 TB (config.py SIZING RULE:
+        num_buckets ~ table_bytes / target_file_bytes).
+
+        The spec change and the full LWW-resolved rewrite into the new
+        layout land in ONE atomic snapshot commit: readers see either the
+        old layout or the new, never a mix, and every post-rebucket merge /
+        compact / scan derives bucket math from the snapshot spec (nothing
+        caches the old count — operators/merge.py reads snap.spec per
+        batch). Deltas are folded in the same pass, so the new snapshot is
+        bucket-pure. Crash before the CAS leaves only orphaned staging
+        files (expire_orphans GCs them); crash after is the new table.
+
+        At 100 TB this is one full-table shuffle — the same cost class as
+        Iceberg's rewrite_data_files over a changed spec, scheduled rarely
+        and growing the count geometrically (e.g. 4x) so total rewrite work
+        over a table's lifetime stays O(size * log(growth))."""
+        snap = self.snapshot()
+        if new_num_buckets == snap.spec["num_buckets"]:
+            return None
+        if new_num_buckets < 1:
+            raise ValueError(f"num_buckets must be >= 1, got {new_num_buckets}")
+        df = self.scan()  # LWW-resolved: base ∪ deltas, tombstones kept
+        return self.write_and_commit(
+            df,
+            replace_buckets=range(snap.spec["num_buckets"]),
+            summary={
+                "operation": "rebucket",
+                "from_buckets": snap.spec["num_buckets"],
+                "to_buckets": new_num_buckets,
+            },
+            drop_deltas=True,
+            new_spec=dict(snap.spec, num_buckets=new_num_buckets),
         )
 
     def expire_snapshots(self, keep_last: int = 10) -> dict:
