@@ -32,6 +32,9 @@ from airbyte_spark.operators.text_quality import (
     dup_ngram_fraction,
     pii_scrub,
 )
+from airbyte_spark.operators.line_dedup import (
+    line_dedup_oracle_sql as _line_dedup_oracle_sql,
+)
 from airbyte_spark.operators import mixing as _mixing
 from airbyte_spark.operators import semantic_dedup as _semantic_dedup
 from airbyte_spark.operators import text_quality as _text_quality
@@ -358,6 +361,16 @@ def q_docs_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-corpus repetition signal) over the dup-injected documents — the
     injected exact/near copies give the signal real positives."""
     return dup_ngram_fraction(_dup_docs(spark, sf_dir), k=3)
+
+
+def q_docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb line-level dedup: drop corpus-duplicated lines and
+    rebuild each document from its survivors (operators/line_dedup.py) —
+    the dedup granularity between exact-doc and token-span. The injected
+    exact copies make every one of their lines corpus-duplicated."""
+    from airbyte_spark.operators.line_dedup import line_dedup
+
+    return line_dedup(_dup_docs(spark, sf_dir), words_per_line=10, min_df=2)
 
 
 def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -975,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": q_docs_repetition,
         "docs_salient_terms": q_docs_salient_terms,
         "docs_dup_ngram_fraction": q_docs_dup_ngram_fraction,
+        "docs_line_dedup": q_docs_line_dedup,
         "docs_contamination": q_docs_contamination,
         "docs_pii_scrub": q_docs_pii_scrub,
         "docs_word_bigrams": q_docs_word_bigrams,
@@ -1344,6 +1358,7 @@ SELECT doc_id, probe_lsn AS lsn, av.lsn AS active_lsn, av.op AS active_op,
        CAST(av.n_tok AS BIGINT) AS active_n_tok
 FROM c WHERE is_probe = 1
 """,
+        "docs_line_dedup": _line_dedup_oracle_sql(_DUP_DOCS),
         "docs_dup_ngram_fraction": f"""
 WITH {_DUP_DOCS},
 w AS (SELECT doc_id, {_DOC_SH} AS sh FROM dup_docs),

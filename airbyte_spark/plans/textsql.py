@@ -151,6 +151,23 @@ def shingles_sql(d: str, col: str = "text", k: int = 3) -> str:
     return f"CASE WHEN {n} >= {k} THEN {body} ELSE {EMPTY_STR_ARRAY(d)} END"
 
 
+def lines_sql(d: str, col: str = "text", w: int = 10) -> str:
+    """Non-overlapping ``w``-word segments ("lines") per document, space
+    re-joined — the deterministic re-linearization that stands in for real
+    newline-split lines on the single-line synthetic corpus (the operator
+    semantics are line-granular either way; a real web corpus would split
+    on '\\n' instead, same plan shape). The final segment may be short.
+    One segment [''] for empty text (split('') == [''])."""
+    _chk(d)
+    ws = SPLIT_WORDS(d, col)
+    nl = IDIV(d, f"{SIZE(d, ws)} + {w - 1}", w)
+    if d == SPARK:
+        seg = f"array_join(slice({ws}, (i - 1) * {w} + 1, {w}), ' ')"
+        return f"transform({SEQ(d, 1, f'CAST({nl} AS INT)')}, i -> {seg})"
+    seg = f"array_to_string(({ws})[((i - 1) * {w} + 1):((i - 1) * {w} + {w})], ' ')"
+    return f"list_transform({SEQ(d, 1, f'CAST({nl} AS INT)')}, i -> {seg})"
+
+
 def hexn_sql(d: str, m: str, start: int, n: int = 12) -> str:
     """n hex digits of string expr ``m`` starting at 1-based ``start``,
     parsed as a non-negative integer. The engines have no COMMON hex-parse

@@ -104,6 +104,17 @@ def test_rolling_hash_matches(spark):
     assert s == d
 
 
+@pytest.mark.parametrize("w", [1, 3, 10])
+def test_lines_matches(spark, w):
+    texts = _rand_texts(48, seed=23 + w) + ["", "x", "a b"]
+    s = _spark_vals(spark, texts, X.lines_sql(X.SPARK, "text", w))
+    d = _duck_vals(texts, X.lines_sql(X.DUCKDB, "text", w))
+    assert [list(v) for v in s] == [list(v) for v in d]
+    # every word lands in exactly one line, in order
+    for t, lines in zip(texts, s):
+        assert " ".join(lines) == t
+
+
 def _pii_texts(n: int, seed: int) -> list[str]:
     rng = random.Random(seed)
     bits = [
