@@ -718,28 +718,19 @@ class LakeTable:
         with ThreadPoolExecutor(max_workers=16) as ex:
             return list(ex.map(harvest, moves))
 
-    def append_delta(
+    def _write_delta_files(
         self,
         df: DataFrame,
-        summary: dict,
+        new_version: int,
+        base: "Snapshot",
         num_files: int | None = None,
-        expected_version: int | None = None,
-    ) -> int:
-        """Merge-on-read commit: append ``df`` (already one row per key for
-        its batch) as DELTA files without reading or rewriting ANY existing
-        file — per-commit write bytes are proportional to the batch, never
-        the table. Readers resolve deltas against base in ``scan()``;
-        ``compact()`` folds them back into bucket-pure base files.
-
-        ``num_files`` caps the file count (deltas are small; fewer files =
-        less read amplification until the next fold)."""
-        base = self.snapshot(expected_version)
-        new_version = base.version + 1
+    ) -> tuple[list[DataFile], float]:
+        """Write ``df`` as bucket-less DELTA parquet files named for
+        ``new_version`` and harvest footer stats. Returns (files, wall
+        timestamp after the write) — shared by append_delta and purge_keys."""
         cursor_col = base.spec.get("cursor_col")
-
         staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
         n = num_files or min(self.spark.sparkContext.defaultParallelism, 8)
-        _t0 = time.monotonic()
         df.repartition(n).write.mode("overwrite").parquet(staging)
         _t1 = time.monotonic()
 
@@ -776,7 +767,28 @@ class LakeTable:
                 kind="delta",
             )
 
-        new_files = [harvest(m) for m in moves]
+        return [harvest(m) for m in moves], _t1
+
+    def append_delta(
+        self,
+        df: DataFrame,
+        summary: dict,
+        num_files: int | None = None,
+        expected_version: int | None = None,
+    ) -> int:
+        """Merge-on-read commit: append ``df`` (already one row per key for
+        its batch) as DELTA files without reading or rewriting ANY existing
+        file — per-commit write bytes are proportional to the batch, never
+        the table. Readers resolve deltas against base in ``scan()``;
+        ``compact()`` folds them back into bucket-pure base files.
+
+        ``num_files`` caps the file count (deltas are small; fewer files =
+        less read amplification until the next fold)."""
+        base = self.snapshot(expected_version)
+        new_version = base.version + 1
+
+        _t0 = time.monotonic()
+        new_files, _t1 = self._write_delta_files(df, new_version, base, num_files)
         log_metric(
             "commit_write",
             version=new_version,
@@ -1005,6 +1017,113 @@ class LakeTable:
             drop_deltas=True,
             new_spec=dict(snap.spec, num_buckets=new_num_buckets),
         )
+
+    def purge_keys(self, keys, key_col: str | None = None) -> int | None:
+        """Physical row-level delete of a key set — the GDPR /
+        right-to-be-forgotten operation, the copy-on-write analog of
+        Iceberg ``DELETE FROM t WHERE pk IN (...)`` (reference semantics:
+        Airbyte has no purge primitive; users re-sync or mutate the
+        destination directly — this closes that gap at the lake layer).
+
+        ``keys`` is a list of key values or a one-column DataFrame
+        (``key_col`` names the column when it differs from the table pk).
+
+        Write cost is ∝ the AFFECTED BUCKETS plus total delta bytes, never
+        the table: the key set hashes to its buckets (tiny Spark job), only
+        those buckets' base files are rewritten (broadcast anti-join — the
+        purge set is always the small side), and delta files are rewritten
+        in the same pass because a purged key's delta row would otherwise
+        win scan-time LWW resolution as its only surviving version. Base
+        and delta replacement land in ONE atomic snapshot commit. Multi-
+        version structure (tombstones, raw appends) is preserved — this is
+        a physical row filter, not an LWW resolve.
+
+        The purged values still exist in PRIOR snapshots' files until
+        ``expire_snapshots`` + ``expire_orphans`` run — full physical
+        erasure is purge + expire, same as Iceberg's delete + snapshot
+        expiration (tests/test_purge.py pins bytes-on-disk absence)."""
+        snap = self.snapshot()
+        pk = snap.spec["bucket_by"]
+        if isinstance(keys, DataFrame):
+            kdf = keys.select(F.col(key_col or pk).alias(pk)).distinct()
+        else:
+            key_list = sorted(set(keys))
+            if not key_list:
+                return None
+            field = snap.schema[pk]
+            kdf = self.spark.createDataFrame(
+                [(k,) for k in key_list], StructType([field])
+            )
+        kdf = kdf.persist()
+        try:
+            buckets = sorted(
+                r["b"]
+                for r in kdf.select(self.bucket_expr(col_name=pk).alias("b"))
+                .distinct()
+                .collect()
+            )
+            bset = set(buckets)
+            base_files = [
+                f for f in snap.files if f.kind != "delta" and f.bucket in bset
+            ]
+            delta_files = [f for f in snap.files if f.kind == "delta"]
+            if not base_files and not delta_files:
+                return None
+
+            new_version = snap.version + 1
+            cursor_col = snap.spec.get("cursor_col")
+            new_files: list[DataFile] = []
+            _t0 = time.monotonic()
+            if base_files:
+                rows = self._read_files(snap, base_files).join(
+                    F.broadcast(kdf), pk, "left_anti"
+                )
+                staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
+                (
+                    rows.withColumn(BUCKET_COL, self.bucket_expr())
+                    .repartition(len(buckets), F.col(BUCKET_COL))
+                    .write.mode("overwrite")
+                    .partitionBy(BUCKET_COL)
+                    .parquet(staging)
+                )
+                new_files += self._collect_file_stats(
+                    staging, new_version, snap.schema_version, cursor_col
+                )
+                _rmtree(staging)
+            if delta_files:
+                drows = self._read_files(snap, delta_files).join(
+                    F.broadcast(kdf), pk, "left_anti"
+                )
+                dfiles, _ = self._write_delta_files(
+                    drows, new_version, snap, num_files=min(len(delta_files), 8)
+                )
+                new_files += dfiles
+        finally:
+            kdf.unpersist()
+
+        kept = [
+            f
+            for f in snap.files
+            if f.kind != "delta" and f.bucket not in bset
+        ]
+        log_metric(
+            "purge_keys",
+            version=new_version,
+            buckets=len(buckets),
+            files_rewritten=len(base_files) + len(delta_files),
+            write_ms=int((time.monotonic() - _t0) * 1000),
+        )
+        out = Snapshot(
+            version=new_version,
+            parent=snap.version,
+            schema_version=snap.schema_version,
+            schemas=dict(snap.schemas),
+            spec=snap.spec,
+            files=kept + new_files,
+            summary={"operation": "purge", "buckets": buckets},
+        )
+        self._write_snapshot(out, parent=snap)
+        return new_version
 
     def expire_snapshots(self, keep_last: int = 10) -> dict:
         """Expire snapshots older than the last ``keep_last``, deleting
