@@ -887,6 +887,66 @@ def q_cdc_schema_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_debezium_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium envelope decode (sources/debezium.py): events rendered as
+    Debezium JSON envelopes (c/u/d/r ops; deletes carry only the PK in
+    ``before``) then flattened by ONE typed from_json + projection —
+    after-image with before-image delete fallback, op mapping, Postgres LSN
+    extraction (DebeziumEventUtils.java:98-109,168-188). The oracle computes
+    the decode's closed form straight off the base table, so the whole JSON
+    round trip is value-hash-gated."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from airbyte_spark.sources.debezium import decode_debezium, split_malformed
+
+    payload = StructType(
+        [
+            StructField("doc_id", StringType(), True),
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+        ]
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    doc_id = F.format_string("doc%09d", F.col("event_id"))
+    op_raw = F.element_at(
+        F.array(F.lit("c"), F.lit("u"), F.lit("d"), F.lit("r")),
+        (F.col("event_id") % 4 + 1).cast("int"),
+    )
+    after = F.struct(
+        doc_id.alias("doc_id"), F.col("user_id"), F.col("event_type"), F.col("value")
+    )
+    pk_only = F.struct(
+        doc_id.alias("doc_id"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    env = F.struct(
+        F.when(op_raw == "d", pk_only).alias("before"),
+        F.when(op_raw != "d", after).alias("after"),
+        F.struct(
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+            F.col("event_id").alias("lsn"),
+            F.lit("app").alias("db"),
+            F.lit("events").alias("table"),
+        ).alias("source"),
+        op_raw.alias("op"),
+        (F.unix_millis(F.col("ts").cast("timestamp")) + 5).alias("ts_ms"),
+    )
+    feed = ev.select(F.to_json(env, {"ignoreNullFields": "false"}).alias("value"))
+    good, _bad = split_malformed(decode_debezium(feed, payload))
+    return good.select(
+        "op", "doc_id", "lsn", "ts_ms", "user_id", "event_type", "value"
+    )
+
+
 def q_declarative_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative filter/add_field/remove_fields chain compiled to Catalyst
     (record_filter.py:13-36, add_fields.py:35-130, remove_fields.py:15-63)."""
@@ -1019,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_blob_meta": q_multimodal_blob_meta,
         "events_hourly_rollup": q_events_hourly_rollup,
         "cdc_json_extract": q_cdc_json_extract,
+        "cdc_debezium_decode": q_cdc_debezium_decode,
         "cdc_schema_extract": q_cdc_schema_extract,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "declarative_transforms": q_declarative_transforms,
@@ -1612,6 +1673,16 @@ SELECT event_id,
                   AND TRY_CAST(json_extract_string(_data, '$.amt') AS BIGINT) IS NULL
                  THEN 1 ELSE 0 END AS INT) AS n_errors
 FROM d
+""",
+        "cdc_debezium_decode": """
+SELECT CASE event_id % 4 WHEN 1 THEN 'U' WHEN 2 THEN 'D' ELSE 'I' END AS op,
+       printf('doc%09d', event_id) AS doc_id,
+       event_id AS lsn,
+       epoch_ms(ts) AS ts_ms,
+       CASE WHEN event_id % 4 = 2 THEN NULL ELSE user_id END AS user_id,
+       CASE WHEN event_id % 4 = 2 THEN NULL ELSE event_type END AS event_type,
+       CASE WHEN event_id % 4 = 2 THEN NULL ELSE value END AS value
+FROM events
 """,
         "cdc_schema_extract": """
 WITH d AS (

@@ -1,0 +1,158 @@
+"""Debezium JSON envelope decoder: Kafka-style CDC events -> changelog rows.
+
+The reference consumes Debezium change events and flattens each to the
+after-image (before-image for deletes) plus CDC metadata columns
+(DebeziumEventUtils.java:22-33 column names; :98-109 ``formatRelationalDbEvent``
+takes ``after``, falls back to ``before`` when ``after`` is null = delete;
+:168-188 ``addCdcMetadata`` stamps ``_ab_cdc_updated_at`` from ``source.ts_ms``
+and ``_ab_cdc_deleted_at`` on deletes). Position semantics are per-connector:
+Postgres carries a single monotonic long LSN
+(PostgresCdcTargetPosition.java:23); MySQL carries (binlog file, position)
+compared file-lexicographically then by position
+(MySqlCdcTargetPosition.java:73-99).
+
+Spark-first mapping: ONE ``from_json`` against a typed envelope schema, then a
+narrow projection — the whole decode stays inside whole-stage codegen (no
+Python on the data path). The output is this engine's changelog shape
+(schemas.changelog ordering: op/pk/lsn/ts_ms + payload), so a Kafka topic of
+Debezium JSON plugs straight into ``CdcEngine.replay``/``replay_stream``.
+
+MySQL file+pos is packed into one orderable long: ``file_index * 2^32 + pos``
+(binlog positions are bounded by max_binlog_size <= 1 GiB, far below 2^32),
+preserving the reference's (file, pos) lexicographic total order while keeping
+the engine's single-long cursor arithmetic (checkpoints, target-LSN bounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Debezium op codes (io.debezium.data.Envelope.Operation):
+#   c=create, u=update, d=delete, r=read (snapshot) -> engine I/U/D
+_OP_MAP = [("c", "I"), ("r", "I"), ("u", "U"), ("d", "D")]
+
+#: fields every Debezium ``source`` block carries that we use; unknown extras
+#: are ignored by from_json (airbyte-protocol.md:444-449 — unknown fields
+#: ignored, never fatal).
+def _source_schema() -> StructType:
+    return StructType(
+        [
+            StructField("ts_ms", LongType(), True),
+            StructField("lsn", LongType(), True),        # postgres
+            StructField("file", StringType(), True),     # mysql
+            StructField("pos", LongType(), True),        # mysql
+            StructField("snapshot", StringType(), True),
+            StructField("db", StringType(), True),
+            StructField("schema", StringType(), True),
+            StructField("table", StringType(), True),
+        ]
+    )
+
+
+def envelope_schema(payload_schema: StructType) -> StructType:
+    """The typed Debezium envelope for ``from_json``."""
+    return StructType(
+        [
+            StructField("before", payload_schema, True),
+            StructField("after", payload_schema, True),
+            StructField("source", _source_schema(), True),
+            StructField("op", StringType(), True),
+            StructField("ts_ms", LongType(), True),
+        ]
+    )
+
+
+def mysql_packed_lsn(file_col: Column, pos_col: Column) -> Column:
+    """(binlog file, position) -> one orderable long.
+
+    The reference orders MySQL positions by file name lexicographically, then
+    by position within the file (MySqlCdcTargetPosition.java:73-99); binlog
+    file names end in a zero-padded rotation index (``mysql-bin.000042``), so
+    lexicographic file order == numeric order of that suffix. Packing
+    ``index * 2^32 + pos`` preserves the total order in a single long.
+    """
+    idx = F.regexp_extract(file_col, r"(\d+)$", 1).cast("long")
+    return F.shiftleft(idx, 32) + pos_col
+
+
+def decode_debezium(
+    df: DataFrame,
+    payload_schema: StructType,
+    *,
+    connector: str = "postgres",
+    json_col: str = "value",
+    partition_col: str | None = None,
+    include_metadata: bool = False,
+) -> DataFrame:
+    """Decode a DataFrame of Debezium JSON envelope strings to changelog rows.
+
+    Output columns: ``op`` (I/U/D), the payload columns of
+    ``payload_schema`` (after-image; before-image for deletes — deletes that
+    carry only the PK in ``before`` yield null non-key payload, matching
+    docs/understanding-airbyte/cdc.md:29), ``lsn`` (long, connector-specific
+    position packed to one monotonic long), ``ts_ms`` (source event time,
+    epoch millis), ``source_partition`` (from ``partition_col`` if given,
+    e.g. the Kafka partition, else 0).
+
+    Rows whose JSON fails to parse or whose ``op`` is unrecognized decode to
+    ``op IS NULL`` — route them with :func:`split_malformed`; they are never
+    silently dropped here.
+
+    With ``include_metadata=True`` also emits ``_ab_cdc_updated_at`` /
+    ``_ab_cdc_deleted_at`` (DebeziumEventUtils.java:168-188) for standalone
+    use; the engine's own metadata injection normally does this downstream.
+    """
+    if connector not in ("postgres", "mysql"):
+        raise ValueError(f"unknown connector {connector!r}")
+    env = F.from_json(F.col(json_col), envelope_schema(payload_schema))
+    d = df.withColumn("_env", env)
+
+    op_raw = F.col("_env.op")
+    op = F.lit(None).cast("string")
+    for raw, mapped in reversed(_OP_MAP):
+        op = F.when(op_raw == raw, F.lit(mapped)).otherwise(op)
+
+    # after-image, before-image fallback (formatRelationalDbEvent :98-109)
+    image = F.coalesce(F.col("_env.after"), F.col("_env.before"))
+
+    if connector == "postgres":
+        lsn = F.col("_env.source.lsn")
+    else:
+        lsn = mysql_packed_lsn(F.col("_env.source.file"), F.col("_env.source.pos"))
+
+    ts_ms = F.coalesce(F.col("_env.source.ts_ms"), F.col("_env.ts_ms"))
+    part = (
+        F.col(partition_col).cast("int")
+        if partition_col is not None
+        else F.lit(0)
+    )
+
+    cols = [
+        op.alias("op"),
+        lsn.cast("long").alias("lsn"),
+        ts_ms.cast("long").alias("ts_ms"),
+        part.alias("source_partition"),
+    ] + [image.getField(f.name).alias(f.name) for f in payload_schema.fields]
+    if include_metadata:
+        updated = F.timestamp_millis(ts_ms)
+        cols += [
+            updated.alias("_ab_cdc_updated_at"),
+            F.when(op == "D", updated).alias("_ab_cdc_deleted_at"),
+        ]
+    return d.select(*cols)
+
+
+def split_malformed(decoded: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantine): rows with null op failed envelope parse or carried
+    an unknown op code. The reference fails the sync on undecodable events;
+    at lake scale quarantining beats poisoning a 10^10-event replay."""
+    return decoded.filter(F.col("op").isNotNull()), decoded.filter(
+        F.col("op").isNull()
+    )

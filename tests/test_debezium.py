@@ -1,0 +1,205 @@
+"""Debezium JSON envelope decoding (sources/debezium.py).
+
+Pins the reference's flattening semantics — after-image with before-image
+fallback for deletes (DebeziumEventUtils.java:98-109), op mapping incl.
+snapshot reads, per-connector position extraction (Postgres long LSN vs
+MySQL file+pos lexicographic order, MySqlCdcTargetPosition.java:73-99) —
+and that a decoded Debezium feed drives CdcEngine.replay to the exact same
+final table as the native changelog it encodes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from airbyte_spark.changelog import ChangelogConfig, changelog_df, seed_df
+from airbyte_spark.config import EngineConfig, StreamConfig
+from airbyte_spark.engine import CdcEngine
+from airbyte_spark.sources.debezium import (
+    decode_debezium,
+    mysql_packed_lsn,
+    split_malformed,
+)
+from tests.util import assert_frames_equal, final_as_pandas
+
+PAYLOAD = StructType(
+    [
+        StructField("doc_id", StringType(), True),
+        StructField("tokens", ArrayType(IntegerType()), True),
+        StructField("n_tok", IntegerType(), True),
+        StructField("source", StringType(), True),
+    ]
+)
+
+
+def _env(op, doc_id, *, after=None, before=None, lsn=None, file=None, pos=None, ts=1000):
+    src = {"ts_ms": ts, "db": "app", "table": "docs"}
+    if lsn is not None:
+        src["lsn"] = lsn
+    if file is not None:
+        src["file"], src["pos"] = file, pos
+    return json.dumps({"before": before, "after": after, "source": src, "op": op, "ts_ms": ts + 5})
+
+
+def _decode(spark, envelopes, **kw):
+    df = spark.createDataFrame([(e,) for e in envelopes], "value string")
+    return decode_debezium(df, PAYLOAD, **kw)
+
+
+def test_postgres_flattening_and_op_map(spark):
+    row = {"doc_id": "d1", "tokens": [1, 2], "n_tok": 2, "source": "web"}
+    out = _decode(
+        spark,
+        [
+            _env("c", "d1", after=row, lsn=10),
+            _env("r", "d1", after=row, lsn=11),  # snapshot read -> I
+            _env("u", "d1", after={**row, "n_tok": 3}, lsn=12),
+            # delete: only the PK survives in before (cdc.md:29)
+            _env("d", "d1", before={"doc_id": "d1"}, lsn=13),
+        ],
+    ).orderBy("lsn")
+    rows = out.collect()
+    assert [r.op for r in rows] == ["I", "I", "U", "D"]
+    assert [r.lsn for r in rows] == [10, 11, 12, 13]
+    assert rows[0].tokens == [1, 2] and rows[2].n_tok == 3
+    # delete falls back to before-image: PK present, payload null
+    assert rows[3].doc_id == "d1" and rows[3].tokens is None and rows[3].n_tok is None
+    # source.ts_ms wins over envelope ts_ms
+    assert all(r.ts_ms == 1000 for r in rows)
+
+
+def test_mysql_file_pos_total_order(spark):
+    """Packed (file, pos) longs sort exactly like the reference's
+    file-lexicographic-then-pos comparison, across a binlog rotation."""
+    out = _decode(
+        spark,
+        [
+            _env("c", "a", after={"doc_id": "a"}, file="mysql-bin.000009", pos=900),
+            _env("c", "b", after={"doc_id": "b"}, file="mysql-bin.000010", pos=4),
+            _env("c", "c", after={"doc_id": "c"}, file="mysql-bin.000010", pos=500),
+        ],
+        connector="mysql",
+    )
+    rows = out.orderBy("lsn").collect()
+    assert [r.doc_id for r in rows] == ["a", "b", "c"]
+    assert rows[0].lsn < rows[1].lsn < rows[2].lsn
+
+
+def test_mysql_packing_is_injective_within_bounds(spark):
+    df = spark.range(1).select(
+        mysql_packed_lsn(F.lit("mysql-bin.000002"), F.lit(0)).alias("lo"),
+        mysql_packed_lsn(F.lit("mysql-bin.000001"), F.lit((1 << 32) - 1)).alias("hi"),
+    )
+    r = df.first()
+    assert r.lo > r.hi  # file boundary dominates any in-file position
+
+
+def test_malformed_and_unknown_op_quarantined(spark):
+    out = _decode(
+        spark,
+        [
+            _env("c", "ok", after={"doc_id": "ok"}, lsn=1),
+            "{not json at all",
+            _env("t", "trunc", after={"doc_id": "trunc"}, lsn=2),  # unknown op
+        ],
+    )
+    good, bad = split_malformed(out)
+    assert [r.doc_id for r in good.collect()] == ["ok"]
+    assert bad.count() == 2
+
+
+def test_include_metadata_columns(spark):
+    out = _decode(
+        spark,
+        [
+            _env("u", "d1", after={"doc_id": "d1"}, lsn=1, ts=86_400_000),
+            _env("d", "d2", before={"doc_id": "d2"}, lsn=2, ts=86_400_000),
+        ],
+        include_metadata=True,
+    ).orderBy("lsn")
+    rows = out.collect()
+    assert rows[0]._ab_cdc_updated_at is not None
+    assert rows[0]._ab_cdc_deleted_at is None
+    assert rows[1]._ab_cdc_deleted_at == rows[1]._ab_cdc_updated_at
+
+
+def test_partition_col_passthrough(spark):
+    df = spark.createDataFrame(
+        [(_env("c", "d1", after={"doc_id": "d1"}, lsn=1), 7)], "value string, part int"
+    )
+    out = decode_debezium(df, PAYLOAD, partition_col="part")
+    assert out.first().source_partition == 7
+
+
+def test_unknown_connector_rejected(spark):
+    with pytest.raises(ValueError):
+        _decode(spark, [], connector="oracle")
+
+
+def _encode_changelog_as_debezium(cl):
+    """Native changelog -> Debezium envelopes, built JVM-side with to_json."""
+    payload = F.struct("doc_id", "tokens", "n_tok", "source")
+    pk_only = F.struct(
+        F.col("doc_id"),
+        F.lit(None).cast("array<int>").alias("tokens"),
+        F.lit(None).cast("int").alias("n_tok"),
+        F.lit(None).cast("string").alias("source"),
+    )
+    env = F.struct(
+        F.when(F.col("op") == "D", pk_only).alias("before"),
+        F.when(F.col("op") != "D", payload).alias("after"),
+        F.struct(
+            F.col("ts_ms"),
+            F.col("lsn"),
+            F.lit("app").alias("db"),
+            F.lit("docs").alias("table"),
+        ).alias("source"),
+        F.when(F.col("op") == "I", F.lit("c"))
+        .when(F.col("op") == "U", F.lit("u"))
+        .otherwise(F.lit("d"))
+        .alias("op"),
+        (F.col("ts_ms") + 5).alias("ts_ms"),
+    )
+    return cl.select(
+        F.to_json(env, {"ignoreNullFields": "false"}).alias("value"),
+        F.col("source_partition").alias("part"),
+    )
+
+
+def test_debezium_feed_replays_to_identical_table(spark, workdir):
+    """Golden end-to-end: encode the synthetic changelog as Debezium JSON,
+    decode it, replay — final table bit-identical to the native replay."""
+    cfg = ChangelogConfig(n_events=600, n_seed_docs=150, insert_pct=50, update_pct=35)
+    seed = seed_df(spark, cfg)
+    native = changelog_df(spark, cfg)
+    decoded = decode_debezium(
+        _encode_changelog_as_debezium(native),
+        PAYLOAD,
+        partition_col="part",
+    )
+
+    def run(cl, sub):
+        eng = CdcEngine(
+            spark,
+            os.path.join(workdir, sub),
+            StreamConfig(num_buckets=8),
+            EngineConfig(batch_events=250),
+        )
+        eng.create_table()
+        eng.bootstrap(seed)
+        eng.replay(cl)
+        return final_as_pandas(eng.read_final())
+
+    assert_frames_equal(run(decoded, "dbz"), run(native, "native"))
