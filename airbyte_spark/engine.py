@@ -69,6 +69,15 @@ class OffsetLossError(RuntimeError):
     resync (MySqlInitialReadUtil.java:105-114 savedOffsetStillPresentOnServer)."""
 
 
+class BootstrapIncompleteError(RuntimeError):
+    """A sliced initial load committed some but not all of its slices —
+    replaying changes over a half-snapshotted table would lose every seed
+    row in the un-loaded buckets. Re-run ``bootstrap(seed, slices=K)``;
+    committed slices are skipped and only the missing ranges load
+    (the reference's resumable initial load restarts at the last completed
+    chunk boundary the same way, MySqlInitialLoadRecordIterator.java:30-45)."""
+
+
 def _batch_id(stream: str, lo: int, hi: int) -> str:
     return hashlib.sha256(f"{stream}:{lo}:{hi}".encode()).hexdigest()[:20]
 
@@ -124,13 +133,28 @@ class CdcEngine:
         )
         return self._table
 
-    def bootstrap(self, seed: DataFrame) -> int | None:
+    def bootstrap(self, seed: DataFrame, slices: int = 1) -> int | None:
         """Initial snapshot load (phase 1 of snapshot-then-tail,
         MySqlInitialReadUtil.java:171-180). ``seed`` carries payload columns
-        + (lsn, ts_ms). Idempotent via the bootstrap batch id."""
+        + (lsn, ts_ms). Idempotent via the bootstrap batch id.
+
+        ``slices > 1`` makes the load RESUMABLE at slice granularity (the
+        reference's chunk-boundary resume,
+        MySqlInitialLoadRecordIterator.java:30-45): the bucket space splits
+        into ``slices`` contiguous ranges, each committed separately with its
+        own batch id. A crash mid-load re-runs only the missing slices —
+        at a 100 TB initial load, one failed executor no longer restarts the
+        whole snapshot from zero. The final slice commits under the legacy
+        whole-bootstrap id, so completion is detectable from summaries alone
+        (checkpoint loss stays harmless) and single-shot/sliced runs are
+        mutually idempotent. ``replay`` refuses to start over a
+        half-loaded table (:class:`BootstrapIncompleteError`). Resuming with
+        a DIFFERENT ``slices`` value re-commits every range (slice ids
+        embed the count) — correct via CoW replace, just wasteful.
+        """
         table = self.table
-        bid = _batch_id(self.stream.name, -1, 0)
-        if table.find_batch(bid) is not None:
+        done_bid = _batch_id(self.stream.name, -1, 0)
+        if table.find_batch(done_bid) is not None:
             return None
         t0 = time.monotonic()
         df = seed.withColumn("op", F.lit(S.OP_INSERT))
@@ -152,27 +176,83 @@ class CdcEngine:
             # hashpartitioning(pk, B) == the bucket function: the parallel
             # snapshot load (PK-range chunking analog,
             # MySqlInitialLoadRecordIterator.java:30-45) lands bucket-pure
-            # with no second shuffle or cross-bucket sort
+            # with no second shuffle or cross-bucket sort. The FULL bucket
+            # count even for a slice: filtered rows still land at partition
+            # index == bucket (other partitions are empty), so slice writes
+            # stay shuffle-aligned too.
             out = out.repartition(n_buckets, F.col(self.stream.primary_key))
-        version = table.write_and_commit(
-            out,
-            replace_buckets=range(n_buckets),
-            summary={"operation": "bootstrap", "batch_id": bid},
-            write_partitions=self.cfg.write_partitions,
-            pre_aligned=aligned,
-        )
-        rows = sum(f.rows for f in table.snapshot(version).files)
+        slices = max(1, min(int(slices), n_buckets))
+        bounds = [round(i * n_buckets / slices) for i in range(slices + 1)]
+        bucket_of = table.bucket_expr(self.stream.primary_key)
+        version, rows = None, 0
+        for i in range(slices):
+            lo, hi = bounds[i], bounds[i + 1]
+            bid = (
+                done_bid
+                if i == slices - 1
+                else _batch_id(f"{self.stream.name}:bootstrap{slices}", i, slices)
+            )
+            if table.find_batch(bid) is not None:
+                continue
+            part = out if slices == 1 else out.filter(
+                (bucket_of >= lo) & (bucket_of < hi)
+            )
+            summary = {"operation": "bootstrap", "batch_id": bid}
+            if slices > 1:
+                summary.update({"slice": i, "n_slices": slices})
+                if i < slices - 1:
+                    # only the FINISHING slice commits as "bootstrap" (under
+                    # the legacy id) — completion stays summary-detectable
+                    summary["operation"] = "bootstrap_slice"
+            version = table.write_and_commit(
+                part,
+                replace_buckets=range(lo, hi),
+                summary=summary,
+                write_partitions=self.cfg.write_partitions,
+                pre_aligned=aligned,
+            )
+            committed = table.snapshot(version)
+            rows += sum(f.rows for f in committed.files if f.bucket in range(lo, hi))
+            if slices > 1:
+                log_metric(
+                    "bootstrap_slice_committed",
+                    slice=i,
+                    n_slices=slices,
+                    buckets=[lo, hi],
+                    snapshot=version,
+                )
+        version = version if version is not None else table.current_version()
         ckpt = load_checkpoint(self.checkpoint_path) or Checkpoint()
         ckpt.table_schema_version = table.snapshot(version).schema_version
-        ckpt.note_batch(bid)
+        ckpt.note_batch(done_bid)
         save_checkpoint(self.checkpoint_path, ckpt)
         log_metric(
             "bootstrap_committed",
             rows=rows,
             snapshot=version,
+            slices=slices,
             wall_ms=int((time.monotonic() - t0) * 1000),
         )
         return version
+
+    def _assert_bootstrap_complete(self) -> None:
+        """Refuse to replay over a partially-loaded table: some bootstrap
+        slices committed but the finishing slice (legacy bootstrap id) is
+        absent. Summary-driven — survives checkpoint loss."""
+        table = self.table
+        if table.find_batch(_batch_id(self.stream.name, -1, 0)) is not None:
+            return
+        for s in reversed(table.history()):
+            op = s.summary.get("operation")
+            if op == "soft-reset":
+                return
+            if op == "bootstrap_slice":
+                raise BootstrapIncompleteError(
+                    f"bootstrap slice {s.summary.get('slice')}/"
+                    f"{s.summary.get('n_slices')} committed but the load "
+                    "never finished; re-run bootstrap(seed, slices=...) to "
+                    "load the missing ranges before replaying"
+                )
 
     # -------------------------------------------------------- schema evolve
 
@@ -262,6 +342,7 @@ class CdcEngine:
         snapshot summaries) is skipped. Returns summary stats.
         """
         source = self._open_source(changelog)
+        self._assert_bootstrap_complete()
         self._maybe_evolve_schema(source.schema)
         batch_events = batch_events or self.cfg.batch_events
 
