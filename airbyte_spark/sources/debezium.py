@@ -114,10 +114,13 @@ def decode_debezium(
     env = F.from_json(F.col(json_col), envelope_schema(payload_schema))
     d = df.withColumn("_env", env)
 
-    op_raw = F.col("_env.op")
-    op = F.lit(None).cast("string")
-    for raw, mapped in reversed(_OP_MAP):
-        op = F.when(op_raw == raw, F.lit(mapped)).otherwise(op)
+    # ONE map lookup, not a CASE chain: a downstream quarantine filter on
+    # ``op`` gets predicate-pushed below this projection by Catalyst, and a
+    # CASE chain re-evaluates the whole from_json once PER BRANCH inside the
+    # (interpreted, no-subexpr-elimination) Filter — measured 4x decode cost.
+    # try_element_at yields NULL for unknown op codes even under ANSI mode.
+    op_map = F.create_map(*[F.lit(x) for pair in _OP_MAP for x in pair])
+    op = F.try_element_at(op_map, F.col("_env.op"))
 
     # after-image, before-image fallback (formatRelationalDbEvent :98-109)
     image = F.coalesce(F.col("_env.after"), F.col("_env.before"))
