@@ -947,6 +947,24 @@ def q_cdc_debezium_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_vector_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-destination document chunking (operators/vector_sink.py
+    chunk_documents): separator-aware chunks with _ab_record_id/_ab_stream
+    metadata and deterministic md5 chunk ids
+    (vector_db_based/document_processor.py semantics re-expressed as split ->
+    posexplode -> one per-doc window cumsum -> groupBy; boundary rule is the
+    packing cumsum idiom so the oracle is pure window SQL)."""
+    from airbyte_spark.operators.vector_sink import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir),
+        chunk_size=160,
+        overlap=0,
+        separator=" ",
+        stream="documents",
+    )
+
+
 def q_declarative_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative filter/add_field/remove_fields chain compiled to Catalyst
     (record_filter.py:13-36, add_fields.py:35-130, remove_fields.py:15-63)."""
@@ -1080,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": q_events_hourly_rollup,
         "cdc_json_extract": q_cdc_json_extract,
         "cdc_debezium_decode": q_cdc_debezium_decode,
+        "docs_vector_chunks": q_docs_vector_chunks,
         "cdc_schema_extract": q_cdc_schema_extract,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "declarative_transforms": q_declarative_transforms,
@@ -1673,6 +1692,35 @@ SELECT event_id,
                   AND TRY_CAST(json_extract_string(_data, '$.amt') AS BIGINT) IS NULL
                  THEN 1 ELSE 0 END AS INT) AS n_errors
 FROM d
+""",
+        "docs_vector_chunks": """
+WITH segs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS rid,
+         unnest(string_split(text, ' ')) AS seg,
+         unnest(range(0, len(string_split(text, ' ')))) AS ord
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+pos AS (
+  SELECT rid, seg, ord,
+         SUM(length(seg) + 1) OVER (PARTITION BY rid ORDER BY ord)
+           - length(seg) - 1 AS start
+  FROM segs
+),
+grp AS (
+  SELECT rid, CAST(floor(start / 160.0) AS BIGINT) AS chk,
+         string_agg(seg, ' ' ORDER BY ord) AS page_content
+  FROM pos GROUP BY rid, chk
+)
+SELECT md5(rid || ':' ||
+           CAST(row_number() OVER (PARTITION BY rid ORDER BY chk) - 1 AS VARCHAR))
+         AS chunk_id,
+       rid AS _ab_record_id,
+       'documents' AS _ab_stream,
+       CAST(row_number() OVER (PARTITION BY rid ORDER BY chk) - 1 AS INT)
+         AS chunk_idx,
+       page_content,
+       CAST(length(page_content) AS INT) AS n_chars
+FROM grp
 """,
         "cdc_debezium_decode": """
 SELECT CASE event_id % 4 WHEN 1 THEN 'U' WHEN 2 THEN 'D' ELSE 'I' END AS op,
