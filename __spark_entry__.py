@@ -1038,6 +1038,69 @@ def q_substream_parent_child(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mapper_pii_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connection-level mappers (Airbyte "mappings": hash / mask / rename /
+    row-filter — plans/mappers.py) as ONE declarative chain: filter rows,
+    SHA-256 a phone column (renamed *_hashed, the platform's hashing-mapper
+    shape), length-preserving-mask the name, rename the key. The whole
+    chain compiles to a narrow projection fused into the parquet scan
+    (plan-gated zero-Exchange in tests/test_mappers.py); the row filter
+    pushes down."""
+    from airbyte_spark.plans.transforms import apply_transforms
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = apply_transforms(  # one declarative list mixing both grammars
+        cust,
+        [
+            {"op": "filter_rows", "predicate": "c_acctbal > 0"},
+            {
+                "op": "add_field",
+                "name": "email",
+                "expr": "concat(lower(c_name), '@example.com')",
+            },
+            {"op": "hash_field", "name": "email", "method": "sha256"},
+            {"op": "mask_field", "name": "c_name", "keep_prefix": 9},
+            {"op": "rename_field", "from": "c_custkey", "to": "customer_id"},
+        ],
+    )
+    return out.select("customer_id", "c_name", "email_hashed", "c_mktsegment")
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization (operators/sessionize.py): 30-min-inactivity
+    sessions per user over the events stream, rolled up to per-session
+    bounds/counts/exact-cents value. ONE exchange on user_id; the lag
+    window's sort is reused by the running sum and the rollup (plan-gated
+    single-Exchange in tests/test_sessionize.py). Timestamps compare as
+    exact integer microseconds so the oracle gate is float-free."""
+    from airbyte_spark.operators.sessionize import session_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_rollup(ev, gap_s=1800)
+
+
+def q_cdc_demux_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-WAL demux routing (demux.py): one interleaved change stream,
+    records routed to N tables by a stream column (here t0/t1/t2 keyed by
+    doc_id % 3), per-table LWW apply — summarized as per-stream final-state
+    stats. The GLOBAL shared-offset semantics (offset advances only when
+    every table committed — MySqlCdcStateHandler.java:38-63) are gated in
+    tests/test_demux.py; this query gates the routing + per-table LWW
+    values exactly."""
+    ch = _changelog(spark, sf_dir).drop("tokens")
+    doc_num = F.expr("substring(doc_id, 4)").cast("long")  # 'doc00000042' -> 42
+    routed = ch.withColumn(
+        "stream", F.concat(F.lit("t"), (doc_num % 3).cast("string"))
+    )
+    winners = lww_dedup(routed, key="doc_id")
+    live = winners.filter(F.col("op") != "D")
+    return live.groupBy("stream").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.max("lsn").alias("max_lsn"),
+        F.sum(F.col("n_tok").cast("long")).alias("sum_n_tok"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full CDC pipeline (validate -> dedup -> apply) at sf0.001."""
     return q_cdc_apply_final(spark, SF0001)
@@ -1104,6 +1167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "declarative_transforms": q_declarative_transforms,
         "declarative_extract_path": q_declarative_extract_path,
         "substream_parent_child": q_substream_parent_child,
+        "mapper_pii_fields": q_mapper_pii_fields,
+        "events_sessionize": q_events_sessionize,
+        "cdc_demux_streams": q_cdc_demux_streams,
     }
 
 
@@ -1792,5 +1858,44 @@ FROM events
 SELECT o_orderkey, o_custkey AS parent_key, c_name, c_mktsegment,
        CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+        "mapper_pii_fields": """
+SELECT c_custkey AS customer_id,
+       concat(substr(c_name, 1, 9),
+              repeat('*', greatest(length(c_name) - 9, 0))) AS c_name,
+       sha256(concat(lower(c_name), '@example.com')) AS email_hashed,
+       c_mktsegment
+FROM customer WHERE c_acctbal > 0
+""",
+        "events_sessionize": """
+WITH e AS (
+  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM e
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clicks,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM s GROUP BY user_id, session_seq
+""",
+        "cdc_demux_streams": _WINNERS
+        + """
+SELECT 't' || CAST(CAST(substr(doc_id, 4) AS BIGINT) % 3 AS VARCHAR) AS stream,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       max(lsn) AS max_lsn,
+       CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
+FROM ranked WHERE rn = 1 AND op != 'D'
+GROUP BY 1
 """,
     }

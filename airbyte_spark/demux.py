@@ -1,0 +1,220 @@
+"""Multi-table WAL demux — ONE change stream, N tables, ONE shared offset.
+
+Reference semantics: a Debezium CDC source tails a single binlog/WAL that
+interleaves every table's changes, and sync state is GLOBAL — one shared
+WAL position plus per-stream states (airbyte-protocol.md:491-511;
+MySqlCdcStateHandler.java:38-63 stores the offset once for the whole
+connection, not per table; DebeziumRecordIterator hands each record to its
+stream by source table). ``catalog.py`` covers the independent-sources
+case; this module covers the shared-WAL case, where the offset can only
+advance once EVERY table has durably applied the window.
+
+Spark-first shape: the WAL window is scanned ONCE and persisted; each
+stream's slice is a filter on the routing column over that cached window
+(no re-scan per table). Per-table commits stay idempotent via batch ids in
+snapshot summaries, so a crash between table commits inside one window
+resumes exactly: already-committed tables skip, the rest apply, and only
+then does the shared offset advance. Routing values with no configured
+stream are counted and surfaced — never silently dropped
+(``on_unrouted="error"|"skip"``).
+
+Scale notes: the per-window persisted slice is the same memory budget as
+the single-stream engine's prefetched batch; the routing groupBy-count is
+one tiny aggregate (≤ streams rows) reusing the cached slice. Each table's
+merge then proceeds exactly as the single-stream engine (bucket-pruned CoW
+/ MoR delta dispatch), so demux adds zero extra exchanges over syncing the
+tables separately — it removes N-1 WAL scans per window.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airbyte_spark.checkpoint import Checkpoint, load_checkpoint, save_checkpoint
+from airbyte_spark.config import EngineConfig, StreamConfig
+from airbyte_spark.engine import CdcEngine, OffsetLossError
+from airbyte_spark.lineage import log_metric
+
+
+class UnroutedRecordsError(RuntimeError):
+    """The WAL window contains records for a table not in the catalog."""
+
+
+class DemuxEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        streams: list[StreamConfig],
+        stream_col: str = "_ab_stream",
+        cfg: EngineConfig | None = None,
+        on_unrouted: str = "error",
+    ):
+        names = [s.name for s in streams]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate stream names: {names}")
+        if on_unrouted not in ("error", "skip"):
+            raise ValueError("on_unrouted must be 'error' or 'skip'")
+        self.spark = spark
+        self.root = root
+        self.stream_col = stream_col
+        self.streams = list(streams)
+        self.on_unrouted = on_unrouted
+        self.engines: dict[str, CdcEngine] = {
+            s.name: CdcEngine(spark, os.path.join(root, "streams", s.name), s, cfg)
+            for s in streams
+        }
+        # the GLOBAL shared WAL position — reuses the Checkpoint doc; only
+        # its shared_state (max_committed_lsn/target) matters here, the
+        # per-table states live in each engine's own checkpoint.
+        self.state_path = os.path.join(root, "demux_state.json")
+        os.makedirs(root, exist_ok=True)
+
+    def engine(self, name: str) -> CdcEngine:
+        return self.engines[name]
+
+    def create_tables(self) -> None:
+        from airbyte_spark.lake.table import LakeTable
+
+        for eng in self.engines.values():
+            if not LakeTable.exists(eng.table_root):
+                eng.create_table()
+
+    def bootstrap(self, seeds: dict[str, DataFrame]) -> None:
+        for name, seed in seeds.items():
+            self.engines[name].bootstrap(seed)
+
+    # ------------------------------------------------------------------ sync
+
+    def replay(
+        self,
+        changelog: DataFrame | str,
+        batch_events: int | None = None,
+        max_batches: int | None = None,
+    ) -> dict:
+        """Windowed replay of the shared WAL into every configured table.
+
+        The shared offset advances strictly after ALL tables commit the
+        window; per-table batch-id idempotence makes mid-window crashes
+        resume without loss or duplication.
+        """
+        source = (
+            self.spark.read.parquet(changelog)
+            if isinstance(changelog, str)
+            else changelog
+        )
+        if self.stream_col not in source.columns:
+            raise ValueError(f"changelog lacks routing column {self.stream_col!r}")
+        sub_schema = source.drop(self.stream_col).schema
+        for eng in self.engines.values():
+            eng._assert_bootstrap_complete()
+            eng._maybe_evolve_schema(sub_schema)
+        batch_events = batch_events or next(
+            iter(self.engines.values())
+        ).cfg.batch_events
+
+        shared = load_checkpoint(self.state_path) or Checkpoint()
+        last = shared.max_committed_lsn
+        mn, target = source.agg(F.min("lsn"), F.max("lsn")).first()
+        if last > 0 and mn is not None and mn > last + 1:
+            log_metric("demux_offset_lost", last_committed_lsn=last, min_lsn=mn)
+            raise OffsetLossError(
+                f"shared offset {last} predates oldest retained event {mn}"
+            )
+        if target is None or target <= last:
+            log_metric("demux_noop", last_committed_lsn=last, target_lsn=target)
+            return {"batches": 0, "events": 0, "last_committed_lsn": last}
+        shared.target_lsn = target
+        save_checkpoint(self.state_path, shared)
+
+        known = list(self.engines)
+        t0 = time.monotonic()
+        per_stream = {n: 0 for n in known}
+        unrouted_total = 0
+        n_windows = 0
+        lo = last
+        while lo < target:
+            hi = min(lo + batch_events, target)
+            window = source.filter(
+                (F.col("lsn") > lo) & (F.col("lsn") <= hi)
+            ).persist()
+            try:
+                counts = {
+                    r[0]: r[1]
+                    for r in window.groupBy(self.stream_col).count().collect()
+                }
+                unrouted = {
+                    k: v for k, v in counts.items() if k not in self.engines
+                }
+                if unrouted:
+                    log_metric(
+                        "demux_unrouted",
+                        start_lsn=lo,
+                        end_lsn=hi,
+                        streams={str(k): int(v) for k, v in unrouted.items()},
+                    )
+                    if self.on_unrouted == "error":
+                        raise UnroutedRecordsError(
+                            f"window ({lo},{hi}] has records for unconfigured "
+                            f"table(s) {sorted(map(str, unrouted))}"
+                        )
+                    unrouted_total += sum(unrouted.values())
+                for name in known:  # deterministic catalog order
+                    if counts.get(name, 0) == 0:
+                        continue
+                    sub = window.filter(
+                        F.col(self.stream_col) == name
+                    ).drop(self.stream_col)
+                    applied = self.engines[name].apply_range(sub, lo, hi)
+                    per_stream[name] += applied
+            finally:
+                window.unpersist()
+            # every table durably committed (or skipped idempotently):
+            # NOW the shared WAL position may advance.
+            shared.max_committed_lsn = hi
+            shared.note_batch(f"demux-{lo}-{hi}")
+            save_checkpoint(self.state_path, shared)
+            lo = hi
+            n_windows += 1
+            if max_batches is not None and n_windows >= max_batches:
+                break
+
+        wall = time.monotonic() - t0
+        stats = {
+            "batches": n_windows,
+            "events": sum(per_stream.values()),
+            "per_stream": per_stream,
+            "unrouted": unrouted_total,
+            "wall_s": round(wall, 3),
+            "last_committed_lsn": shared.max_committed_lsn,
+        }
+        log_metric("demux_done", **stats)
+        return stats
+
+    def state(self) -> dict | None:
+        ckpt = load_checkpoint(self.state_path)
+        if ckpt is None:
+            return None
+        from airbyte_spark.checkpoint import load_checkpoint as _lc
+
+        return {
+            "type": "GLOBAL",
+            "global": {
+                "shared_state": ckpt.to_json()["shared_state"],
+                "stream_states": [
+                    {
+                        "stream_descriptor": {"name": n},
+                        "stream_state": (
+                            c.to_json()
+                            if (c := _lc(self.engines[n].checkpoint_path))
+                            else None
+                        ),
+                    }
+                    for n in self.engines
+                ],
+            },
+        }

@@ -471,6 +471,14 @@ class CdcEngine:
         log_metric("replay_done", **stats)
         return stats
 
+    def apply_range(self, source: DataFrame, lo: int, hi: int) -> int:
+        """Apply one externally-driven (lo, hi] LSN window as an atomic,
+        idempotent commit — the per-table leg of a shared-WAL demux
+        (demux.py), where the WINDOW loop and the shared offset live above
+        this engine. Returns events applied (0 when the batch id is already
+        in a snapshot summary)."""
+        return self._apply_batch(source, lo, hi)
+
     def _align_to_table(self, batch: DataFrame, table_schema: StructType) -> DataFrame:
         """Project the batch to source cols + the table's payload columns
         (missing -> NULL, narrower types upcast, union-fallback string

@@ -155,6 +155,13 @@ def apply_transforms(df: DataFrame, specs: list[dict]) -> DataFrame:
                 df, spec["column"], spec["schema"],
                 errors_col=spec.get("errors_col", "_ab_errors"),
             )
+        elif op in (
+            "hash_field", "mask_field", "encrypt_field",
+            "rename_field", "filter_rows",
+        ):
+            from airbyte_spark.plans.mappers import apply_mappers
+
+            df = apply_mappers(df, [spec])
         else:
             raise ValueError(f"unknown transform op {op!r}")
     return df
