@@ -42,7 +42,10 @@ def sessionize(
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    us = F.unix_micros(F.col(ts_col))
+    # cast handles TIMESTAMP_NTZ sources (parquet isAdjustedToUTC=false):
+    # with the session pinned to UTC (session.py) the NTZ->TIMESTAMP cast is
+    # value-exact and unix_micros matches DuckDB's epoch_us on the naive ts.
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     new_sess = (
         F.when(
             F.lag(us).over(w).isNull()
