@@ -31,6 +31,13 @@ class StreamConfig:
     primary_key: str = "doc_id"
     cursor_field: str = "lsn"
     sync_mode: str = SYNC_APPEND_DEDUP
+    # Connection-level mappers (Airbyte "mappings": hash/mask/encrypt/
+    # rename/row-filter — plans/mappers.py spec dicts), applied to every
+    # record between source read and destination write: the seed at
+    # bootstrap AND each replay batch see the same chain, so the table only
+    # ever stores mapped values. Tuple of dicts (frozen dataclass).
+    # Renaming/removing the primary key or cursor column raises at sync.
+    mappers: tuple = ()
     # Lake layout: final table bucketed by hash(primary_key) % num_buckets so
     # MERGE rewrites only affected buckets and dedup shuffles align.
     # SIZING RULE: pick num_buckets ~ table_bytes / target_file_bytes

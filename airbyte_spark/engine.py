@@ -157,6 +157,7 @@ class CdcEngine:
         if table.find_batch(done_bid) is not None:
             return None
         t0 = time.monotonic()
+        seed = self._map_records(seed)
         df = seed.withColumn("op", F.lit(S.OP_INSERT))
         if "source_partition" not in df.columns:
             df = df.withColumn("source_partition", F.lit(0))
@@ -325,10 +326,46 @@ class CdcEngine:
 
     # --------------------------------------------------------------- replay
 
+    def _map_records(self, df: DataFrame) -> DataFrame:
+        """Connection-level mappers (StreamConfig.mappers) — the platform
+        applies mappings per record between source and destination; here the
+        chain compiles to Catalyst expressions once and fuses into whatever
+        the sync plan already does (plans/mappers.py, zero added shuffles).
+        Both the bootstrap seed and every replay batch pass through, so the
+        destination only ever stores mapped values."""
+        if not self.stream.mappers:
+            return df
+        from airbyte_spark.plans.mappers import apply_mappers
+
+        # a mapper targeting a column this leg doesn't carry (e.g. the seed
+        # lacks a changelog-only field; alignment NULLs it later) is skipped
+        # for the leg, mirroring how schema alignment treats missing columns
+        specs = []
+        for spec in self.stream.mappers:
+            col = spec.get("name") or spec.get("from")
+            if col is not None and col not in df.columns:
+                log_metric(
+                    "mapper_skipped_missing_column", op=spec["op"], column=col
+                )
+                continue
+            specs.append(spec)
+        out = apply_mappers(df, specs)
+        missing = [
+            c
+            for c in (self.stream.primary_key, self.stream.cursor_field)
+            if c in df.columns and c not in out.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"mappers removed or renamed required column(s) {missing}; "
+                "the primary key and cursor must survive the mapper chain"
+            )
+        return out
+
     def _open_source(self, changelog: DataFrame | str) -> DataFrame:
         if isinstance(changelog, str):
-            return self.spark.read.option("mergeSchema", "true").parquet(changelog)
-        return changelog
+            changelog = self.spark.read.option("mergeSchema", "true").parquet(changelog)
+        return self._map_records(changelog)
 
     def replay(
         self,

@@ -103,3 +103,82 @@ def test_mapper_chain_is_narrow(people):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def _mask2(s):
+    return None if s is None else s[:2] + "*" * max(len(s) - 2, 0)
+
+
+def test_engine_sync_with_mappers(spark, workdir):
+    """Connection-level mappers applied DURING sync (StreamConfig.mappers):
+    bootstrap seed and every replay batch pass the chain, so the final
+    table equals the golden applier run over mapper-transformed records."""
+    import os
+
+    from airbyte_spark.changelog import (
+        ChangelogConfig,
+        apply_golden,
+        changelog_df,
+        seed_df,
+        write_changelog,
+    )
+    from airbyte_spark.config import EngineConfig, StreamConfig
+    from airbyte_spark.engine import CdcEngine
+    from tests.util import assert_frames_equal, final_as_pandas, golden_normalize
+
+    cfg = ChangelogConfig(n_events=600, n_seed_docs=150, dup_pct=2.0, seed=11)
+    stream = StreamConfig(
+        num_buckets=4,
+        mappers=({"op": "mask_field", "name": "source", "keep_prefix": 2},),
+    )
+    eng = CdcEngine(
+        spark, os.path.join(workdir, "m"), stream, EngineConfig(batch_events=200)
+    )
+    eng.create_table()
+    eng.bootstrap(seed_df(spark, cfg))
+    cl = os.path.join(workdir, "cl")
+    write_changelog(spark, cfg, cl)
+    eng.replay(cl)
+
+    # EXACT golden over the mapper-transformed records: expected = golden
+    # applier run as usual, then the same mask applied to the winners'
+    # source values (mapping commutes with LWW because ordering columns
+    # are untouched)
+    exp = apply_golden(
+        seed_df(spark, cfg).toPandas(),
+        changelog_df(spark, cfg).toPandas(),
+        cfg.vocab_size,
+    )
+    exp["source"] = exp["source"].map(_mask2)
+    assert_frames_equal(final_as_pandas(eng.read_final()), golden_normalize(exp))
+    # belt-and-braces: no raw (unmasked) source value reached the table
+    import re
+
+    non_null = [
+        r["source"]
+        for r in eng.read_final().select("source").distinct().collect()
+        if r["source"] is not None
+    ]
+    assert non_null and all(re.fullmatch(r"..\**", v) for v in non_null)
+
+
+def test_engine_mappers_must_keep_key_and_cursor(spark, workdir):
+    import os
+
+    import pytest as _pytest
+
+    from airbyte_spark.changelog import ChangelogConfig, seed_df
+    from airbyte_spark.config import EngineConfig, StreamConfig
+    from airbyte_spark.engine import CdcEngine
+
+    cfg = ChangelogConfig(n_events=50, n_seed_docs=20)
+    stream = StreamConfig(
+        num_buckets=2,
+        mappers=({"op": "rename_field", "from": "doc_id", "to": "pk"},),
+    )
+    eng = CdcEngine(
+        spark, os.path.join(workdir, "bad"), stream, EngineConfig(batch_events=50)
+    )
+    eng.create_table()
+    with _pytest.raises(ValueError, match="doc_id"):
+        eng.bootstrap(seed_df(spark, cfg))
