@@ -934,13 +934,22 @@ class CdcEngine:
             winners = self._dedup_winners(batch, table).persist()
         try:
             # ONE driver action per batch: per-partition lineage stats AND
-            # (for the CoW merge only) the touched-bucket set in the same agg.
+            # (for the CoW merge only) the touched-bucket set in the same
+            # agg — plus null-PK detection (a NULL key cannot merge; it
+            # would land as a corrupt row). LWW collapses the null group to
+            # <= 1 winner per salt, so the count here is detection, not the
+            # delivered total; the raw/audit table retains every delivered
+            # record for forensics.
+            pk_col = F.col(self.stream.primary_key)
             agg_cols = [
                 F.min("lsn").alias("min_lsn"),
                 F.max("lsn").alias("max_lsn"),
                 F.count("*").alias("rows"),
+                F.sum(pk_col.isNull().cast("long")).alias("null_pk"),
             ]
             if not use_mor:
+                # bucket_expr(NULL) is NULL and collect_set skips NULLs, so
+                # the bucket set is already null-clean
                 agg_cols.append(
                     F.collect_set(
                         table.bucket_expr(self.stream.primary_key)
@@ -955,6 +964,20 @@ class CdcEngine:
                 ckpt.max_committed_lsn = hi
                 save_checkpoint(self.checkpoint_path, ckpt)
                 return 0
+            drop_nulls = self.stream.sync_mode != SYNC_APPEND
+            null_pk = (
+                sum(int(r["null_pk"] or 0) for r in part_stats) if drop_nulls else 0
+            )
+            if null_pk:
+                # quarantine: never merge a NULL key (append mode has no PK
+                # semantics and keeps every record verbatim)
+                log_metric(
+                    "null_pk_quarantined",
+                    batch_id=bid,
+                    winner_rows=null_pk,
+                    raw_retained=bool(self.cfg.keep_raw_table),
+                )
+                winners = winners.filter(pk_col.isNotNull())
             affected = (
                 None if use_mor
                 else sorted({int(b) for r in part_stats for b in r["buckets"]})
@@ -978,7 +1001,12 @@ class CdcEngine:
                 enriched.unpersist()
 
         wall_ms = int((time.monotonic() - t0) * 1000)
-        rows_applied = sum(int(r["rows"]) for r in part_stats)
+
+        def _applied(r) -> int:  # quarantined null-PK winners never commit
+            n = int(r["rows"])
+            return n - int(r["null_pk"] or 0) if drop_nulls else n
+
+        rows_applied = sum(_applied(r) for r in part_stats)
         self.lineage.append(
             [
                 {
@@ -986,7 +1014,7 @@ class CdcEngine:
                     "source_partition": int(r["source_partition"]),
                     "start_lsn": int(r["min_lsn"]),
                     "end_lsn": int(r["max_lsn"]),
-                    "rows_applied": int(r["rows"]),
+                    "rows_applied": _applied(r),
                     "commit_snapshot_id": int(version),
                     "wall_ms": wall_ms,
                 }
@@ -1001,7 +1029,7 @@ class CdcEngine:
             p = str(int(r["source_partition"]))
             cur = ckpt.per_partition.get(p, {"last_lsn": 0, "rows_applied": 0})
             cur["last_lsn"] = max(cur["last_lsn"], int(r["max_lsn"]))
-            cur["rows_applied"] = cur["rows_applied"] + int(r["rows"])
+            cur["rows_applied"] = cur["rows_applied"] + _applied(r)
             ckpt.per_partition[p] = cur
         save_checkpoint(self.checkpoint_path, ckpt)
 
@@ -1040,6 +1068,8 @@ class CdcEngine:
         # column-pruned tasks slot into the merge's scheduling gaps instead
         # of serializing ~1s of near-idle cluster time per batch. The merge
         # commit only proceeds to checkpoint once both complete.
+        pk_col = F.col(self.stream.primary_key)
+
         def _stats():
             return (
                 batch.groupBy("source_partition")
@@ -1047,6 +1077,8 @@ class CdcEngine:
                     F.min("lsn").alias("min_lsn"),
                     F.max("lsn").alias("max_lsn"),
                     F.count("*").alias("rows"),
+                    # exact delivered null-PK count (pre-dedup here)
+                    F.sum(pk_col.isNull().cast("long")).alias("null_pk"),
                 )
                 .collect()
             )
@@ -1054,9 +1086,11 @@ class CdcEngine:
         with ThreadPoolExecutor(max_workers=1) as pool:
             stats_f = pool.submit(_stats)
             enriched = prefetched if prefetched is not None else self._prepare_batch(batch, table)
+            # NULL keys never merge (quarantine; raw table retains them) —
+            # a no-op filter when the stream is clean
             version = merge_upsert_full(
                 table,
-                enriched,
+                enriched.filter(pk_col.isNotNull()),
                 summary={
                     "operation": "merge-full",
                     "batch_id": bid,
@@ -1075,7 +1109,19 @@ class CdcEngine:
             return 0
 
         wall_ms = int((time.monotonic() - t0) * 1000)
-        rows_applied = sum(int(r["rows"]) for r in part_stats)
+        null_pk = sum(int(r["null_pk"] or 0) for r in part_stats)
+        if null_pk:
+            log_metric(
+                "null_pk_quarantined",
+                batch_id=bid,
+                delivered_rows=null_pk,
+                raw_retained=bool(self.cfg.keep_raw_table),
+            )
+
+        def _applied(r) -> int:
+            return int(r["rows"]) - int(r["null_pk"] or 0)
+
+        rows_applied = sum(_applied(r) for r in part_stats)
         self.lineage.append(
             [
                 {
@@ -1083,7 +1129,7 @@ class CdcEngine:
                     "source_partition": int(r["source_partition"]),
                     "start_lsn": int(r["min_lsn"]),
                     "end_lsn": int(r["max_lsn"]),
-                    "rows_applied": int(r["rows"]),
+                    "rows_applied": _applied(r),
                     "commit_snapshot_id": int(version),
                     "wall_ms": wall_ms,
                 }
@@ -1097,7 +1143,7 @@ class CdcEngine:
             p = str(int(r["source_partition"]))
             cur = ckpt.per_partition.get(p, {"last_lsn": 0, "rows_applied": 0})
             cur["last_lsn"] = max(cur["last_lsn"], int(r["max_lsn"]))
-            cur["rows_applied"] = cur["rows_applied"] + int(r["rows"])
+            cur["rows_applied"] = cur["rows_applied"] + _applied(r)
             ckpt.per_partition[p] = cur
         save_checkpoint(self.checkpoint_path, ckpt)
         log_metric(

@@ -674,6 +674,11 @@ class LakeTable:
         data dir with snapshot-scoped names; harvest footer stats. Footer
         reads go through a thread pool — this is per-commit driver work and
         must not serialize on file count."""
+        # commit-unique token: two racing writers may both target the same
+        # new_version; version-only names would silently overwrite each
+        # other's data files before the CAS even runs. Identity lives in the
+        # manifest paths, so the name is free to carry the token.
+        tok = uuid.uuid4().hex[:8]
         moves: list[tuple[str, int]] = []  # (dst-rel, bucket)
         for entry in sorted(os.listdir(staging_dir)):
             if not entry.startswith(f"{BUCKET_COL}="):
@@ -684,7 +689,7 @@ class LakeTable:
             for part in sorted(os.listdir(bdir)):
                 if not part.endswith(".parquet"):
                     continue
-                rel = os.path.join(DATA_DIR, f"v{new_version}-b{bucket:05d}-{seq}.parquet")
+                rel = os.path.join(DATA_DIR, f"v{new_version}-{tok}-b{bucket:05d}-{seq}.parquet")
                 os.replace(os.path.join(bdir, part), os.path.join(self.root, rel))
                 moves.append((rel, bucket))
                 seq += 1
@@ -734,12 +739,13 @@ class LakeTable:
         df.repartition(n).write.mode("overwrite").parquet(staging)
         _t1 = time.monotonic()
 
+        tok = uuid.uuid4().hex[:8]  # commit-unique: see _collect_file_stats
         moves: list[str] = []
         seq = 0
         for part in sorted(os.listdir(staging)):
             if not part.endswith(".parquet"):
                 continue
-            rel = os.path.join(DATA_DIR, f"v{new_version}-delta-{seq}.parquet")
+            rel = os.path.join(DATA_DIR, f"v{new_version}-{tok}-delta-{seq}.parquet")
             os.replace(os.path.join(staging, part), os.path.join(self.root, rel))
             moves.append(rel)
             seq += 1
@@ -768,6 +774,64 @@ class LakeTable:
             )
 
         return [harvest(m) for m in moves], _t1
+
+    # Commit ops that make an optimistic append-rebase UNSAFE: a purge
+    # deleted keys our files might resurrect; rebucket changed the layout
+    # the files were named/placed under; evolve-schema changed what columns
+    # mean; soft-reset / resync discarded the table our rows extend.
+    REBASE_UNSAFE_OPS = frozenset(
+        {"purge", "rebucket", "evolve-schema", "soft-reset", "resync-bootstrap"}
+    )
+    REBASE_MAX_RETRIES = 5
+
+    def _append_with_rebase(
+        self, base: "Snapshot", new_files: list, summary: dict, mode: str
+    ) -> int:
+        """Commit ``base.files + new_files``; on :class:`CommitConflict`
+        rebase onto the race winner and retry — Iceberg's fast-append retry
+        semantics (appends add files that overlap nothing, so re-planning is
+        re-attaching the same files to the new current snapshot). Refuses
+        (re-raises the conflict) when any intervening commit is in
+        :data:`REBASE_UNSAFE_OPS` or changed schema/spec — those need the
+        caller to re-plan against the new table state. Intended concurrency:
+        ingest append racing a compactor or another stream's maintenance;
+        per-table batch ingest itself stays single-writer (engine contract).
+        """
+        attempt = base
+        for _ in range(self.REBASE_MAX_RETRIES + 1):
+            snap = Snapshot(
+                version=attempt.version + 1,
+                parent=attempt.version,
+                schema_version=attempt.schema_version,
+                schemas=dict(attempt.schemas),
+                spec=attempt.spec,
+                files=attempt.files + new_files,
+                summary=summary,
+            )
+            try:
+                self._write_snapshot(snap, parent=attempt)
+                return snap.version
+            except CommitConflict:
+                latest = self.snapshot(self.current_version())
+                if (
+                    latest.schema_version != base.schema_version
+                    or latest.spec != base.spec
+                ):
+                    raise
+                for v in range(attempt.version + 1, latest.version + 1):
+                    if (
+                        self.snapshot(v).summary.get("operation")
+                        in self.REBASE_UNSAFE_OPS
+                    ):
+                        raise
+                log_metric(
+                    "commit_rebased", mode=mode, onto=latest.version,
+                    lost_to=latest.summary.get("operation"),
+                )
+                attempt = latest
+        raise CommitConflict(
+            f"append lost {self.REBASE_MAX_RETRIES + 1} commit races in a row"
+        )
 
     def append_delta(
         self,
@@ -798,6 +862,10 @@ class LakeTable:
             write_ms=int((_t1 - _t0) * 1000),
             harvest_ms=int((time.monotonic() - _t1) * 1000),
         )
+        if expected_version is None:
+            # no explicit CAS expectation: losing a race to a compactor /
+            # another stream's maintenance rebases automatically
+            return self._append_with_rebase(base, new_files, summary, "delta-append")
         snap = Snapshot(
             version=new_version,
             parent=base.version,
@@ -881,6 +949,18 @@ class LakeTable:
             write_ms=int((_t1 - _t0) * 1000),
             harvest_ms=int((time.monotonic() - _t1) * 1000),
         )
+
+        if (
+            replace_buckets is None
+            and new_schema is None
+            and new_spec is None
+            and not drop_deltas
+            and expected_version is None
+        ):
+            # pure append with no CAS expectation — rebase-retry on races
+            # (CoW merges are NOT retried here: their content depends on the
+            # base they were planned against; callers must re-plan)
+            return self._append_with_rebase(base, new_files, summary, "append")
 
         kept = base.files
         if replace_buckets is not None:

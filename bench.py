@@ -501,6 +501,11 @@ def main() -> None:
         compact["queries"] = {
             "suite_total_s": round(sum(timings.values()), 2),
             "n_queries": len(timings),
+            # keep the hot spots visible even in the shortest form
+            "slowest": {
+                k: round(v, 2)
+                for k, v in sorted(timings.items(), key=lambda kv: -kv[1])[:8]
+            },
         }
         line = json.dumps(compact, separators=(",", ":"))
     print(line, flush=True)

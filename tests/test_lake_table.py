@@ -216,3 +216,71 @@ def test_manifest_parent_reference_for_pure_appends(spark, workdir):
     with open(os.path.join(root, "snapshots", f"v{v5:08d}.json")) as fh:
         doc5 = json.load(fh)
     assert "files_parent" not in doc5 and "files" in doc5
+
+
+def test_append_rebase_on_commit_race(spark, table):
+    """Iceberg fast-append retry semantics: an append that loses the CAS
+    race rebases onto the winner and commits — both writers' rows land,
+    no file is lost or overwritten (data files carry a commit-unique
+    token, so two same-version writers can never clobber each other)."""
+    base = table.snapshot()  # stale base held by the "slow" writer
+    # winner commits first
+    table.write_and_commit(
+        _df(spark, [("a", 1, 1)]), replace_buckets=None,
+        summary={"operation": "append"},
+    )
+    # loser: files written against the stale base, then rebase-commit
+    files, _ = table._write_delta_files(_df(spark, [("b", 2, 2)]), base.version + 1, base)
+    v = table._append_with_rebase(
+        base, files, {"operation": "merge-delta", "batch_id": "race-loser"}, "delta-append"
+    )
+    assert v == 3  # rebased onto the winner (v2), committed as v3
+    rows = {r.doc_id: r.v for r in table.scan().collect()}
+    assert rows == {"a": 1, "b": 2}
+    assert table.find_batch("race-loser") == 3
+
+
+def test_append_rebase_refused_across_purge(spark, table):
+    """A purge between base and retry makes rebase unsafe (resurrection
+    risk): the conflict propagates instead of silently committing."""
+    table.write_and_commit(
+        _df(spark, [("a", 1, 1), ("b", 2, 2)]), replace_buckets=None,
+        summary={"operation": "append"},
+    )
+    base = table.snapshot()
+    table.purge_keys(["a"])
+    files, _ = table._write_delta_files(_df(spark, [("c", 3, 3)]), base.version + 1, base)
+    with pytest.raises(CommitConflict):
+        table._append_with_rebase(
+            base, files, {"operation": "merge-delta", "batch_id": "x"}, "delta-append"
+        )
+
+
+def test_concurrent_appends_both_land(spark, table):
+    """Two threads appending concurrently through the public API: whatever
+    the interleaving, both commits land exactly once."""
+    import threading
+
+    errs = []
+
+    def appender(key, lsn):
+        try:
+            t = LakeTable.load(spark, table.root)  # own handle, like a 2nd process
+            t.write_and_commit(
+                _df(spark, [(key, lsn, lsn)]), replace_buckets=None,
+                summary={"operation": "append", "batch_id": f"t-{key}"},
+            )
+        except Exception as e:  # surfaced below
+            errs.append(e)
+
+    th = [
+        threading.Thread(target=appender, args=("x", 10)),
+        threading.Thread(target=appender, args=("y", 11)),
+    ]
+    [t.start() for t in th]
+    [t.join() for t in th]
+    assert not errs, errs
+    fresh = LakeTable.load(spark, table.root)
+    rows = sorted(r.doc_id for r in fresh.scan().collect())
+    assert rows == ["x", "y"]
+    assert fresh.current_version() == 3  # create + two appends
