@@ -1101,6 +1101,40 @@ def q_cdc_demux_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup (operators/urls.py): dirty
+    crawl URLs (scheme/host case, www, default port, tracking params,
+    unsorted query, fragments) synthesized deterministically per doc ->
+    canonical form -> min-witness keeper per canonical URL. The
+    canonicalizer is a pure narrow projection (zero shuffle); dedup is one
+    hash agg on the canonical string + the keeper join — URL-keyed, never
+    content-keyed."""
+    from airbyte_spark.operators.urls import url_dedup
+
+    d = _docs(spark, sf_dir)
+    slot = (F.col("doc_id") % 200).cast("string")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        slot,
+        F.lit("?b=2&utm_source=rss&a="),
+        (F.col("doc_id") % 200 % 7).cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(F.lit("#sec"), (F.col("doc_id") % 4).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    out = url_dedup(d.select("doc_id", url.alias("url")), "url")
+    return out.select(
+        "doc_id", "url_canonical", "domain", F.col("keep").cast("int").alias("keep")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full CDC pipeline (validate -> dedup -> apply) at sf0.001."""
     return q_cdc_apply_final(spark, SF0001)
@@ -1170,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mapper_pii_fields": q_mapper_pii_fields,
         "events_sessionize": q_events_sessionize,
         "cdc_demux_streams": q_cdc_demux_streams,
+        "docs_url_dedup": q_docs_url_dedup,
     }
 
 
@@ -1232,6 +1267,27 @@ ranked AS (
   SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC, ts_ms DESC) AS rn
   FROM ch
 )
+"""
+
+
+def _url_dedup_oracle() -> str:
+    from airbyte_spark.operators.urls import canonicalize_sql, domain_sql
+
+    url_expr = (
+        "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END || '://' || "
+        "CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END || source || "
+        "'.Example.COM' || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END || "
+        "'/p/' || (doc_id % 200) || '?b=2&utm_source=rss&a=' || "
+        "(doc_id % 200 % 7) || "
+        "CASE WHEN doc_id % 2 = 1 THEN '#sec' || (doc_id % 4) ELSE '' END)"
+    )
+    return f"""
+WITH u AS (SELECT doc_id, {url_expr} AS url FROM documents),
+c AS (SELECT doc_id, {canonicalize_sql('url')} AS url_canonical FROM u),
+k AS (SELECT url_canonical, min(doc_id) AS keeper FROM c GROUP BY 1)
+SELECT c.doc_id, c.url_canonical, {domain_sql('c.url_canonical')} AS domain,
+       CAST(CASE WHEN c.doc_id = k.keeper THEN 1 ELSE 0 END AS INT) AS keep
+FROM c JOIN k USING (url_canonical)
 """
 
 
@@ -1898,4 +1954,5 @@ SELECT 't' || CAST(CAST(substr(doc_id, 4) AS BIGINT) % 3 AS VARCHAR) AS stream,
 FROM ranked WHERE rn = 1 AND op != 'D'
 GROUP BY 1
 """,
+        "docs_url_dedup": _url_dedup_oracle(),
     }

@@ -432,18 +432,51 @@ def main() -> None:
             factor = SCALE_HI / SCALE_LO
             per_pass_eff = [round(r / factor, 3) for r in ratios]
             scored = ratios[warmup:] or ratios[-1:]
-            eff = round(_median(scored) / factor, 3)
             cdc[f"local{SCALE_LO}"] = r_lo
             cdc[f"local{SCALE_HI}"] = r_hi
             cdc["per_pass_efficiency"] = per_pass_eff
             cdc["warmup_passes_unscored"] = warmup
-            cdc["scored_passes"] = len(scored)
             if len(scored) < n_runs:
                 cdc["scaling_budget_degraded"] = (
                     f"machine too slow for {n_runs} scored passes within "
                     "SPARK_GRAFT_BENCH_SCALING_BUDGET; scored what completed"
                 )
-            cdc["speedup"] = round(_median(scored), 3)
+            # Steal-aware pass filter: this sandbox host's effective speed
+            # swings by INTEGER factors mid-invocation (per-pass local8
+            # replay has been observed at 30s and 179s in the same run).
+            # A pass where either level ran far slower than its own best is
+            # measuring the storm, not the engine — its ratio is noise in
+            # whichever direction the storm happened to land. Score the
+            # median over passes where BOTH levels were within CONTAM x
+            # their per-level best; when fewer than 2 passes are clean,
+            # fall back to the per-level-best capability estimate, capped
+            # at 1.0 so a lucky/unlucky pairing can never read super-linear
+            # (the r2 artifact), and say so.
+            CONTAM = 1.35
+            lo_runs = r_lo["runs"][warmup:]
+            hi_runs = r_hi["runs"][warmup:]
+            lo_best = min(r["replay_s"] for r in lo_runs)
+            hi_best = min(r["replay_s"] for r in hi_runs)
+            clean = [
+                ra
+                for ra, l, h in zip(scored, lo_runs, hi_runs)
+                if l["replay_s"] <= CONTAM * lo_best
+                and h["replay_s"] <= CONTAM * hi_best
+            ]
+            if len(clean) >= 2:
+                eff = round(_median(clean) / factor, 3)
+                cdc["scored_passes"] = len(clean)
+                cdc["contaminated_passes_dropped"] = len(scored) - len(clean)
+                cdc["speedup"] = round(_median(clean), 3)
+            else:
+                eff = round(min(1.0, lo_best / hi_best / factor), 3)
+                cdc["scored_passes"] = 0
+                cdc["speedup"] = round(lo_best / hi_best, 3)
+                cdc["degraded_host"] = (
+                    "no pass had both levels inside "
+                    f"{CONTAM}x their per-level best; efficiency is the "
+                    "per-level-best capability estimate capped at 1.0"
+                )
             cdc["scaling_efficiency"] = eff
             if eff > 1.05:
                 # unphysical — super-linear N->4N cannot be real on this box;
