@@ -1135,6 +1135,29 @@ def q_docs_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode cleanup (functions/textnorm.py): NFC normalization +
+    control-char strip + horizontal-whitespace collapse — the stage that
+    must run before ANY hashing/dedup/tokenization (decomposed accents
+    would fingerprint differently). Dirt (a decomposed e+U+0301, a BEL
+    control, tab/space runs) is appended deterministically so NFC really
+    composes something. JVM regex does the stripping/collapsing; NFC is
+    the one honest Arrow pandas UDF (no JVM builtin; same Unicode standard
+    as the DuckDB nfc_normalize oracle). Pure narrow plan, zero shuffles."""
+    from airbyte_spark.functions.textnorm import unicode_clean
+
+    d = _docs(spark, sf_dir)
+    dirty = F.concat(
+        F.col("text"), F.lit("  Café\t\x07end  ")
+    )
+    cleaned = unicode_clean(dirty)
+    return d.select(
+        "doc_id",
+        F.md5(cleaned).alias("clean_md5"),
+        F.length(cleaned).cast("long").alias("clean_len"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full CDC pipeline (validate -> dedup -> apply) at sf0.001."""
     return q_cdc_apply_final(spark, SF0001)
@@ -1205,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "cdc_demux_streams": q_cdc_demux_streams,
         "docs_url_dedup": q_docs_url_dedup,
+        "docs_unicode_clean": q_docs_unicode_clean,
     }
 
 
@@ -1288,6 +1312,19 @@ k AS (SELECT url_canonical, min(doc_id) AS keeper FROM c GROUP BY 1)
 SELECT c.doc_id, c.url_canonical, {domain_sql('c.url_canonical')} AS domain,
        CAST(CASE WHEN c.doc_id = k.keeper THEN 1 ELSE 0 END AS INT) AS keep
 FROM c JOIN k USING (url_canonical)
+"""
+
+
+def _unicode_clean_oracle() -> str:
+    from airbyte_spark.functions.textnorm import clean_sql
+
+    # text || '  Cafe' + COMBINING ACUTE (U+0301=769) || tab BEL 'end  '
+    dirty = "(text || '  Cafe' || chr(769) || chr(9) || chr(7) || 'end  ')"
+    return f"""
+SELECT doc_id,
+       md5({clean_sql(dirty)}) AS clean_md5,
+       CAST(length({clean_sql(dirty)}) AS BIGINT) AS clean_len
+FROM documents
 """
 
 
@@ -1955,4 +1992,5 @@ FROM ranked WHERE rn = 1 AND op != 'D'
 GROUP BY 1
 """,
         "docs_url_dedup": _url_dedup_oracle(),
+        "docs_unicode_clean": _unicode_clean_oracle(),
     }
