@@ -419,6 +419,30 @@ class CdcEngine:
         ckpt.target_lsn = target
         save_checkpoint(self.checkpoint_path, ckpt)
 
+        # Sync-size estimate up front (AirbyteEstimateTraceMessage shape:
+        # name/type/row_estimate/byte_estimate — the reference's sources
+        # emit it so platforms can show progress; ours derives rows from
+        # the LSN span and bytes from the input files' on-disk size scaled
+        # by the un-replayed fraction).
+        est_rows = target - last
+        byte_estimate = None
+        if isinstance(changelog, str) and os.path.isdir(changelog):
+            total_b = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(changelog)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+            span = max(target - (mn or 1) + 1, 1)
+            byte_estimate = int(total_b * min(1.0, est_rows / span))
+        log_metric(
+            "sync_estimate",
+            name=self.stream.name,
+            estimate_type="STREAM",
+            row_estimate=est_rows,
+            byte_estimate=byte_estimate,
+        )
+
         t0 = time.monotonic()
         total_events = 0
         n_batches = 0
