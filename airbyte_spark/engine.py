@@ -98,26 +98,60 @@ class CdcEngine:
         root: str,
         stream: StreamConfig | None = None,
         cfg: EngineConfig | None = None,
+        _pinned_generation: int | None = None,
     ):
         self.spark = spark
         self.root = root
         self.stream = stream or StreamConfig()
         self.cfg = cfg or EngineConfig()
-        self.table_root = os.path.join(root, self.stream.name)
-        self.checkpoint_path = os.path.join(root, "checkpoint.json")
+        # ``_pinned_generation`` is internal: resync_staged builds the NEXT
+        # generation beside the serving one through an engine pinned there.
+        self._pinned_gen = _pinned_generation
         os.makedirs(root, exist_ok=True)
         self.lineage = LineageLog(root)
         self._table: LakeTable | None = None
+        self._table_gen: int | None = None
 
     # ------------------------------------------------------------- lifecycle
 
+    def generation(self) -> int:
+        """Serving generation (Airbyte "refreshes" `_airbyte_generation_id`
+        semantics): a truncate-style resync builds generation k+1 beside k
+        and swaps a pointer only once complete, so readers never see an
+        empty/partial table mid-rebuild. Generation 0 uses the legacy
+        paths, so pre-generation tables keep working untouched."""
+        if self._pinned_gen is not None:
+            return self._pinned_gen
+        p = os.path.join(self.root, "generation.json")
+        if os.path.exists(p):
+            import json as _json
+
+            with open(p) as fh:
+                return int(_json.load(fh).get("generation", 0))
+        return 0
+
+    @property
+    def table_root(self) -> str:
+        base = os.path.join(self.root, self.stream.name)
+        g = self.generation()
+        return base if g == 0 else f"{base}@gen{g}"
+
+    @property
+    def checkpoint_path(self) -> str:
+        g = self.generation()
+        name = "checkpoint.json" if g == 0 else f"checkpoint@gen{g}.json"
+        return os.path.join(self.root, name)
+
     @property
     def table(self) -> LakeTable:
-        # one cached instance: its snapshot-manifest cache makes the
-        # per-batch idempotence walk (find_batch) O(new snapshots), not
-        # O(all snapshots) re-read per batch
-        if self._table is None:
+        # one cached instance PER GENERATION: the snapshot-manifest cache
+        # makes the per-batch idempotence walk (find_batch) O(new
+        # snapshots); a generation swap invalidates the handle so reads
+        # resolve the new serving table
+        g = self.generation()
+        if self._table is None or self._table_gen != g:
             self._table = LakeTable.load(self.spark, self.table_root)
+            self._table_gen = g
         return self._table
 
     def create_table(self, schema: StructType | None = None) -> LakeTable:
@@ -131,6 +165,7 @@ class CdcEngine:
             cursor_col=S.COL_LSN,
             ts_col=S.COL_EXTRACTED_AT,
         )
+        self._table_gen = self.generation()
         return self._table
 
     def bootstrap(self, seed: DataFrame, slices: int = 1) -> int | None:
@@ -800,6 +835,78 @@ class CdcEngine:
         save_checkpoint(self.checkpoint_path, ckpt)
         log_metric("resync_bootstrapped", snapshot=version, resume_lsn=ckpt.max_committed_lsn)
         return self.replay(source)
+
+    def resync_staged(
+        self,
+        seed: DataFrame,
+        changelog: DataFrame | str,
+        batch_events: int | None = None,
+    ) -> dict:
+        """Truncate-style resync WITHOUT a serving gap (Airbyte "refreshes"
+        / `_airbyte_generation_id` semantics): build generation k+1 in a
+        sibling table while generation k keeps serving every read, then
+        atomically swap the generation pointer once the new table is fully
+        bootstrapped and replayed. A crash mid-rebuild leaves the pointer
+        on k (readers unaffected) and a re-run RESUMES the staged build —
+        bootstrap and batch commits are idempotent in the staged table via
+        the same batch-id mechanism as any sync. Old generations stay on
+        disk for time-travel until :meth:`drop_old_generations`."""
+        import json as _json
+
+        new_gen = self.generation() + 1
+        staged = CdcEngine(
+            self.spark, self.root, self.stream, self.cfg,
+            _pinned_generation=new_gen,
+        )
+        if not LakeTable.exists(staged.table_root):
+            staged.create_table(self.table.snapshot().schema)
+        staged.bootstrap(seed)
+        source = staged._open_source(changelog)
+        ckpt = load_checkpoint(staged.checkpoint_path) or Checkpoint()
+        if ckpt.max_committed_lsn == 0:
+            # the fresh seed reflects source state just below the oldest
+            # retained event — replay only the tail past it
+            mn = source.agg(F.min("lsn")).first()[0]
+            ckpt.max_committed_lsn = max(0, (mn or 1) - 1)
+            save_checkpoint(staged.checkpoint_path, ckpt)
+        stats = staged.replay(source, batch_events)
+        # ATOMIC pointer swap: this is the only moment readers change
+        # generations, and only after the staged table is complete
+        ptr = os.path.join(self.root, "generation.json")
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump({"generation": new_gen}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, ptr)
+        self._table = None  # next read resolves the new generation
+        log_metric("generation_swapped", generation=new_gen)
+        stats["generation"] = new_gen
+        return stats
+
+    def drop_old_generations(self) -> list[int]:
+        """Delete superseded generations' tables + checkpoints (run after
+        downstream readers have moved past time-traveling into them)."""
+        import shutil
+
+        cur = self.generation()
+        base = os.path.join(self.root, self.stream.name)
+        dropped = []
+        for g in range(cur):
+            root = base if g == 0 else f"{base}@gen{g}"
+            for suffix in ("", "_raw", "_history"):
+                if os.path.isdir(root + suffix):
+                    shutil.rmtree(root + suffix, ignore_errors=True)
+            ck = os.path.join(
+                self.root,
+                "checkpoint.json" if g == 0 else f"checkpoint@gen{g}.json",
+            )
+            if os.path.exists(ck):
+                os.unlink(ck)
+            dropped.append(g)
+        if dropped:
+            log_metric("generations_dropped", generations=dropped)
+        return dropped
 
     def apply_stream_epoch(self, batch_df: DataFrame, epoch_id: int) -> int:
         """foreachBatch sink for Structured Streaming replay
