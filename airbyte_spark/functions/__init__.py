@@ -9,10 +9,13 @@ from airbyte_spark.functions.multimodal import (
     sample_frames,
     synthesize_assets,
 )
+from airbyte_spark.functions.textnorm import clean_text, unicode_clean
 from airbyte_spark.functions.validate import make_token_validator
 
 __all__ = [
     "make_token_validator",
+    "clean_text",
+    "unicode_clean",
     "extract_asset_features",
     "sample_frames",
     "synthesize_assets",

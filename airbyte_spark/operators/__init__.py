@@ -34,6 +34,12 @@ from airbyte_spark.operators.similarity import (
     knn_lsh,
 )
 from airbyte_spark.operators.packing import hash_split, pack_sequences, pack_stats
+from airbyte_spark.operators.sessionize import (
+    session_rollup,
+    sessionize,
+    streaming_session_rollup,
+)
+from airbyte_spark.operators.urls import canonicalize_url, url_dedup
 from airbyte_spark.operators.text_quality import (
     contamination_check,
     dup_ngram_fraction,
@@ -43,6 +49,11 @@ from airbyte_spark.operators.text_quality import (
 
 __all__ = [
     "lww_dedup",
+    "sessionize",
+    "session_rollup",
+    "streaming_session_rollup",
+    "canonicalize_url",
+    "url_dedup",
     "inject_cdc_metadata",
     "merge_upsert",
     "merge_upsert_full",
