@@ -1304,6 +1304,11 @@ class CdcEngine:
     def read_raw(self, version: int | None = None) -> DataFrame:
         return self.table.scan(version=version)
 
+    def read_final_as_of(self, ts_ms: int) -> DataFrame:
+        """Time travel by wall-clock timestamp (Iceberg TIMESTAMP AS OF):
+        the final table as of the latest commit at or before ``ts_ms``."""
+        return self.read_final(version=self.table.version_as_of(ts_ms))
+
     def read_changes_since(self, lsn: int, include_deletes: bool = True) -> DataFrame:
         """Incremental CONSUMER view: rows whose last applied change is
         newer than ``lsn`` — what a downstream training job re-processes

@@ -145,6 +145,9 @@ class Snapshot:
     # on load, consulted by _write_snapshot to bound chain growth; not
     # serialized into the manifest document.
     ref_depth: int = 0
+    # wall-clock commit time (Iceberg snapshot timestamp-ms) — stamped by
+    # _write_snapshot; None on pre-timestamp snapshots
+    committed_at_ms: int | None = None
 
     @property
     def schema(self) -> StructType:
@@ -154,7 +157,7 @@ class Snapshot:
         return StructType.fromJson(self.schemas[str(schema_version)])
 
     def to_json(self) -> dict:
-        return {
+        out = {
             "version": self.version,
             "parent": self.parent,
             "schema_version": self.schema_version,
@@ -163,6 +166,9 @@ class Snapshot:
             "files": [f.to_json() for f in self.files],
             "summary": self.summary,
         }
+        if self.committed_at_ms is not None:
+            out["committed_at_ms"] = self.committed_at_ms
+        return out
 
     @staticmethod
     def from_json(d: dict) -> "Snapshot":
@@ -174,6 +180,7 @@ class Snapshot:
             spec=d["spec"],
             files=[DataFile.from_json(f) for f in d["files"]],
             summary=d["summary"],
+            committed_at_ms=d.get("committed_at_ms"),
         )
 
 
@@ -322,6 +329,26 @@ class LakeTable:
             raise FileNotFoundError(f"no snapshots in {os.path.join(self.root, SNAPSHOT_DIR)}")
         return max(versions)
 
+    def version_as_of(self, ts_ms: int) -> int:
+        """Time travel by TIMESTAMP (Iceberg `TIMESTAMP AS OF`): the latest
+        retained snapshot committed at or before ``ts_ms``. Snapshots
+        predating the timestamp field count as arbitrarily old. Raises when
+        every retained snapshot is newer (history below the horizon is
+        expired — same contract as version-based travel)."""
+        best = None
+        for v in self.existing_versions():  # ascending; commit times too
+            t = self.snapshot(v).committed_at_ms
+            if t is None or t <= ts_ms:
+                best = v
+            else:
+                break
+        if best is None:
+            raise ValueError(
+                f"no retained snapshot at or before ts_ms={ts_ms} "
+                f"(oldest retained is newer or history was expired)"
+            )
+        return best
+
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = self.current_version() if version is None else version
         cached = self._snap_cache.get(v)
@@ -409,6 +436,7 @@ class LakeTable:
         self._batch_index_version = max(self._batch_index_version, cur)
 
     def _write_snapshot(self, snap: Snapshot, parent: Snapshot | None = None) -> None:
+        snap.committed_at_ms = int(time.time() * 1000)
         doc = snap.to_json()
         if (
             parent is not None

@@ -284,3 +284,28 @@ def test_concurrent_appends_both_land(spark, table):
     rows = sorted(r.doc_id for r in fresh.scan().collect())
     assert rows == ["x", "y"]
     assert fresh.current_version() == 3  # create + two appends
+
+
+def test_time_travel_by_timestamp(spark, table):
+    """Iceberg TIMESTAMP AS OF: version_as_of resolves the latest commit at
+    or before a wall-clock instant; reads match version-based travel."""
+    import time as _time
+
+    table.write_and_commit(
+        _df(spark, [("a", 1, 1)]), replace_buckets=None,
+        summary={"operation": "append"},
+    )
+    t_mid = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    table.write_and_commit(
+        _df(spark, [("b", 2, 2)]), replace_buckets=None,
+        summary={"operation": "append"},
+    )
+    v_mid = table.version_as_of(t_mid)
+    assert v_mid == 2  # create=1, first append=2
+    assert sorted(r.doc_id for r in table.scan(version=v_mid).collect()) == ["a"]
+    now = int(_time.time() * 1000)
+    assert table.version_as_of(now) == table.current_version()
+    with pytest.raises(ValueError):
+        # before the table existed
+        table.version_as_of(0)
