@@ -140,6 +140,76 @@ def stream_replay_continuous(
     }
 
 
+def stream_demux_replay(
+    demux,
+    changelog_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    timeout_s: float | None = None,
+) -> dict:
+    """Structured-Streaming form of the shared-WAL demux (demux.py): ONE
+    stream tails the interleaved changelog, each epoch fans out to every
+    configured table. The GLOBAL shared offset is Spark's
+    checkpointLocation (one stream = one offset log); per-table epoch-
+    stamped batch ids make a crash BETWEEN table commits inside an epoch
+    resume exactly — the re-delivered epoch skips committed tables and
+    applies the rest, the streaming analog of DemuxEngine.replay's window
+    invariant. Unrouted records follow demux.on_unrouted."""
+    from airbyte_spark.demux import UnroutedRecordsError
+    from airbyte_spark.lineage import log_metric
+
+    spark = demux.spark
+    schema = spark.read.parquet(changelog_path).schema
+    if demux.stream_col not in schema.fieldNames():
+        raise ValueError(f"changelog lacks routing column {demux.stream_col!r}")
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(changelog_path)
+
+    applied = {"epochs": 0, "rows_applied": 0, "unrouted": 0}
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        applied["epochs"] += 1
+        batch_df = batch_df.persist()
+        try:
+            counts = {
+                r[0]: r[1]
+                for r in batch_df.groupBy(demux.stream_col).count().collect()
+            }
+            unrouted = {k: v for k, v in counts.items() if k not in demux.engines}
+            if unrouted:
+                log_metric(
+                    "demux_unrouted",
+                    epoch=int(epoch_id),
+                    streams={str(k): int(v) for k, v in unrouted.items()},
+                )
+                if demux.on_unrouted == "error":
+                    raise UnroutedRecordsError(
+                        f"epoch {epoch_id} has records for unconfigured "
+                        f"table(s) {sorted(map(str, unrouted))}"
+                    )
+                applied["unrouted"] += sum(unrouted.values())
+            for name, eng in demux.engines.items():  # deterministic order
+                if counts.get(name, 0) == 0:
+                    continue
+                sub = batch_df.filter(
+                    F.col(demux.stream_col) == name
+                ).drop(demux.stream_col)
+                applied["rows_applied"] += eng.apply_stream_epoch(sub, epoch_id)
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return applied
+
+
 def streaming_dedup(changelog_stream: DataFrame, watermark_delay: str = "1 hour") -> DataFrame:
     """The pure-streaming duplicate absorber: event-time watermark +
     dropDuplicates on (doc_id, lsn) — the Structured Streaming shape of the

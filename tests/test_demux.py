@@ -140,3 +140,34 @@ def test_demux_missing_routing_column(spark, workdir):
     _bootstrap(spark, dx)
     with pytest.raises(ValueError, match="_ab_stream"):
         dx.replay(changelog_df(spark, CFG))
+
+
+def test_streaming_demux_golden_and_idempotent(spark, workdir):
+    """Structured-Streaming demux: one stream over the interleaved WAL,
+    per-epoch fan-out — both tables land on golden; re-running with the
+    same Spark checkpoint applies nothing new."""
+    from airbyte_spark.streaming.replay import stream_demux_replay
+
+    dx = _mk(spark, workdir)
+    _bootstrap(spark, dx)
+    wal_dir = os.path.join(workdir, "wal")
+    _routed(changelog_df(spark, CFG)).repartition(4).write.parquet(wal_dir)
+    ss_ckpt = os.path.join(workdir, "ss_ckpt")
+
+    stats = stream_demux_replay(
+        dx, wal_dir, ss_ckpt, max_files_per_trigger=2, timeout_s=300
+    )
+    assert stats["epochs"] >= 2  # really micro-batched
+    assert stats["unrouted"] == 0
+    exp = _goldens(spark)
+    for name in ("t0", "t1"):
+        assert_frames_equal(
+            final_as_pandas(dx.engine(name).read_final()), exp[name]
+        )
+
+    again = stream_demux_replay(dx, wal_dir, ss_ckpt, timeout_s=300)
+    assert again["rows_applied"] == 0  # offsets already consumed
+    for name in ("t0", "t1"):
+        assert_frames_equal(
+            final_as_pandas(dx.engine(name).read_final()), exp[name]
+        )
