@@ -125,3 +125,15 @@ class EngineConfig:
     # k's merge (bounded to one batch in flight — the Spark shape of the
     # reference's source-reads-ahead BlockingQueue pipeline).
     prefetch_next_batch: bool = True
+    # Write-audit-publish (Iceberg WAP; no Airbyte analog — its platform
+    # trusts each sync): when True, every replay-path commit (batch merges,
+    # raw/SCD2 appends, mid-replay schema evolution) lands STAGED — visible
+    # to the auditor via scan() but not to readers pinned to
+    # read_published()/read_final_published(). engine.publish_staged()
+    # flips visibility atomically; engine.abandon_staged() reverts the
+    # table AND rolls the checkpoint back so the rejected LSN range
+    # re-applies on the next replay. Table maintenance (MoR delta folds,
+    # post-replay compaction) is deferred while staging so a maintenance
+    # commit can never implicitly publish staged data. Bootstrap is never
+    # staged (there is no published baseline to audit against yet).
+    stage_commits: bool = False

@@ -154,6 +154,13 @@ class CdcEngine:
             self._table_gen = g
         return self._table
 
+    def _summary(self, d: dict) -> dict:
+        """Stamp replay-path commit summaries with the WAP staged flag when
+        the engine is configured to stage (cfg.stage_commits)."""
+        if self.cfg.stage_commits:
+            return dict(d, staged=True)
+        return d
+
     def create_table(self, schema: StructType | None = None) -> LakeTable:
         schema = schema or S.tokenseq_schema()
         self._table = LakeTable.create(
@@ -351,7 +358,8 @@ class CdcEngine:
         if changed:
             new_schema = StructType(new_fields)
             v = table.commit_metadata_only(
-                summary={"operation": "evolve-schema"}, new_schema=new_schema
+                summary=self._summary({"operation": "evolve-schema"}),
+                new_schema=new_schema,
             )
             log_metric(
                 "schema_evolved",
@@ -548,6 +556,11 @@ class CdcEngine:
         # for benchmarks to account for.
         stats["compact_s"] = 0.0
         max_files = self.cfg.compact_after_replay_max_files
+        if self.cfg.stage_commits:
+            # maintenance deferred while staging (see _commit_batch) — a
+            # compaction commit is not staged and must never adopt staged
+            # files into published state; run it after publish_staged()
+            max_files = None
         if max_files is not None and n_batches > 0:
             t_c = time.monotonic()
             horizon = None
@@ -630,6 +643,11 @@ class CdcEngine:
         rbid = f"raw-{bid}"
         if raw.find_batch(rbid) is not None:
             return
+        # NEVER staged, even under cfg.stage_commits: the raw/audit table
+        # records what was DELIVERED, not what was published — an abandoned
+        # staged sync keeps its raw trail (the reference keeps raw rows even
+        # when typing fails), and the batch-id check above stops re-applied
+        # ranges from appending twice.
         raw.write_and_commit(
             enriched,
             replace_buckets=None,  # pure append
@@ -667,12 +685,12 @@ class CdcEngine:
         scd2_apply(
             hist,
             batch,
-            summary={
+            summary=self._summary({
                 "operation": "scd2",
                 "batch_id": hbid,
                 "start_lsn": lo,
                 "end_lsn": hi,
-            },
+            }),
             write_partitions=self.cfg.write_partitions,
         )
 
@@ -748,9 +766,15 @@ class CdcEngine:
         if mode == SYNC_APPEND_DEDUP:
             if use_mor:
                 table = self.table
-                if table.delta_file_count() >= self.cfg.mor_max_delta_files:
+                if (
+                    table.delta_file_count() >= self.cfg.mor_max_delta_files
+                    and not self.cfg.stage_commits
+                ):
                     # fold deltas back into base before appending more —
-                    # bounds scan-side read amplification (async at scale)
+                    # bounds scan-side read amplification (async at scale).
+                    # Deferred while staging: the fold's commit is not
+                    # staged and folding staged deltas into base files
+                    # would implicitly publish them.
                     v = table.compact()
                     log_metric("mor_fold", snapshot=v)
                 n_files = max(
@@ -940,7 +964,9 @@ class CdcEngine:
             n_rows = sum(int(r["rows"]) for r in part_stats)
             version = self._commit_batch(
                 winners,
-                summary={"operation": "merge-stream", "batch_id": bid, "epoch": eid},
+                summary=self._summary(
+                    {"operation": "merge-stream", "batch_id": bid, "epoch": eid}
+                ),
                 use_mor=self._use_mor(table, n_rows),
                 n_events=n_rows,
             )
@@ -1116,12 +1142,12 @@ class CdcEngine:
 
             version = self._commit_batch(
                 winners,
-                summary={
+                summary=self._summary({
                     "operation": "merge-delta" if use_mor else "merge",
                     "batch_id": bid,
                     "start_lsn": lo,
                     "end_lsn": hi,
-                },
+                }),
                 affected_buckets=affected,
                 use_mor=use_mor,
                 n_events=n_events,
@@ -1222,12 +1248,12 @@ class CdcEngine:
             version = merge_upsert_full(
                 table,
                 enriched.filter(pk_col.isNotNull()),
-                summary={
+                summary=self._summary({
                     "operation": "merge-full",
                     "batch_id": bid,
                     "start_lsn": lo,
                     "end_lsn": hi,
-                },
+                }),
             )
             part_stats = stats_f.result()
         if not part_stats:
@@ -1303,6 +1329,68 @@ class CdcEngine:
 
     def read_raw(self, version: int | None = None) -> DataFrame:
         return self.table.scan(version=version)
+
+    def read_final_published(self) -> DataFrame:
+        """``read_final`` pinned to the published head — under
+        cfg.stage_commits this is what downstream consumers read while a
+        staged sync awaits its audit (write-audit-publish)."""
+        return self.read_final(version=self.table.published_version())
+
+    # -------------------------------------------------- write-audit-publish
+
+    def publish_staged(self) -> int:
+        """Accept a staged sync: atomically publish every staged commit on
+        the final table (and the SCD2 history table when that write mode is
+        on — it stages alongside). Returns the final table's new published
+        version. See EngineConfig.stage_commits."""
+        hist_root = self.table_root + "_history"
+        if self.cfg.scd2_history and LakeTable.exists(hist_root):
+            LakeTable.load(self.spark, hist_root).publish_staged()
+        v = self.table.publish_staged()
+        log_metric("sync_published", version=v)
+        return v
+
+    def abandon_staged(self) -> int:
+        """Reject a staged sync: revert the final table (and staged SCD2
+        history) to the published head AND roll the checkpoint back so the
+        rejected LSN range replays from scratch next sync — the abandoned
+        batch ids are freed in the table's idempotence index by the abandon
+        commit, so re-application is not skipped. The raw/audit table keeps
+        its rows (delivery forensics survive a rejected publish)."""
+        staged = set(self.table.staged_versions())
+        if not staged:
+            return self.table.current_version()
+        v = self.table.abandon_staged()
+        hist_root = self.table_root + "_history"
+        if self.cfg.scd2_history and LakeTable.exists(hist_root):
+            LakeTable.load(self.spark, hist_root).abandon_staged()
+        # Checkpoint rollback: recompute replay progress from the commits
+        # that remain published. per_partition stats are advisory lineage
+        # (the JSONL log is authoritative) and reset with the range.
+        ckpt = load_checkpoint(self.checkpoint_path) or Checkpoint()
+        max_lsn = 0
+        keep: set[str] = set()
+        for s in self.table.history():
+            if s.version in staged or s.version == v:
+                continue
+            b = s.summary.get("batch_id")
+            if b is not None:
+                keep.add(b)
+                end = s.summary.get("end_lsn")
+                if end is not None:
+                    max_lsn = max(max_lsn, int(end))
+        ckpt.max_committed_lsn = max_lsn
+        ckpt.batches = [b for b in ckpt.batches if b in keep]
+        ckpt.per_partition = {}
+        ckpt.table_schema_version = self.table.snapshot().schema_version
+        save_checkpoint(self.checkpoint_path, ckpt)
+        log_metric(
+            "sync_abandoned",
+            version=v,
+            abandoned_snapshots=len(staged),
+            rolled_back_to_lsn=max_lsn,
+        )
+        return v
 
     def read_final_as_of(self, ts_ms: int) -> DataFrame:
         """Time travel by wall-clock timestamp (Iceberg TIMESTAMP AS OF):

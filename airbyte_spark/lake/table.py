@@ -427,8 +427,14 @@ class LakeTable:
         lo = self._batch_index_version + 1
         for v in (x for x in self.existing_versions() if lo <= x <= cur):
             s = self.snapshot(v)
-            if s.summary.get("operation") == "soft-reset":
+            op = s.summary.get("operation")
+            if op == "soft-reset":
                 self._batch_index = {}
+            elif op == "abandon-staged":
+                # write-audit-publish reject: the staged commits' data was
+                # reverted, so their batch ids must be free to re-apply
+                for b in s.summary.get("abandoned_batch_ids", []):
+                    self._batch_index.pop(b, None)
             else:
                 b = s.summary.get("batch_id")
                 if b is not None:
@@ -1030,6 +1036,216 @@ class LakeTable:
         )
         self._write_snapshot(snap, parent=base)
         return snap.version
+
+    # ----------------------------------------------------------- point reads
+
+    def lookup(self, keys, key_col: str | None = None, version: int | None = None) -> DataFrame:
+        """Bucket-pruned point lookup: current row versions (LWW-resolved,
+        tombstones included — filter ``deleted_at`` for live-only) for a key
+        set, reading ONLY the buckets the keys hash to.
+
+        The CDC-consumer "fetch these documents" read: at 100 TB a full
+        ``scan()`` for a handful of keys is absurd — here the key set hashes
+        to its buckets (tiny Spark job, same dispatch as ``purge_keys``), the
+        manifest prunes the file list to those buckets, and the key predicate
+        lands in the parquet scan (literal IN → PushedFilters; DataFrame key
+        sets → broadcast semi-join). Cost ∝ affected buckets + delta bytes,
+        never the table.
+
+        ``keys`` is a list of key values or a one-column DataFrame
+        (``key_col`` names the column when it differs from the table pk).
+        """
+        snap = self.snapshot(version)
+        pk = snap.spec["bucket_by"]
+        if isinstance(keys, DataFrame):
+            kdf = keys.select(F.col(key_col or pk).alias(pk)).distinct().persist()
+            try:
+                buckets = sorted(
+                    r["b"]
+                    for r in kdf.select(
+                        self._bucket_expr_for(snap.spec, pk).alias("b")
+                    ).distinct().collect()
+                )
+                if not buckets:
+                    return self.spark.createDataFrame([], snap.schema)
+                out = self.scan(buckets=buckets, version=version)
+                # semi-join AFTER resolution is exact: LWW keeps one row per
+                # key, and every version of a key shares the key's bucket, so
+                # the bucket pruning above already confined resolution work
+                return out.join(F.broadcast(kdf), pk, "semi")
+            finally:
+                kdf.unpersist()
+        key_list = sorted(set(keys))
+        if not key_list:
+            return self.spark.createDataFrame([], snap.schema)
+        bexpr = self._bucket_expr_for(snap.spec, pk)
+        buckets = sorted(
+            r["b"]
+            for r in self.spark.createDataFrame(
+                [(k,) for k in key_list], StructType([snap.schema[pk]])
+            ).select(bexpr.alias("b")).distinct().collect()
+        )
+        out = self.scan(buckets=buckets, version=version)
+        # literal IN pushes below the LWW aggregate into the parquet scan
+        # (grouping-key predicate), so even pruned files read only matching
+        # row groups
+        return out.filter(F.col(pk).isin(key_list))
+
+    # ----------------------------------------------------------- metadata tables
+
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """The manifest as a DataFrame — Iceberg's ``table$files`` metadata
+        table: one row per live data file at the snapshot (path, bucket,
+        rows, schema_version, cursor min/max, kind). Driver-side manifest →
+        createDataFrame; the manifest is already bounded metadata."""
+        from pyspark.sql.types import (
+            IntegerType, LongType as _Long, StringType as _Str, StructField,
+        )
+
+        snap = self.snapshot(version)
+        schema = StructType(
+            [
+                StructField("path", _Str(), False),
+                StructField("bucket", IntegerType(), False),
+                StructField("rows", _Long(), False),
+                StructField("schema_version", IntegerType(), False),
+                StructField("min_cursor", _Long(), True),
+                StructField("max_cursor", _Long(), True),
+                StructField("kind", _Str(), False),
+            ]
+        )
+        rows = [
+            (f.path, f.bucket, f.rows, f.schema_version, f.min_cursor,
+             f.max_cursor, f.kind)
+            for f in snap.files
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
+    def snapshots_df(self) -> DataFrame:
+        """Commit history as a DataFrame — Iceberg's ``table$snapshots``:
+        one row per retained snapshot (version, parent, operation, commit
+        time, schema version, file/row counts, staged flag, batch id)."""
+        from pyspark.sql.types import (
+            BooleanType, IntegerType, LongType as _Long, StringType as _Str,
+            StructField,
+        )
+
+        schema = StructType(
+            [
+                StructField("version", IntegerType(), False),
+                StructField("parent", IntegerType(), True),
+                StructField("operation", _Str(), True),
+                StructField("committed_at_ms", _Long(), True),
+                StructField("schema_version", IntegerType(), False),
+                StructField("n_files", IntegerType(), False),
+                StructField("total_rows", _Long(), False),
+                StructField("staged", BooleanType(), False),
+                StructField("batch_id", _Str(), True),
+            ]
+        )
+        rows = [
+            (
+                s.version,
+                s.parent,
+                s.summary.get("operation"),
+                s.committed_at_ms,
+                s.schema_version,
+                len(s.files),
+                sum(f.rows for f in s.files),
+                bool(s.summary.get("staged", False)),
+                s.summary.get("batch_id"),
+            )
+            for s in self.history()
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
+    # ----------------------------------------------------------- write-audit-publish
+
+    def published_version(self) -> int:
+        """Latest snapshot NOT carrying ``summary.staged`` — what audited
+        readers see. Equals ``current_version()`` when nothing is staged."""
+        for v in reversed(self.existing_versions()):
+            if not self.snapshot(v).summary.get("staged", False):
+                return v
+        raise FileNotFoundError(f"no published snapshot in {self.root}")
+
+    def staged_versions(self) -> list[int]:
+        """Snapshot versions staged above the published head, oldest first."""
+        pub = self.published_version()
+        return [v for v in self.existing_versions() if v > pub]
+
+    def read_published(self, buckets: Iterable[int] | None = None) -> DataFrame:
+        """``scan()`` pinned to the published head — the audited-reader
+        entry point of the write-audit-publish pattern."""
+        return self.scan(buckets=buckets, version=self.published_version())
+
+    def publish_staged(self, summary: dict | None = None) -> int:
+        """Write-audit-publish, the publish step (Iceberg WAP: staged
+        snapshots + cherry-pick/fast-forward): adopt everything staged above
+        the published head in ONE metadata-only commit. Writers stage by
+        passing ``summary={"staged": True, ...}`` to any commit API; auditors
+        validate via ``scan()`` (sees staged state) vs ``read_published()``
+        (doesn't); this flips visibility atomically — a reader pinned to
+        ``published_version()`` switches from the old head to all staged
+        data in one step, never a partial prefix.
+
+        No-op (returns the current published version) when nothing is staged.
+        """
+        staged = self.staged_versions()
+        if not staged:
+            return self.published_version()
+        base = self.snapshot()  # staged head — its files are the new truth
+        out = Snapshot(
+            version=base.version + 1,
+            parent=base.version,
+            schema_version=base.schema_version,
+            schemas=dict(base.schemas),
+            spec=base.spec,
+            files=base.files,
+            summary=dict(summary or {}, operation="publish", published_versions=staged),
+        )
+        self._write_snapshot(out, parent=base)
+        log_metric("wap_publish", version=out.version, adopted=len(staged))
+        return out.version
+
+    def abandon_staged(self) -> int:
+        """Write-audit-publish, the reject step: revert the table head to
+        the published snapshot's exact state (files, schema, spec) in one
+        metadata-only commit. The staged snapshots' data files become
+        unreferenced by the new head — physical reclamation is
+        ``expire_snapshots`` + ``expire_orphans``, same as any dropped
+        commit. Batch ids carried by abandoned staged commits are removed
+        from the idempotence index (recorded in the abandon summary), so the
+        same batch can legitimately re-apply after its audit failed.
+
+        No-op when nothing is staged.
+        """
+        staged = self.staged_versions()
+        if not staged:
+            return self.current_version()
+        head = self.snapshot()
+        pub = self.snapshot(self.published_version())
+        abandoned_batches = [
+            b
+            for v in staged
+            if (b := self.snapshot(v).summary.get("batch_id")) is not None
+        ]
+        out = Snapshot(
+            version=head.version + 1,
+            parent=head.version,
+            schema_version=pub.schema_version,
+            schemas=dict(pub.schemas),
+            spec=pub.spec,
+            files=pub.files,
+            summary={
+                "operation": "abandon-staged",
+                "abandoned_versions": staged,
+                "abandoned_batch_ids": abandoned_batches,
+            },
+        )
+        self._write_snapshot(out, parent=head)
+        log_metric("wap_abandon", version=out.version, abandoned=len(staged))
+        return out.version
 
     # ----------------------------------------------------------- maintenance
 
