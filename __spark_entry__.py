@@ -553,6 +553,14 @@ def q_dedup_incremental_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _dup_docs(spark, sf_dir)
     b1 = signature_batch(d.filter(F.col("doc_id") < 1_000_000))
     b2 = signature_batch(d.filter(F.col("doc_id") >= 1_000_000))
+    # persist the signatures — exactly what production does (the module
+    # contract says the caller persists the index); without it the MinHash
+    # computation of b1 re-runs for every branch that references it (f1's
+    # candidate join, f2's index union, both verification joins): the
+    # signature cost is per-BATCH by design, never per-reference
+    for b in (b1, b2):
+        b.bands.persist()
+        b.shingles.persist()
     f1 = incremental_neardup_flags(b1, None)
     f2 = incremental_neardup_flags(b2, append_index(None, b1))
     return f1.unionByName(f2)
