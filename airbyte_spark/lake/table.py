@@ -621,6 +621,7 @@ class LakeTable:
         from_version: int,
         to_version: int | None = None,
         deleted_col: str = "_ab_cdc_deleted_at",
+        update_images: bool = False,
     ) -> DataFrame:
         """Classified changelog between two snapshots — the Iceberg
         changelog-scan / CDC-read analog: one row per key whose LIVE state
@@ -632,6 +633,14 @@ class LakeTable:
         it needs no trust in the cursor column and stays correct across
         compaction, merge-on-read folds and tombstone-horizon GC (a GC'd
         tombstone still diffs as a delete — the key vanished).
+
+        ``update_images=True`` switches to Iceberg's full changelog row
+        vocabulary: each update emits TWO rows — the before-image as
+        ``update_before`` and the after-image as ``update_after`` — which
+        is what incremental aggregate maintenance needs (subtract the old
+        contribution, add the new; operators/rollup.py). Emitted via one
+        array+explode projection over the same single full-outer join, so
+        the plan cost is unchanged.
 
         Scale shape: only files ADDED between the two snapshots can contain
         changed rows, so their buckets bound BOTH sides of the diff — the
@@ -648,13 +657,20 @@ class LakeTable:
         change_field = "_change_type"
 
         old_paths = {f.path for f in snap_from.files}
+        new_paths = {f.path for f in snap_to.files}
         added = [f for f in snap_to.files if f.path not in old_paths]
-        if not added:
+        # REMOVED files matter too: a commit can drop a key without adding
+        # any file in its bucket (an overwrite writes files only for
+        # non-empty buckets; a purge of a bucket's last rows likewise) —
+        # pruning on added files alone would silently lose those deletes
+        removed = [f for f in snap_from.files if f.path not in new_paths]
+        touched = added + removed
+        if not touched:
             empty = self.spark.createDataFrame([], snap_to.schema)
             return empty.withColumn(change_field, F.lit(None).cast("string"))
         buckets = None
-        if all(f.bucket >= 0 for f in added):
-            buckets = sorted({f.bucket for f in added})
+        if all(f.bucket >= 0 for f in touched):
+            buckets = sorted({f.bucket for f in touched})
 
         def live(df: DataFrame) -> DataFrame:
             if deleted_col in df.columns:
@@ -687,16 +703,44 @@ class LakeTable:
         # side selection by CHANGE TYPE, not per-column coalesce — an
         # update whose new value is legitimately NULL must not leak the
         # old value into the after-image
-        picked = [
-            F.when(F.col(f"n.{pk}").isNull(), F.col(f"o.{c}"))
-            .otherwise(F.col(f"n.{c}"))
-            .alias(c)
-            for c in cols
-        ]
+        if not update_images:
+            picked = [
+                F.when(F.col(f"n.{pk}").isNull(), F.col(f"o.{c}"))
+                .otherwise(F.col(f"n.{c}"))
+                .alias(c)
+                for c in cols
+            ]
+            return (
+                joined.withColumn(change_field, change)
+                .filter(F.col(change_field).isNotNull())
+                .select(*picked, change_field)
+            )
+        # Full changelog vocabulary (Iceberg ChangelogScan): updates emit a
+        # before-row AND an after-row. Built as array-of-struct + explode
+        # so the full-outer join is traversed exactly once either way.
+        before = F.struct(
+            *[F.col(f"o.{c}").alias(c) for c in cols],
+        )
+        after = F.struct(
+            *[F.col(f"n.{c}").alias(c) for c in cols],
+        )
+        tagged = lambda img, tag: F.struct(
+            img.alias("row"), F.lit(tag).alias(change_field)
+        )
+        events = (
+            F.when(F.col(f"o.{pk}").isNull(), F.array(tagged(after, "insert")))
+            .when(F.col(f"n.{pk}").isNull(), F.array(tagged(before, "delete")))
+            .when(
+                F.col("o._fp") != F.col("n._fp"),
+                F.array(
+                    tagged(before, "update_before"), tagged(after, "update_after")
+                ),
+            )
+        )
         return (
-            joined.withColumn(change_field, change)
-            .filter(F.col(change_field).isNotNull())
-            .select(*picked, change_field)
+            joined.select(F.explode(events).alias("ev"))
+            .select(*[F.col(f"ev.row.{c}").alias(c) for c in cols],
+                    F.col(f"ev.{change_field}").alias(change_field))
         )
 
     # ---------------------------------------------------------------- write

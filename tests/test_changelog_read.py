@@ -236,3 +236,26 @@ def test_engine_expire_then_resume(spark, workdir):
     fresh.replay(log)  # checkpoint is at max lsn -> noop
     assert len(fresh.table.existing_versions()) == hist
     pd.testing.assert_frame_equal(final_as_pandas(fresh.read_final()), before)
+
+
+def test_shrinking_overwrite_emits_deletes(spark, table):
+    """Regression: a commit can DROP a key without adding any file in its
+    bucket (overwrite writes files only for non-empty buckets). Pruning on
+    added files alone loses those deletes — removed files' buckets must be
+    diffed too."""
+    table.write_and_commit(
+        _df(spark, [(f"d{i}", i, i + 1) for i in range(12)]),
+        replace_buckets=range(4), summary={"operation": "overwrite"},
+    )
+    # shrink to 2 docs: most buckets end up empty (no added file there)
+    table.write_and_commit(
+        _df(spark, [("d0", 0, 20), ("d1", 1, 21)]),
+        replace_buckets=range(4), summary={"operation": "overwrite"},
+    )
+    diff = table.read_changes(2, 3, deleted_col="_nope")
+    deletes = {r.doc_id for r in diff.collect() if r._change_type == "delete"}
+    assert deletes == {f"d{i}" for i in range(2, 12)}
+    # and the full-vocabulary mode sees them identically
+    diff2 = table.read_changes(2, 3, deleted_col="_nope", update_images=True)
+    deletes2 = {r.doc_id for r in diff2.collect() if r._change_type == "delete"}
+    assert deletes2 == deletes
