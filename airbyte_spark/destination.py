@@ -69,6 +69,15 @@ _JSON_TYPES = {
 _META_FIELDS = ["_airbyte_raw_id", "_airbyte_extracted_at", "_airbyte_meta"]
 
 
+#: synthesized key column for composite primary keys: the protocol's
+#: primary_key is a LIST of field paths (airbyte-protocol.md:365-428), and
+#: a multi-column key can't drive a single-column bucket layout directly —
+#: so the destination derives one deterministic, null-safe hash column from
+#: the configured paths and buckets/dedups on it (the natural columns stay
+#: in the table verbatim).
+COMPOSITE_KEY_COL = "_ab_pk"
+
+
 @dataclass
 class StreamDest:
     name: str
@@ -76,6 +85,17 @@ class StreamDest:
     columns: dict[str, str]  # name -> spark sql type
     primary_key: list[str] = field(default_factory=list)
     cursor_field: str | None = None
+
+    @property
+    def key_col(self) -> str:
+        """The single column the lake layout keys on: the pk itself when
+        one column is configured, the synthesized hash for composite keys,
+        the raw id when keyless."""
+        if len(self.primary_key) == 1:
+            return self.primary_key[0]
+        if len(self.primary_key) > 1:
+            return COMPOSITE_KEY_COL
+        return "_airbyte_raw_id"
 
 
 def parse_catalog(catalog: dict) -> dict[str, StreamDest]:
@@ -98,6 +118,12 @@ def parse_catalog(catalog: dict) -> dict[str, StreamDest]:
         mode = s.get("destination_sync_mode", "append")
         if mode == "append_dedup" and not pk:
             raise ValueError(f"stream {name}: append_dedup requires a primary key")
+        missing = [p for p in pk if p not in cols]
+        if missing:
+            raise ValueError(
+                f"stream {name}: primary key column(s) {missing} not in the "
+                "stream's json_schema properties"
+            )
         out[name] = StreamDest(name, mode, cols, pk, cursor)
     return out
 
@@ -170,12 +196,13 @@ class LakeDestination:
             StructField("_airbyte_extracted_at", TimestampType(), True),
             StructField("_airbyte_meta", StringType(), True),
         ]
-        pk = scfg.primary_key[0] if scfg.primary_key else "_airbyte_raw_id"
+        if scfg.key_col == COMPOSITE_KEY_COL:
+            fields.append(StructField(COMPOSITE_KEY_COL, StringType(), False))
         return LakeTable.create(
             self.spark,
             path,
             StructType(fields),
-            primary_key=pk,
+            primary_key=scfg.key_col,
             num_buckets=self.num_buckets,
             cursor_col=None,
             ts_col="_airbyte_extracted_at",
@@ -194,9 +221,9 @@ class LakeDestination:
             payload, "_airbyte_data string, _emitted_ms long, _airbyte_raw_id string"
         )
         typed = schema_extract(df, "_airbyte_data", scfg.columns, errors_col="_err")
-        return typed.select(
-            *scfg.columns.keys(),
-            "_airbyte_raw_id",
+        out_cols = [
+            *[F.col(c) for c in scfg.columns.keys()],
+            F.col("_airbyte_raw_id"),
             F.timestamp_millis(F.col("_emitted_ms")).alias("_airbyte_extracted_at"),
             F.to_json(
                 F.struct(
@@ -208,7 +235,18 @@ class LakeDestination:
                     .alias("errors")
                 )
             ).alias("_airbyte_meta"),
-        )
+        ]
+        if scfg.key_col == COMPOSITE_KEY_COL:
+            # null-safe deterministic composite key: to_json keeps NULL
+            # components distinct from string lookalikes; narrow projection,
+            # computed once at ingest so every downstream bucket/merge/scan
+            # keys on one 32-char column instead of N-column comparisons
+            out_cols.append(
+                F.md5(
+                    F.to_json(F.struct(*[F.col(c) for c in scfg.primary_key]))
+                ).alias(COMPOSITE_KEY_COL)
+            )
+        return typed.select(*out_cols)
 
     def _flush(self, scfg: StreamDest, rows: list[dict], batch_id: str) -> None:
         table = self._table(scfg)
@@ -239,8 +277,10 @@ class LakeDestination:
         buckets the batch touches, keep the winner per key by (cursor DESC
         NULLS LAST, extracted_at DESC, raw_id DESC) — the incremental
         append-dedup final-table contract
-        (docs/.../incremental-append-deduped.md:14-20)."""
-        pk = scfg.primary_key[0]
+        (docs/.../incremental-append-deduped.md:14-20). Composite keys
+        partition the window by the synthesized hash column — one 32-char
+        key, same plan shape as a single-column pk."""
+        pk = scfg.key_col
         batch = batch.persist()
         try:
             affected = sorted(

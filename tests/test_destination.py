@@ -199,3 +199,85 @@ def test_cli_shell(spark, workdir, tmp_path, capsys):
     assert json.loads(out[0])["type"] == "SPEC"
     assert json.loads(out[1])["connectionStatus"]["status"] == "SUCCEEDED"
     assert json.loads(out[2]) == _state(1)
+
+
+COMPOSITE_CATALOG = {
+    "streams": [
+        {
+            "stream": {
+                "name": "orders",
+                "json_schema": {
+                    "properties": {
+                        "region": {"type": "string"},
+                        "order_id": {"type": "integer"},
+                        "amount": {"type": "number"},
+                        "seq": {"type": "integer"},
+                    }
+                },
+            },
+            "destination_sync_mode": "append_dedup",
+            "primary_key": [["region"], ["order_id"]],
+            "cursor_field": ["seq"],
+        }
+    ]
+}
+
+
+def test_composite_primary_key_dedup(spark, workdir):
+    """Protocol parity: primary_key is a LIST of paths; a 2-column key must
+    dedup on BOTH columns (same (region, order_id) re-delivered with a newer
+    cursor wins; same order_id in another region is a distinct row), via the
+    synthesized _ab_pk hash column."""
+    dest = _dest(spark, workdir)
+    msgs = [
+        _rec("orders", {"region": "eu", "order_id": 1, "amount": 10.0, "seq": 1}),
+        _rec("orders", {"region": "us", "order_id": 1, "amount": 20.0, "seq": 1}),
+        _rec("orders", {"region": "eu", "order_id": 2, "amount": 30.0, "seq": 1}),
+        _state(1),
+        # newer version of (eu, 1); (us, 1) untouched
+        _rec("orders", {"region": "eu", "order_id": 1, "amount": 11.5, "seq": 2}),
+        _state(2),
+    ]
+    acked = list(dest.write({}, COMPOSITE_CATALOG, msgs))
+    assert len(acked) == 2
+    t = dest._table(parse_catalog(COMPOSITE_CATALOG)["orders"])
+    rows = {(r.region, r.order_id): r.amount for r in t.scan().collect()}
+    assert rows == {("eu", 1): 11.5, ("us", 1): 20.0, ("eu", 2): 30.0}
+    # the synthesized key column exists, is non-null, and is the bucket key
+    snap = t.snapshot()
+    assert snap.spec["bucket_by"] == "_ab_pk"
+    assert t.scan().filter(F.col("_ab_pk").isNull()).count() == 0
+
+
+def test_composite_key_null_component_distinct(spark, workdir):
+    """A NULL key component is a key value of its own — distinct from the
+    string 'null' and from other NULLs with different sibling columns."""
+    dest = _dest(spark, workdir)
+    msgs = [
+        _rec("orders", {"region": None, "order_id": 7, "amount": 1.0, "seq": 1}),
+        _rec("orders", {"region": "null", "order_id": 7, "amount": 2.0, "seq": 1}),
+        _state(1),
+        _rec("orders", {"region": None, "order_id": 7, "amount": 3.0, "seq": 2}),
+        _state(2),
+    ]
+    list(dest.write({}, COMPOSITE_CATALOG, msgs))
+    t = dest._table(parse_catalog(COMPOSITE_CATALOG)["orders"])
+    rows = {(r.region, r.order_id): r.amount for r in t.scan().collect()}
+    assert rows == {(None, 7): 3.0, ("null", 7): 2.0}
+
+
+def test_pk_column_must_exist_in_schema(spark, workdir):
+    bad = {
+        "streams": [
+            {
+                "stream": {
+                    "name": "x",
+                    "json_schema": {"properties": {"a": {"type": "string"}}},
+                },
+                "destination_sync_mode": "append_dedup",
+                "primary_key": [["a"], ["missing"]],
+            }
+        ]
+    }
+    with pytest.raises(ValueError, match="missing"):
+        parse_catalog(bad)
