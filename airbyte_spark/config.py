@@ -136,4 +136,8 @@ class EngineConfig:
     # post-replay compaction) is deferred while staging so a maintenance
     # commit can never implicitly publish staged data. Bootstrap is never
     # staged (there is no published baseline to audit against yet).
+    # CAVEAT (streaming): Structured-Streaming epochs stage+publish fine,
+    # but abandon_staged() cannot roll back the SS offset log — after an
+    # abandon, discard the checkpointLocation (or replay the range in
+    # batch mode); the table-side batch ids are freed either way.
     stage_commits: bool = False

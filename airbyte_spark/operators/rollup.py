@@ -102,6 +102,7 @@ def apply_rollup(
     deltas: DataFrame,
     metrics: dict[str, str],
     batch_id: str,
+    summary_extra: dict | None = None,
 ) -> int | None:
     """Merge signed deltas into the rollup table as ONE bucket-scoped CoW
     commit; groups whose row count reaches zero are dropped. Idempotent via
@@ -150,7 +151,9 @@ def apply_rollup(
         return rollup.write_and_commit(
             merged,
             replace_buckets=buckets,
-            summary={"operation": "rollup-merge", "batch_id": batch_id},
+            summary=dict(
+                summary_extra or {}, operation="rollup-merge", batch_id=batch_id
+            ),
         )
     finally:
         deltas.unpersist()
@@ -166,10 +169,9 @@ def maintain_rollup(
     deleted_col: str = "_ab_cdc_deleted_at",
 ) -> int | None:
     """Advance the rollup from the source table's ``from_version`` to
-    ``to_version`` (default current) in one idempotent commit. The caller
-    remembers the last maintained source version (e.g. in the rollup's own
-    snapshot summary — it is returned by snapshots_df) and calls this per
-    sync."""
+    ``to_version`` (default current) in one idempotent commit. The commit
+    summary carries the consumed source range, so a scheduled job resumes
+    from ``last_maintained_version(rollup)`` with zero external state."""
     to_version = to_version if to_version is not None else source.current_version()
     if to_version <= from_version:
         return None
@@ -178,4 +180,25 @@ def maintain_rollup(
     )
     deltas = rollup_deltas(changes, group_cols or [], metrics or {})
     bid = f"rollup-{source.root.rsplit('/', 1)[-1]}-{from_version}-{to_version}"
-    return apply_rollup(rollup, deltas, metrics or {}, batch_id=bid)
+    return apply_rollup(
+        rollup,
+        deltas,
+        metrics or {},
+        batch_id=bid,
+        # durable maintenance watermark: the rollup's own commit summary
+        # remembers how far into the source history it has consumed, so a
+        # scheduled job resumes with zero external state
+        summary_extra={"source_from": from_version, "source_to": to_version},
+    )
+
+
+def last_maintained_version(rollup: LakeTable) -> int | None:
+    """The source snapshot version the rollup has consumed through — read
+    from the latest rollup-merge commit summary (the durable watermark a
+    scheduled maintenance job resumes from)."""
+    for snap in reversed(rollup.history()):
+        if snap.summary.get("operation") == "rollup-merge":
+            v = snap.summary.get("source_to")
+            if v is not None:
+                return int(v)
+    return None

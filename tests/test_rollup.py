@@ -19,6 +19,7 @@ from airbyte_spark.lake.table import LakeTable
 from airbyte_spark.operators.rollup import (
     GROUP_KEY,
     create_rollup_table,
+    last_maintained_version,
     maintain_rollup,
 )
 
@@ -149,6 +150,33 @@ def test_maintenance_idempotent_and_noop(spark, workdir, source):
     # then advance to current
     maintain_rollup(r, source, 3, group_cols=GROUPS, metrics=METRICS)
     assert _rollup_state(r) == _direct(spark, source, 4)
+
+
+def test_watermark_resume_with_zero_external_state(spark, workdir, source):
+    """A scheduled maintenance job keeps NO state of its own: it reads the
+    durable watermark off the rollup's latest rollup-merge summary and
+    advances from there."""
+    r = create_rollup_table(
+        spark, os.path.join(workdir, "r"), _group_fields(), METRICS
+    )
+    assert last_maintained_version(r) is None  # fresh rollup: bootstrap
+
+    def run_scheduled_job():
+        frm = last_maintained_version(r) or 1
+        return maintain_rollup(r, source, frm, group_cols=GROUPS, metrics=METRICS)
+
+    assert run_scheduled_job() is not None  # consumes 1 -> 4
+    assert last_maintained_version(r) == source.current_version()
+    assert _rollup_state(r) == _direct(spark, source, 4)
+    # nothing new in the source: the next scheduled run is a pure no-op
+    # and the watermark is unchanged
+    assert run_scheduled_job() is None
+    assert last_maintained_version(r) == source.current_version()
+    # new source commit -> the job picks up exactly the new range
+    _commit_state(spark, source, V4 + [("d9", "fr", 100, None, 9)])
+    assert run_scheduled_job() is not None
+    assert last_maintained_version(r) == source.current_version()
+    assert _rollup_state(r)["fr"] == (1, 100)
 
 
 def test_null_group_is_its_own_bucket(spark, workdir):
