@@ -465,6 +465,66 @@ def q_docs_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bloom prefilter geometry for the gated query: small enough that the
+#: sf0.1 bench sees a realistic fill factor, large enough that sf0.01
+#: stays uncrowded. The operator default is 2^20.
+_BLOOM_M, _BLOOM_K = 65536, 4
+
+
+def q_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seen-key Bloom prefilter: docs with doc_id % 5 == 0 arrive as a new
+    ingest batch and are tested against a deterministic Bloom filter built
+    from the rest of the corpus. True duplicates are injected (mirrored in
+    the oracle): every probe doc with doc_id % 10 == 0 carries the text of
+    corpus doc doc_id + 1. Output per probe doc: the Bloom verdict
+    (maybe_seen — no false negatives possible) beside exact membership
+    (seen) so false positives are visible data, not hidden error."""
+    from airbyte_spark.operators.bloom import bloom_bits, bloom_probe
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    stolen = corpus.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("_dup_text")
+    )
+    probe = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .join(F.broadcast(stolen), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 10 == 0) & F.col("_dup_text").isNotNull(),
+                F.col("_dup_text"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    bits = bloom_bits(corpus, m=_BLOOM_M, k=_BLOOM_K)
+    flagged = bloom_probe(probe, bits, m=_BLOOM_M, k=_BLOOM_K)
+    digests = corpus.select(F.md5("text").alias("_dig")).distinct()
+    return (
+        flagged.join(F.broadcast(digests), F.md5(F.col("text")) == F.col("_dig"), "left")
+        .select(
+            "doc_id",
+            "maybe_seen",
+            F.col("_dig").isNotNull().cast("int").alias("seen"),
+        )
+    )
+
+
+def q_docs_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter threshold calibration: exact per-language percentile
+    cutoffs (p10/p50/p90/p99) of the integer word-count score, computed
+    sort-free via grouped counts + one cumulative window over the bounded
+    score domain (operators/quantiles.py)."""
+    from airbyte_spark.operators.quantiles import percentile_cutoffs
+
+    d = _docs(spark, sf_dir)
+    n_space = F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+    scored = d.select("lang", (n_space + F.lit(1)).cast("long").alias("score"))
+    return percentile_cutoffs(scored, "score", [10, 50, 90, 99], group_cols=["lang"])
+
+
 #: language re-weighting for the mixture query: milli-weights (1000 = 1.0
 #: epoch). en is downsampled, de oversampled 2.5x, es kept exactly, fr and
 #: zh fractionally oversampled — every arithmetic branch exercised.
@@ -1204,7 +1264,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "dedup_token_spans": q_dedup_token_spans,
         "dedup_incremental_flags": q_dedup_incremental_flags,
+        "dedup_bloom_prefilter": q_dedup_bloom_prefilter,
         "docs_quality_classifier": q_docs_quality_classifier,
+        "docs_quality_percentiles": q_docs_quality_percentiles,
         "tokens_pack": q_tokens_pack,
         "docs_hash_split": q_docs_hash_split,
         "docs_chunk_windows": q_docs_chunk_windows,
@@ -1408,6 +1470,47 @@ SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars_actual,
        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words
 FROM documents
+""",
+        "dedup_bloom_prefilter": f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+probe AS (
+  SELECT p.doc_id,
+         CASE WHEN p.doc_id % 10 = 0 AND c.text IS NOT NULL
+              THEN c.text ELSE p.text END AS text
+  FROM documents p LEFT JOIN corpus c ON c.doc_id = p.doc_id + 1
+  WHERE p.doc_id % 5 = 0),
+bits AS (
+  SELECT DISTINCT pos FROM (
+    SELECT unnest([{", ".join(X.bloom_pos_sql(_D, "text", i, 65536) for i in range(4))}]) AS pos
+    FROM corpus)),
+dig AS (SELECT DISTINCT md5(text) AS dg FROM corpus),
+hashed AS (
+  SELECT doc_id, text,
+         {", ".join(f'{X.bloom_pos_sql(_D, "text", i, 65536)} AS h{i}' for i in range(4))}
+  FROM probe)
+SELECT doc_id,
+       CAST({" AND ".join(f"h{i} IN (SELECT pos FROM bits)" for i in range(4))} AS INT)
+         AS maybe_seen,
+       CAST(md5(text) IN (SELECT dg FROM dig) AS INT) AS seen
+FROM hashed
+""",
+        "docs_quality_percentiles": """
+WITH scored AS (
+  SELECT lang,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS score
+  FROM documents),
+counts AS (SELECT lang, score, count(*) AS cnt FROM scored GROUP BY 1, 2),
+cum AS (
+  SELECT lang, score,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum
+  FROM counts),
+tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_rows FROM counts GROUP BY 1),
+fan AS (
+  SELECT c.lang, c.score, c.cum, t.n_rows, p.pct
+  FROM cum c JOIN tot t USING (lang), (SELECT unnest([10, 50, 90, 99]) AS pct) p)
+SELECT lang, CAST(pct AS INT) AS pct, n_rows, CAST(min(score) AS BIGINT) AS cutoff
+FROM fan WHERE cum >= (pct * n_rows + 99) // 100
+GROUP BY lang, pct, n_rows
 """,
         "docs_quality": """
 SELECT doc_id, lang,

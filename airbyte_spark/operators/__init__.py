@@ -10,6 +10,8 @@ from airbyte_spark.operators.fuzzy_dedup import (
     simhash_groups,
 )
 from airbyte_spark.operators.asof import asof_enrich
+from airbyte_spark.operators.bloom import bloom_bits, bloom_probe
+from airbyte_spark.operators.quantiles import percentile_cutoffs
 from airbyte_spark.operators.incremental_dedup import (
     SignatureBatch,
     append_index,

@@ -337,3 +337,15 @@ def signbit_bucket_sql(d: str, qvec: str, n_bits: int = 8) -> str:
     _chk(d)
     bit = f"CASE WHEN {IDX(d, qvec, 'b + 1')} >= 0 THEN {SHL(d, 1, 'b')} ELSE 0 END"
     return f"CAST({ASUM(d, f'{T(d)}({SEQ(d, 0, n_bits - 1)}, b -> {bit})')} AS BIGINT)"
+
+
+def bloom_pos_sql(d: str, expr: str, i: int, m: int) -> str:
+    """Bloom-filter bit position ``i`` for string expr ``expr``: the i-th
+    6-hex-digit window of md5(expr) mod ``m``. One md5 per row serves every
+    hash function (k <= 5 windows fit the 32-hex digest); windows are
+    disjoint so the k positions are independent draws, exactly the
+    Carter-Wegman trick minhash_sql uses. Integer-exact in both dialects."""
+    _chk(d)
+    if not 0 <= i <= 4:  # 1 + 6*4 + 6 - 1 = 30 <= 32 hex chars
+        raise ValueError(f"bloom hash index {i} out of range 0..4")
+    return f"({hexn_sql(d, f'md5({expr})', 1 + 6 * i, 6)} % {m})"
