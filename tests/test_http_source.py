@@ -369,3 +369,97 @@ def test_to_dataframe_chunked_matches_unchunked(spark):
     df = src.to_dataframe(spark, "id long, v string", pages_per_chunk=2)
     assert df.count() == 23
     assert df.columns == ["id", "v"]
+
+
+def _cursor_pages(n):
+    """Cursor-paginated canned responses: page i carries token t{i+1}."""
+    out = []
+    for i in range(n):
+        body = {"data": [{"id": i}]}
+        if i < n - 1:
+            body["next_page_token"] = f"t{i + 1}"
+        out.append((200, body))
+    return out
+
+
+def test_full_refresh_resumable_offset_kill_and_resume():
+    """Kill after the first checkpoint; a NEW source resumes from the
+    checkpointed page index and the union of committed records equals an
+    uninterrupted read, with no page re-read."""
+    full = [r["id"] for r in HttpStreamSource(
+        transport=StubTransport(_pages(45, 10)), url="u",
+        paginator=Paginator(kind="offset", param="offset", page_size=10),
+    ).read_records()]
+
+    t1 = StubTransport(_pages(45, 10))
+    src1 = HttpStreamSource(
+        transport=t1, url="u",
+        paginator=Paginator(kind="offset", param="offset", page_size=10),
+    )
+    it = src1.read_full_refresh_resumable(pages_per_checkpoint=2)
+    state, recs = next(it)  # first checkpoint: pages 0-1 committed
+    committed = [r["id"] for r in recs]
+    assert state == {"next_page_index": 2}
+    del it  # crash
+
+    t2 = StubTransport(_pages(45, 10)[2:])  # server only sees pages 2+
+    src2 = HttpStreamSource(
+        transport=t2, url="u",
+        paginator=Paginator(kind="offset", param="offset", page_size=10),
+    )
+    states = []
+    for st, recs in src2.read_full_refresh_resumable(state=state, pages_per_checkpoint=2):
+        committed.extend(r["id"] for r in recs)
+        states.append(st)
+    assert committed == full  # nothing lost, nothing duplicated
+    assert states[-1] == {"complete": True}
+    # the resumed read started exactly at offset 20
+    assert t2.calls[0]["params"]["offset"] == 20
+
+
+def test_full_refresh_resumable_cursor_token_state():
+    t = StubTransport(_cursor_pages(4))
+    src = HttpStreamSource(
+        transport=t, url="u",
+        paginator=Paginator(kind="cursor", param="cursor", page_size=1),
+    )
+    it = src.read_full_refresh_resumable(pages_per_checkpoint=1)
+    state, recs = next(it)
+    assert state == {"next_page_token": "t1"} and [r["id"] for r in recs] == [0]
+
+    t2 = StubTransport(_cursor_pages(4)[1:])
+    src2 = HttpStreamSource(
+        transport=t2, url="u",
+        paginator=Paginator(kind="cursor", param="cursor", page_size=1),
+    )
+    got = []
+    for st, recs in src2.read_full_refresh_resumable(state=state):
+        got.extend(r["id"] for r in recs)
+    assert got == [1, 2, 3]
+    assert t2.calls[0]["params"]["cursor"] == "t1"
+
+
+def test_full_refresh_complete_state_starts_over():
+    """A finished full refresh never resumes: complete state -> page 0."""
+    t = StubTransport(_pages(5, 10))
+    src = HttpStreamSource(
+        transport=t, url="u",
+        paginator=Paginator(kind="offset", param="offset", page_size=10),
+    )
+    out = list(src.read_full_refresh_resumable(state={"complete": True}))
+    assert out[-1][0] == {"complete": True}
+    assert t.calls[0]["params"]["offset"] == 0
+    assert [r["id"] for st, recs in out for r in recs] == [0, 1, 2, 3, 4]
+
+
+def test_full_refresh_uninterrupted_equals_plain_read():
+    t = StubTransport(_pages(37, 10))
+    src = HttpStreamSource(
+        transport=t, url="u",
+        paginator=Paginator(kind="offset", param="offset", page_size=10),
+    )
+    chunks = list(src.read_full_refresh_resumable(pages_per_checkpoint=3))
+    ids = [r["id"] for st, recs in chunks for r in recs]
+    assert ids == list(range(37))
+    # intermediate checkpoints carry page indexes, final carries complete
+    assert [st for st, _ in chunks] == [{"next_page_index": 3}, {"complete": True}]
