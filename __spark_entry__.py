@@ -512,6 +512,16 @@ def q_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stats_ndv_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HLL NDV sketch (p=6, 64 registers) over document
+    content digests — the cheap distinct-count a sync planner reads
+    instead of paying a countDistinct shuffle. Only integer registers are
+    emitted (the float estimate is driver-side arithmetic over them)."""
+    from airbyte_spark.operators.stats import hll_registers
+
+    return hll_registers(_docs(spark, sf_dir), "text", p=6)
+
+
 def q_docs_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter threshold calibration: exact per-language percentile
     cutoffs (p10/p50/p90/p99) of the integer word-count score, computed
@@ -1265,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_token_spans": q_dedup_token_spans,
         "dedup_incremental_flags": q_dedup_incremental_flags,
         "dedup_bloom_prefilter": q_dedup_bloom_prefilter,
+        "stats_ndv_registers": q_stats_ndv_registers,
         "docs_quality_classifier": q_docs_quality_classifier,
         "docs_quality_percentiles": q_docs_quality_percentiles,
         "tokens_pack": q_tokens_pack,
@@ -1493,6 +1504,11 @@ SELECT doc_id,
          AS maybe_seen,
        CAST(md5(text) IN (SELECT dg FROM dig) AS INT) AS seen
 FROM hashed
+""",
+        "stats_ndv_registers": f"""
+SELECT CAST({X.hll_parts_sql(_D, "text", 6)[0]} AS INT) AS register,
+       CAST(max({X.hll_parts_sql(_D, "text", 6)[1]}) AS INT) AS rho_max
+FROM documents GROUP BY 1
 """,
         "docs_quality_percentiles": """
 WITH scored AS (

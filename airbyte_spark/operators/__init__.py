@@ -12,6 +12,7 @@ from airbyte_spark.operators.fuzzy_dedup import (
 from airbyte_spark.operators.asof import asof_enrich
 from airbyte_spark.operators.bloom import bloom_bits, bloom_probe
 from airbyte_spark.operators.quantiles import percentile_cutoffs
+from airbyte_spark.operators.stats import hll_estimate, hll_registers, merge_registers
 from airbyte_spark.operators.incremental_dedup import (
     SignatureBatch,
     append_index,

@@ -349,3 +349,26 @@ def bloom_pos_sql(d: str, expr: str, i: int, m: int) -> str:
     if not 0 <= i <= 4:  # 1 + 6*4 + 6 - 1 = 30 <= 32 hex chars
         raise ValueError(f"bloom hash index {i} out of range 0..4")
     return f"({hexn_sql(d, f'md5({expr})', 1 + 6 * i, 6)} % {m})"
+
+
+def hll_parts_sql(d: str, expr: str, p: int = 6) -> tuple[str, str]:
+    """(register, rho) exprs of the deterministic HyperLogLog sketch
+    (Flajolet 2007) over md5(expr): a 48-bit hash (12 hex chars) splits
+    into a 2^p register index (low p-ish bits via modulo) and a rho =
+    leading-zero-count + 1 of the remaining 48 - p bits. Bit length comes
+    from ``length(bin(x))`` — identical semantics in both engines
+    (pinned in tests/test_textsql_dialects.py) — so the registers are a
+    pure function of the data, unlike the engines' native
+    approx_count_distinct whose sketch layout is private."""
+    _chk(d)
+    m = 1 << p
+    rem_bits = 48 - p
+    h = hexn_sql(d, f"md5({expr})", 1, 12)
+    reg = f"({h} % {m})"
+    w = f"(({h}) DIV ({m}))" if d == SPARK else f"(({h}) // ({m}))"
+    wb = f"CAST({w} AS BIGINT)"
+    rho = (
+        f"(CASE WHEN {wb} = 0 THEN {rem_bits + 1} "
+        f"ELSE {rem_bits + 1} - length(bin({wb})) END)"
+    )
+    return reg, rho
