@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 from dataclasses import dataclass, field
 from typing import Iterable
@@ -434,6 +435,10 @@ class LakeTable:
                 # write-audit-publish reject: the staged commits' data was
                 # reverted, so their batch ids must be free to re-apply
                 for b in s.summary.get("abandoned_batch_ids", []):
+                    self._batch_index.pop(b, None)
+            elif op == "rollback":
+                # rolled-back commits' data was reverted likewise
+                for b in s.summary.get("rolled_back_batch_ids", []):
                     self._batch_index.pop(b, None)
             else:
                 b = s.summary.get("batch_id")
@@ -1291,6 +1296,109 @@ class LakeTable:
         log_metric("wap_abandon", version=out.version, abandoned=len(staged))
         return out.version
 
+    # ----------------------------------------------------- refs: tags/rollback
+
+    def _refs_dir(self) -> str:
+        d = os.path.join(self.root, "refs")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin a named, retention-protected ref to a snapshot (Iceberg tag
+        semantics — the reference delegates table maintenance to the same
+        Iceberg library its destination uses, IcebergConsumer.java). The
+        use case at this layer: a training run tags the exact table state
+        it consumed ("train-2026-08"), and ``expire_snapshots`` keeps the
+        tagged snapshot and its files alive past the keep_last horizon, so
+        the run is reproducible months later. Create is atomic-exclusive:
+        re-pointing an existing tag requires ``drop_tag`` first."""
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
+            raise ValueError(f"invalid tag name {name!r}")
+        v = self.current_version() if version is None else int(version)
+        if v not in self.existing_versions():
+            raise FileNotFoundError(f"snapshot v{v} not retained in {self.root}")
+        path = os.path.join(self._refs_dir(), f"{name}.json")
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump({"name": name, "version": v,
+                       "created_at_ms": int(time.time() * 1000)}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, path)  # same CAS idiom as snapshot commits
+        except FileExistsError as e:
+            raise CommitConflict(f"tag {name!r} already exists") from e
+        finally:
+            os.unlink(tmp)
+        log_metric("tag_created", name=name, version=v)
+        return v
+
+    def tags(self) -> dict[str, int]:
+        """All tags: name -> pinned snapshot version."""
+        d = self._refs_dir()
+        out: dict[str, int] = {}
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".json"):
+                with open(os.path.join(d, fn)) as fh:
+                    doc = json.load(fh)
+                out[doc["name"]] = int(doc["version"])
+        return out
+
+    def drop_tag(self, name: str) -> None:
+        path = os.path.join(self._refs_dir(), f"{name}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no tag {name!r} in {self.root}")
+        os.unlink(path)
+        log_metric("tag_dropped", name=name)
+
+    def read_tag(self, name: str, buckets: Iterable[int] | None = None) -> DataFrame:
+        """``scan()`` pinned to a tag — the reproducible-consumer read."""
+        tags = self.tags()
+        if name not in tags:
+            raise FileNotFoundError(f"no tag {name!r} in {self.root}")
+        return self.scan(buckets=buckets, version=tags[name])
+
+    def rollback_to(self, version: int) -> int:
+        """Revert the table head to a retained snapshot's exact state
+        (files, schema, spec) in one metadata-only commit — Iceberg
+        ``rollback_to_snapshot``. History is preserved (the bad commits
+        stay readable until expired); the NEW head simply has the old
+        content. Batch ids carried by the rolled-back commits are freed in
+        the idempotence index so the same batches can legitimately
+        re-apply — the caller owning a replay checkpoint must rewind it to
+        the rollback target's high-water mark (same contract as
+        ``CdcEngine.abandon_staged``)."""
+        cur = self.current_version()
+        if version == cur:
+            return cur
+        if version not in self.existing_versions():
+            raise FileNotFoundError(f"snapshot v{version} not retained")
+        head = self.snapshot()
+        target = self.snapshot(version)
+        freed = [
+            b
+            for v in self.existing_versions()
+            if version < v <= cur
+            if (b := self.snapshot(v).summary.get("batch_id")) is not None
+        ]
+        out = Snapshot(
+            version=head.version + 1,
+            parent=head.version,
+            schema_version=target.schema_version,
+            schemas=dict(target.schemas),
+            spec=target.spec,
+            files=target.files,
+            summary={
+                "operation": "rollback",
+                "rollback_to": version,
+                "rolled_back_batch_ids": freed,
+            },
+        )
+        self._write_snapshot(out, parent=head)
+        log_metric("rollback", version=out.version, target=version,
+                   freed_batches=len(freed))
+        return out.version
+
     # ----------------------------------------------------------- maintenance
 
     def compact(
@@ -1522,10 +1630,14 @@ class LakeTable:
             raise ValueError("keep_last must be >= 1")
         versions = self.existing_versions()
         horizon = self.current_version() - keep_last + 1
-        expired = [v for v in versions if v < horizon]
+        # tagged snapshots are retention-protected (Iceberg ref semantics):
+        # a tag pins its snapshot AND that snapshot's data files forever,
+        # until the tag is dropped
+        tagged = set(self.tags().values())
+        expired = [v for v in versions if v < horizon and v not in tagged]
         if not expired:
             return {"expired_snapshots": 0, "removed_files": 0}
-        kept = [v for v in versions if v >= horizon]
+        kept = [v for v in versions if v >= horizon or v in tagged]
 
         # Phase 1: make every retained snapshot self-contained. Resolve
         # fully (snapshot() walks ref chains while ancestors still exist),
@@ -1539,7 +1651,7 @@ class LakeTable:
             with open(_snapshot_path(self.root, v)) as fh:
                 doc = json.load(fh)
             fp = doc.get("files_parent")
-            if fp is not None and fp < horizon:
+            if fp is not None and fp in expired_paths:
                 new_doc = snap.to_json()
                 sidecar = None
                 if len(snap.files) >= MANIFEST_SPILL_MIN:
