@@ -1392,6 +1392,54 @@ class CdcEngine:
         )
         return v
 
+    def rollback_to(self, version: int) -> int:
+        """Recover from bad data that already committed: revert the final
+        table to a retained snapshot (LakeTable.rollback_to — metadata-only
+        commit, history preserved, rolled-back batch ids freed) AND rewind
+        the checkpoint to the surviving commits' high-water LSN, so the
+        next ``replay()`` re-applies the rolled-back range from the
+        changelog. The raw/audit table keeps its rows (delivery forensics
+        survive a rollback, same contract as ``abandon_staged``). An SCD2
+        history table cannot be pointed at a content snapshot — rebuild it
+        (soft reset) after a rollback instead."""
+        if self.cfg.scd2_history and LakeTable.exists(self.table_root + "_history"):
+            raise RuntimeError(
+                "rollback_to with scd2_history requires rebuilding the "
+                "history table: soft-reset the stream after rollback"
+            )
+        rolled = {
+            v
+            for v in self.table.existing_versions()
+            if v > version
+        }
+        new_head = self.table.rollback_to(version)
+        if version == new_head:
+            return new_head
+        ckpt = load_checkpoint(self.checkpoint_path) or Checkpoint()
+        max_lsn = 0
+        keep: set[str] = set()
+        for s in self.table.history():
+            if s.version in rolled or s.version == new_head:
+                continue
+            b = s.summary.get("batch_id")
+            if b is not None:
+                keep.add(b)
+                end = s.summary.get("end_lsn")
+                if end is not None:
+                    max_lsn = max(max_lsn, int(end))
+        ckpt.max_committed_lsn = max_lsn
+        ckpt.batches = [b for b in ckpt.batches if b in keep]
+        ckpt.per_partition = {}
+        ckpt.table_schema_version = self.table.snapshot().schema_version
+        save_checkpoint(self.checkpoint_path, ckpt)
+        log_metric(
+            "sync_rolled_back",
+            version=new_head,
+            target=version,
+            rolled_back_to_lsn=max_lsn,
+        )
+        return new_head
+
     def read_final_as_of(self, ts_ms: int) -> DataFrame:
         """Time travel by wall-clock timestamp (Iceberg TIMESTAMP AS OF):
         the final table as of the latest commit at or before ``ts_ms``."""

@@ -118,3 +118,49 @@ def test_rollback_noop_and_unknown(spark, table):
     assert table.current_version() == cur
     with pytest.raises(FileNotFoundError):
         table.rollback_to(999)
+
+
+def test_engine_rollback_then_replay_converges(spark, workdir):
+    """Bad data committed 2 batches ago: engine rollback reverts the table
+    AND rewinds the checkpoint, and the next replay re-applies the rolled
+    range bit-identically to the uninterrupted run."""
+    import os as _os
+
+    from airbyte_spark.changelog import ChangelogConfig, seed_df, write_changelog
+    from airbyte_spark.config import EngineConfig, StreamConfig
+    from airbyte_spark.engine import CdcEngine
+    from tests.test_resume import _full_table_pdf
+
+    cfg = ChangelogConfig(n_events=1000, n_seed_docs=150, dup_pct=5.0, corrupt_pct=2.0)
+    clpath = _os.path.join(workdir, "changelog")
+    seed = seed_df(spark, cfg)
+    write_changelog(spark, cfg, clpath)
+
+    def mk(root):
+        return CdcEngine(
+            spark, root, StreamConfig(num_buckets=8), EngineConfig(batch_events=250)
+        )
+
+    root = _os.path.join(workdir, "t")
+    e = mk(root)
+    e.create_table()
+    e.bootstrap(seed)
+    e.replay(clpath)  # 4 batches
+    expected = _full_table_pdf(e)
+    head = e.table.current_version()
+
+    # roll back the last two batch commits
+    target = head - 2
+    new_head = e.rollback_to(target)
+    assert new_head > head
+    assert not _full_table_pdf(e).equals(expected)  # recent data gone
+
+    # a FRESH engine (fresh checkpoint load) replays the rolled range
+    e2 = mk(root)
+    e2.replay(clpath)
+    pd_final = _full_table_pdf(e2)
+    assert pd_final.equals(expected)
+    # and replaying again is a no-op (idempotent after recovery)
+    v = e2.table.current_version()
+    mk(root).replay(clpath)
+    assert e2.table.current_version() == v
