@@ -34,6 +34,21 @@ Transport = Callable[..., tuple[int, Any]]
 RETRYABLE_STATUSES = {429, 500, 502, 503, 504}
 
 
+def _retry_after_s(headers: Any) -> float | None:
+    """Seconds to wait from a Retry-After response header (delta-seconds
+    form only; HTTP-date is a server nicety no rate limiter we target
+    uses). Case-insensitive lookup; None when absent/unparseable."""
+    if not headers:
+        return None
+    for k, v in dict(headers).items():
+        if str(k).lower() == "retry-after":
+            try:
+                return max(0.0, float(v))
+            except (TypeError, ValueError):
+                return None
+    return None
+
+
 @dataclass
 class DatetimeSlicer:
     """Interval-sliced incremental window generator.
@@ -136,9 +151,12 @@ class HttpStreamSource:
             if self.authenticator is not None:
                 headers.update(self.authenticator.auth_header())
             self._rate_wait()
-            status, body = self.transport(
-                "GET", self.url, params=params, headers=headers
-            )
+            resp = self.transport("GET", self.url, params=params, headers=headers)
+            # transports return (status, body) or (status, body, headers) —
+            # the 3-tuple form lets rate-limited APIs drive the backoff via
+            # Retry-After (DefaultBackoffStrategy honors it likewise)
+            status, body = resp[0], resp[1]
+            resp_headers = resp[2] if len(resp) > 2 else {}
             if status < 400:
                 return body
             if (
@@ -153,6 +171,11 @@ class HttpStreamSource:
                 continue
             if status in RETRYABLE_STATUSES and attempt < self.max_retries:
                 delay = self.backoff_base_s * (2**attempt)
+                retry_after = _retry_after_s(resp_headers)
+                if retry_after is not None:
+                    # the server's explicit wait wins over our exponential
+                    # guess (a 429 that says "60" must not be retried in 0.1)
+                    delay = max(delay, retry_after)
                 log_metric(
                     "http_retry", url=self.url, status=status,
                     attempt=attempt + 1, backoff_s=round(delay, 3),

@@ -463,3 +463,34 @@ def test_full_refresh_uninterrupted_equals_plain_read():
     assert ids == list(range(37))
     # intermediate checkpoints carry page indexes, final carries complete
     assert [st for st, _ in chunks] == [{"next_page_index": 3}, {"complete": True}]
+
+
+def test_retry_after_header_overrides_exponential_backoff():
+    """A 429 carrying Retry-After waits the server's delay, not the tiny
+    exponential guess; 2-tuple transports keep working unchanged."""
+    sleeps = []
+    t = StubTransport([
+        (429, {"error": "slow down"}, {"Retry-After": "7"}),
+        (429, {"error": "slow down"}, {"retry-after": 3}),  # case-insensitive
+        (200, {"data": [{"id": 1}]}),
+    ])
+    src = HttpStreamSource(
+        transport=t, url="u", backoff_base_s=0.01, sleep=sleeps.append,
+        paginator=Paginator(kind="offset", param="offset", page_size=10),
+    )
+    assert [r["id"] for r in src.read_records()] == [1]
+    assert sleeps == [7.0, 3.0]
+
+
+def test_retry_after_unparseable_falls_back_to_exponential():
+    sleeps = []
+    t = StubTransport([
+        (503, {}, {"Retry-After": "soon"}),
+        (200, {"data": [{"id": 1}]}),
+    ])
+    src = HttpStreamSource(
+        transport=t, url="u", backoff_base_s=0.25, sleep=sleeps.append,
+        paginator=Paginator(kind="offset", param="offset", page_size=10),
+    )
+    assert [r["id"] for r in src.read_records()] == [1]
+    assert sleeps == [0.25]
