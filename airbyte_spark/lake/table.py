@@ -819,7 +819,9 @@ class LakeTable:
         cursor_col = base.spec.get("cursor_col")
         staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
         n = num_files or min(self.spark.sparkContext.defaultParallelism, 8)
-        df.repartition(n).write.mode("overwrite").parquet(staging)
+        # same pk clustering as base files (tiny local sort, lookup pushdown)
+        df = df.repartition(n).sortWithinPartitions(base.spec["bucket_by"])
+        df.write.mode("overwrite").parquet(staging)
         _t1 = time.monotonic()
 
         tok = uuid.uuid4().hex[:8]  # commit-unique: see _collect_file_stats
@@ -1015,6 +1017,14 @@ class LakeTable:
             # then strips the bucket column from file contents.
             n_write = write_partitions or self.spark.sparkContext.defaultParallelism
             with_bucket = with_bucket.repartition(n_write, F.col(BUCKET_COL))
+        # Sort-order clustering (Iceberg table sort order analog): the
+        # dynamic-partition write sorts each task by BUCKET_COL anyway;
+        # widening that same local sort to the primary key costs one key
+        # comparison and gives every data file pk-clustered row groups —
+        # parquet min/max stats then skip row groups for lookup()'s pushed
+        # IN predicates. No extra shuffle (sortWithinPartitions preserves
+        # partitioning, including the pre_aligned guarantee).
+        with_bucket = with_bucket.sortWithinPartitions(BUCKET_COL, spec["bucket_by"])
         _t0 = time.monotonic()
         (
             with_bucket

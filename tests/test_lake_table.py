@@ -309,3 +309,25 @@ def test_time_travel_by_timestamp(spark, table):
     with pytest.raises(ValueError):
         # before the table existed
         table.version_as_of(0)
+
+
+def test_data_files_pk_clustered(spark, table, workdir):
+    """Every data file's rows are sorted by the primary key (the table
+    sort order), so parquet row-group min/max stats can skip groups for
+    pushed point-lookup predicates."""
+    import pyarrow.parquet as pq
+
+    rows = [(f"doc{i:04d}", i, i) for i in range(400)]
+    import random
+
+    random.Random(3).shuffle(rows)
+    table.write_and_commit(
+        _df(spark, rows), replace_buckets=None, summary={"operation": "append"}
+    )
+    snap = table.snapshot()
+    assert snap.files
+    for f in snap.files:
+        col = pq.read_table(
+            os.path.join(table.root, f.path), columns=["doc_id"]
+        )["doc_id"].to_pylist()
+        assert col == sorted(col), f.path
