@@ -424,6 +424,46 @@ def q_tokens_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_stats(winners, capacity=2048, shard_cols=["source_partition"])
 
 
+def q_tokens_pack_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental training-shard packing, gated against the ONE-SHOT
+    oracle: the LWW winners are split into three order-contiguous ingest
+    batches (doc_id boundaries), folded through pack_incremental with the
+    per-shard state threaded batch to batch, and the union of the three
+    packed outputs is returned per doc. The oracle is the single global
+    cumsum SQL — hash equality IS the batching-invariance proof, checked
+    cross-engine (operators/packing.py pack_incremental; the durable
+    exactly-once/rollback variant is IncrementalPacker,
+    tests/test_packing_incremental.py)."""
+    from airbyte_spark.operators.packing import empty_pack_state, pack_incremental
+
+    ch = _changelog(spark, sf_dir).drop("tokens")
+    winners = (
+        lww_dedup(ch, key="doc_id")
+        .filter(F.col("op") != "D")
+        .select("source_partition", "doc_id", "n_tok")
+        .persist()
+    )
+    # order-contiguous slices; boundary values are arbitrary (invariance
+    # means ANY prefix split must reproduce the one-shot bins)
+    bounds = [(None, "doc000002000"), ("doc000002000", "doc001002000"),
+              ("doc001002000", None)]
+    state = empty_pack_state(spark, winners, ["source_partition"])
+    packed = []
+    for lo, hi in bounds:
+        b = winners
+        if lo is not None:
+            b = b.filter(F.col("doc_id") > lo)
+        if hi is not None:
+            b = b.filter(F.col("doc_id") <= hi)
+        res = pack_incremental(b, state, 2048, ["source_partition"])
+        packed.append(res.packed)
+        state = res.state
+    out = packed[0]
+    for p in packed[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_docs_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val/test split over documents
     (md5-prefix bucket mod 100 — engine- and order-independent), rolled up
@@ -1279,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_classifier": q_docs_quality_classifier,
         "docs_quality_percentiles": q_docs_quality_percentiles,
         "tokens_pack": q_tokens_pack,
+        "tokens_pack_incremental": q_tokens_pack_incremental,
         "docs_hash_split": q_docs_hash_split,
         "docs_chunk_windows": q_docs_chunk_windows,
         "tokens_histogram": q_tokens_histogram,
@@ -1777,6 +1818,20 @@ FROM pii_docs
 WITH w AS (SELECT doc_id, {X.shingles_sql(_D, "text", 2)} AS sh FROM documents),
 u AS (SELECT unnest(sh) AS bigram FROM w WHERE len(sh) > 0)
 SELECT bigram, count(*) AS freq FROM u GROUP BY bigram HAVING count(*) >= 5
+""",
+        # the ONE-SHOT packing SQL gates the 3-batch incremental fold:
+        # equality proves batching-invariance cross-engine
+        "tokens_pack_incremental": _WINNERS
+        + """
+, w AS (SELECT source_partition, doc_id, n_tok FROM ranked
+        WHERE rn = 1 AND op != 'D'),
+c AS (SELECT source_partition, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source_partition ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM w)
+SELECT source_partition, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST((cum - n_tok) // 2048 AS BIGINT) AS bin
+FROM c
 """,
         "tokens_pack": _WINNERS
         + """
