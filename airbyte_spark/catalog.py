@@ -15,6 +15,24 @@ shared info + every stream's state in ONE document — refreshed after each
 stream sync. Resume is per-stream: a partially-synced catalog re-run skips
 each stream's already-applied ranges independently (batch-id idempotence),
 so interleaved/partial failures never cross-contaminate.
+
+Cross-stream read consistency — catalog snapshots: per-stream checkpoints
+make WRITES independent, but a reader joining two streams mid-sync (or
+after a partially-failed sync) could otherwise see stream A at its new
+version against stream B at its old one. After every fully-successful
+catalog operation the engine commits a CATALOG SNAPSHOT — one atomic JSON
+doc pinning every stream to its published table version — and ``read()``
+routes through the latest (or any retained) catalog snapshot via the lake
+table's existing version-pinned scan. A partially-failed sync commits NO
+catalog snapshot: the finished streams' progress is durable and resumable,
+but consistent readers keep seeing the previous coherent cross-stream
+state until the catalog completes. This is the multi-table-transaction
+semantics an Iceberg REST/Nessie catalog layers over per-table commits;
+the reference's GLOBAL state message (airbyte-protocol.md:491-511) carries
+the same all-streams-at-one-WAL-position intent on the state side.
+Staged (write-audit-publish) commits are never pinned: snapshots pin
+``published_version()``, so an unaudited WAP build cannot leak into a
+consistent read.
 """
 
 from __future__ import annotations
@@ -50,7 +68,8 @@ class CatalogEngine:
             for s in streams
         }
         self.state_path = os.path.join(root, "catalog_state.json")
-        os.makedirs(root, exist_ok=True)
+        self.snapshots_dir = os.path.join(root, "catalog_snapshots")
+        os.makedirs(self.snapshots_dir, exist_ok=True)
 
     def engine(self, name: str) -> CdcEngine:
         return self.engines[name]
@@ -68,6 +87,7 @@ class CatalogEngine:
         for name, seed in seeds.items():
             self.engines[name].bootstrap(seed)
         self._write_state()
+        self._commit_catalog_snapshot("bootstrap")
 
     def sync(
         self,
@@ -140,6 +160,9 @@ class CatalogEngine:
             wall_ms=int((time.monotonic() - t0) * 1000),
         )
         if errors:
+            # No catalog snapshot: finished streams' progress is durable
+            # (their own checkpoints + tables), but consistent readers keep
+            # the previous coherent cross-stream view until a full sync.
             failed = sorted(errors)
             err = RuntimeError(
                 f"catalog sync failed for stream(s) {failed}: "
@@ -147,6 +170,8 @@ class CatalogEngine:
             )
             err.stream_errors = errors  # typed originals for caller dispatch
             raise err from errors[failed[0]]
+        if selected:
+            self._commit_catalog_snapshot("sync")
         return results
 
     # ----------------------------------------------------------------- state
@@ -192,3 +217,104 @@ class CatalogEngine:
             return None
         with open(self.state_path) as fh:
             return json.load(fh)
+
+    # ----------------------------------------------- catalog snapshots
+
+    def _commit_catalog_snapshot(self, op: str) -> int:
+        """Pin every existing stream table at its PUBLISHED version in one
+        atomic doc. Single-writer per catalog root (same contract as the
+        engine checkpoint); tmp+rename keeps a crashed commit invisible."""
+        from airbyte_spark.lake.table import LakeTable
+
+        pinned = {}
+        for s in self.streams:
+            eng = self.engines[s.name]
+            if LakeTable.exists(eng.table_root):
+                pinned[s.name] = eng.table.published_version()
+        version = (self.catalog_versions() or [0])[-1] + 1
+        doc = {
+            "catalog_version": version,
+            "committed_at_ms": int(time.time() * 1000),
+            "op": op,
+            "streams": pinned,
+        }
+        path = os.path.join(self.snapshots_dir, f"c{version}.json")
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh, indent=1)
+        os.replace(tmp, path)
+        log_metric("catalog_snapshot_committed", version=version, op=op, streams=len(pinned))
+        return version
+
+    def catalog_versions(self) -> list[int]:
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(self.snapshots_dir)
+            if f.startswith("c") and f.endswith(".json")
+        )
+
+    def catalog_current_version(self) -> int:
+        vs = self.catalog_versions()
+        if not vs:
+            raise FileNotFoundError(f"no catalog snapshots in {self.snapshots_dir}")
+        return vs[-1]
+
+    def catalog_snapshot(self, version: int | None = None) -> dict:
+        v = self.catalog_current_version() if version is None else version
+        path = os.path.join(self.snapshots_dir, f"c{v}.json")
+        with open(path) as fh:
+            return json.load(fh)
+
+    def catalog_version_as_of(self, ts_ms: int) -> int:
+        """Latest catalog snapshot committed at or before ``ts_ms`` — the
+        catalog-level ``TIMESTAMP AS OF`` (same contract as the table's)."""
+        best = None
+        for v in self.catalog_versions():
+            if self.catalog_snapshot(v)["committed_at_ms"] <= ts_ms:
+                best = v
+            else:
+                break
+        if best is None:
+            raise ValueError(f"no catalog snapshot at or before ts_ms={ts_ms}")
+        return best
+
+    def read(self, stream: str, catalog_version: int | None = None, buckets=None) -> DataFrame:
+        """Version-pinned scan of one stream THROUGH a catalog snapshot, so
+        reads of multiple streams at the same catalog_version are mutually
+        consistent (all observe the same completed catalog sync, never a
+        partial one)."""
+        snap = self.catalog_snapshot(catalog_version)
+        if stream not in snap["streams"]:
+            raise KeyError(
+                f"stream {stream!r} not pinned in catalog snapshot "
+                f"{snap['catalog_version']} (table did not exist yet)"
+            )
+        return self.engines[stream].table.scan(
+            buckets=buckets, version=snap["streams"][stream]
+        )
+
+    def expire_catalog_snapshots(self, keep_last: int = 10, table_keep_last: int = 2) -> dict:
+        """Expire old catalog snapshots, then expire each stream table's
+        snapshots DOWN TO the oldest version still pinned by a retained
+        catalog snapshot — pinned reads can never break. ``table_keep_last``
+        is the floor each table keeps regardless (engine-resume safety, see
+        LakeTable.expire_snapshots)."""
+        vs = self.catalog_versions()
+        expired = vs[:-keep_last] if keep_last >= 1 else []
+        for v in expired:
+            os.remove(os.path.join(self.snapshots_dir, f"c{v}.json"))
+        retained = [self.catalog_snapshot(v) for v in self.catalog_versions()]
+        stats = {"expired_catalog_snapshots": len(expired), "tables": {}}
+        for s in self.streams:
+            eng = self.engines[s.name]
+            from airbyte_spark.lake.table import LakeTable
+
+            if not LakeTable.exists(eng.table_root):
+                continue
+            pins = [
+                snap["streams"][s.name] for snap in retained if s.name in snap["streams"]
+            ]
+            cur = eng.table.current_version()
+            keep = max(table_keep_last, cur - min(pins) + 1 if pins else 0)
+            stats["tables"][s.name] = eng.table.expire_snapshots(keep_last=keep)
+        return stats
