@@ -49,6 +49,94 @@ from airbyte_spark.engine import CdcEngine
 from airbyte_spark.lineage import log_metric
 
 
+class CatalogSnapshotStore:
+    """Atomic ``{stream -> table_version}`` pin documents on disk — the
+    storage primitive behind catalog snapshots. Single-writer per directory
+    (same contract as the engine checkpoint); tmp+rename keeps a crashed
+    commit invisible. Shared by ``CatalogEngine`` (independent sources) and
+    ``DemuxEngine`` (shared-WAL fan-out)."""
+
+    def __init__(self, snapshots_dir: str):
+        self.dir = snapshots_dir
+        os.makedirs(snapshots_dir, exist_ok=True)
+
+    def commit(self, pins: dict[str, int], op: str) -> int:
+        version = (self.versions() or [0])[-1] + 1
+        doc = {
+            "catalog_version": version,
+            "committed_at_ms": int(time.time() * 1000),
+            "op": op,
+            "streams": pins,
+        }
+        path = os.path.join(self.dir, f"c{version}.json")
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh, indent=1)
+        os.replace(tmp, path)
+        log_metric("catalog_snapshot_committed", version=version, op=op, streams=len(pins))
+        return version
+
+    def versions(self) -> list[int]:
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(self.dir)
+            if f.startswith("c") and f.endswith(".json")
+        )
+
+    def current(self) -> int:
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no catalog snapshots in {self.dir}")
+        return vs[-1]
+
+    def get(self, version: int | None = None) -> dict:
+        v = self.current() if version is None else version
+        with open(os.path.join(self.dir, f"c{v}.json")) as fh:
+            return json.load(fh)
+
+    def as_of(self, ts_ms: int) -> int:
+        """Latest catalog snapshot committed at or before ``ts_ms`` — the
+        catalog-level ``TIMESTAMP AS OF`` (same contract as the table's)."""
+        best = None
+        for v in self.versions():
+            if self.get(v)["committed_at_ms"] <= ts_ms:
+                best = v
+            else:
+                break
+        if best is None:
+            raise ValueError(f"no catalog snapshot at or before ts_ms={ts_ms}")
+        return best
+
+    def expire(self, keep_last: int) -> list[int]:
+        vs = self.versions()
+        expired = vs[:-keep_last] if keep_last >= 1 else []
+        for v in expired:
+            os.remove(os.path.join(self.dir, f"c{v}.json"))
+        return expired
+
+    def pinned_read(self, engines: dict, stream: str, catalog_version=None, buckets=None) -> DataFrame:
+        snap = self.get(catalog_version)
+        if stream not in snap["streams"]:
+            raise KeyError(
+                f"stream {stream!r} not pinned in catalog snapshot "
+                f"{snap['catalog_version']} (table did not exist yet)"
+            )
+        return engines[stream].table.scan(
+            buckets=buckets, version=snap["streams"][stream]
+        )
+
+
+def _published_pins(streams: list[StreamConfig], engines: dict) -> dict[str, int]:
+    """Current published version of every stream whose table exists."""
+    from airbyte_spark.lake.table import LakeTable
+
+    return {
+        s.name: engines[s.name].table.published_version()
+        for s in streams
+        if LakeTable.exists(engines[s.name].table_root)
+    }
+
+
 class CatalogEngine:
     def __init__(
         self,
@@ -68,8 +156,7 @@ class CatalogEngine:
             for s in streams
         }
         self.state_path = os.path.join(root, "catalog_state.json")
-        self.snapshots_dir = os.path.join(root, "catalog_snapshots")
-        os.makedirs(self.snapshots_dir, exist_ok=True)
+        self.snapshots = CatalogSnapshotStore(os.path.join(root, "catalog_snapshots"))
 
     def engine(self, name: str) -> CdcEngine:
         return self.engines[name]
@@ -222,76 +309,27 @@ class CatalogEngine:
 
     def _commit_catalog_snapshot(self, op: str) -> int:
         """Pin every existing stream table at its PUBLISHED version in one
-        atomic doc. Single-writer per catalog root (same contract as the
-        engine checkpoint); tmp+rename keeps a crashed commit invisible."""
-        from airbyte_spark.lake.table import LakeTable
-
-        pinned = {}
-        for s in self.streams:
-            eng = self.engines[s.name]
-            if LakeTable.exists(eng.table_root):
-                pinned[s.name] = eng.table.published_version()
-        version = (self.catalog_versions() or [0])[-1] + 1
-        doc = {
-            "catalog_version": version,
-            "committed_at_ms": int(time.time() * 1000),
-            "op": op,
-            "streams": pinned,
-        }
-        path = os.path.join(self.snapshots_dir, f"c{version}.json")
-        tmp = path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            json.dump(doc, fh, indent=1)
-        os.replace(tmp, path)
-        log_metric("catalog_snapshot_committed", version=version, op=op, streams=len(pinned))
-        return version
+        atomic doc (storage contract: CatalogSnapshotStore)."""
+        return self.snapshots.commit(_published_pins(self.streams, self.engines), op)
 
     def catalog_versions(self) -> list[int]:
-        return sorted(
-            int(f[1:-5])
-            for f in os.listdir(self.snapshots_dir)
-            if f.startswith("c") and f.endswith(".json")
-        )
+        return self.snapshots.versions()
 
     def catalog_current_version(self) -> int:
-        vs = self.catalog_versions()
-        if not vs:
-            raise FileNotFoundError(f"no catalog snapshots in {self.snapshots_dir}")
-        return vs[-1]
+        return self.snapshots.current()
 
     def catalog_snapshot(self, version: int | None = None) -> dict:
-        v = self.catalog_current_version() if version is None else version
-        path = os.path.join(self.snapshots_dir, f"c{v}.json")
-        with open(path) as fh:
-            return json.load(fh)
+        return self.snapshots.get(version)
 
     def catalog_version_as_of(self, ts_ms: int) -> int:
-        """Latest catalog snapshot committed at or before ``ts_ms`` — the
-        catalog-level ``TIMESTAMP AS OF`` (same contract as the table's)."""
-        best = None
-        for v in self.catalog_versions():
-            if self.catalog_snapshot(v)["committed_at_ms"] <= ts_ms:
-                best = v
-            else:
-                break
-        if best is None:
-            raise ValueError(f"no catalog snapshot at or before ts_ms={ts_ms}")
-        return best
+        return self.snapshots.as_of(ts_ms)
 
     def read(self, stream: str, catalog_version: int | None = None, buckets=None) -> DataFrame:
         """Version-pinned scan of one stream THROUGH a catalog snapshot, so
         reads of multiple streams at the same catalog_version are mutually
         consistent (all observe the same completed catalog sync, never a
         partial one)."""
-        snap = self.catalog_snapshot(catalog_version)
-        if stream not in snap["streams"]:
-            raise KeyError(
-                f"stream {stream!r} not pinned in catalog snapshot "
-                f"{snap['catalog_version']} (table did not exist yet)"
-            )
-        return self.engines[stream].table.scan(
-            buckets=buckets, version=snap["streams"][stream]
-        )
+        return self.snapshots.pinned_read(self.engines, stream, catalog_version, buckets)
 
     def expire_catalog_snapshots(self, keep_last: int = 10, table_keep_last: int = 2) -> dict:
         """Expire old catalog snapshots, then expire each stream table's
@@ -299,16 +337,13 @@ class CatalogEngine:
         catalog snapshot — pinned reads can never break. ``table_keep_last``
         is the floor each table keeps regardless (engine-resume safety, see
         LakeTable.expire_snapshots)."""
-        vs = self.catalog_versions()
-        expired = vs[:-keep_last] if keep_last >= 1 else []
-        for v in expired:
-            os.remove(os.path.join(self.snapshots_dir, f"c{v}.json"))
-        retained = [self.catalog_snapshot(v) for v in self.catalog_versions()]
+        from airbyte_spark.lake.table import LakeTable
+
+        expired = self.snapshots.expire(keep_last)
+        retained = [self.snapshots.get(v) for v in self.snapshots.versions()]
         stats = {"expired_catalog_snapshots": len(expired), "tables": {}}
         for s in self.streams:
             eng = self.engines[s.name]
-            from airbyte_spark.lake.table import LakeTable
-
             if not LakeTable.exists(eng.table_root):
                 continue
             pins = [

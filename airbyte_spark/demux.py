@@ -73,6 +73,14 @@ class DemuxEngine:
         # per-table states live in each engine's own checkpoint.
         self.state_path = os.path.join(root, "demux_state.json")
         os.makedirs(root, exist_ok=True)
+        # cross-table consistent reads: same pin-doc store as CatalogEngine
+        # (see catalog.py module docstring) — a pin is committed only at the
+        # window barrier (bootstrap / replay end), where every table has
+        # durably applied the same WAL prefix, so read() can never observe
+        # table A ahead of table B inside a window.
+        from airbyte_spark.catalog import CatalogSnapshotStore
+
+        self.snapshots = CatalogSnapshotStore(os.path.join(root, "catalog_snapshots"))
 
     def engine(self, name: str) -> CdcEngine:
         return self.engines[name]
@@ -87,6 +95,7 @@ class DemuxEngine:
     def bootstrap(self, seeds: dict[str, DataFrame]) -> None:
         for name, seed in seeds.items():
             self.engines[name].bootstrap(seed)
+        self._commit_catalog_snapshot("bootstrap")
 
     # ------------------------------------------------------------------ sync
 
@@ -192,8 +201,27 @@ class DemuxEngine:
             "wall_s": round(wall, 3),
             "last_committed_lsn": shared.max_committed_lsn,
         }
+        # all tables are at the same WAL prefix here (window barrier):
+        # publish ONE pin for consistent cross-table reads. A crashed replay
+        # pins nothing — readers keep the previous coherent view while the
+        # per-table progress stays durable for resume.
+        if n_windows > 0:
+            self._commit_catalog_snapshot("replay")
         log_metric("demux_done", **stats)
         return stats
+
+    # ----------------------------------------------- consistent reads
+
+    def _commit_catalog_snapshot(self, op: str) -> int:
+        from airbyte_spark.catalog import _published_pins
+
+        return self.snapshots.commit(_published_pins(self.streams, self.engines), op)
+
+    def read(self, stream: str, catalog_version: int | None = None, buckets=None) -> DataFrame:
+        """Version-pinned scan THROUGH a catalog snapshot: reads of multiple
+        demuxed tables at one catalog_version all observe the same fully
+        committed WAL prefix, never a half-applied window."""
+        return self.snapshots.pinned_read(self.engines, stream, catalog_version, buckets)
 
     def state(self) -> dict | None:
         ckpt = load_checkpoint(self.state_path)

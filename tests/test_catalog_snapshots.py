@@ -114,6 +114,47 @@ def test_staged_commits_never_pinned(spark, workdir):
     assert _max_lsn(cat.read("s_a")) == CFG_A.n_events
 
 
+def test_demux_pins_only_at_window_barrier(spark, workdir):
+    """DemuxEngine publishes a pin at bootstrap and at replay end — all
+    tables at the same WAL prefix. A bounded (interrupted) replay pins at
+    its window barrier; reads through any pin are cross-table consistent."""
+    from airbyte_spark.demux import DemuxEngine
+
+    cfg = ChangelogConfig(n_events=900, n_seed_docs=220, dup_pct=2.0, seed=7)
+    from pyspark.sql import functions as F
+
+    from airbyte_spark.changelog import changelog_df
+
+    def routed(df):
+        route = (F.abs(F.xxhash64("doc_id")) % 2).cast("string")
+        return df.withColumn("_ab_stream", F.concat(F.lit("t"), route))
+
+    dx = DemuxEngine(
+        spark,
+        os.path.join(workdir, "demux"),
+        [StreamConfig(name="t0", num_buckets=4), StreamConfig(name="t1", num_buckets=4)],
+        cfg=EngineConfig(batch_events=300),
+    )
+    dx.create_tables()
+    seeds = routed(seed_df(spark, cfg))
+    dx.bootstrap(
+        {n: seeds.filter(F.col("_ab_stream") == n).drop("_ab_stream") for n in ("t0", "t1")}
+    )
+    assert dx.snapshots.versions() == [1]
+
+    wal = routed(changelog_df(spark, cfg))
+    dx.replay(wal, max_batches=1)  # interrupted after one 300-event window
+    assert dx.snapshots.versions() == [1, 2]
+    for n in ("t0", "t1"):
+        # pin 2 = both tables exactly at WAL prefix 300
+        assert _max_lsn(dx.read(n, catalog_version=2)) <= 300
+        assert _max_lsn(dx.read(n, catalog_version=1)) == 0
+    dx.replay(wal)  # finish
+    assert dx.snapshots.versions() == [1, 2, 3]
+    tops = [_max_lsn(dx.read(n)) for n in ("t0", "t1")]
+    assert max(tops) == cfg.n_events  # the last WAL event lands in one table
+
+
 def test_expire_catalog_snapshots_keeps_pinned_reads(spark, workdir):
     """Expiration drops old catalog snapshots and trims each table only
     down to the oldest still-pinned version — every retained catalog read
