@@ -43,7 +43,12 @@ from pyspark.sql import DataFrame, SparkSession
 from airbyte_spark.lineage import log_metric
 from airbyte_spark.plans.transforms import apply_transforms, schema_extract
 from airbyte_spark.sources.auth import BasicHttpAuth, OAuth2Auth, StaticTokenAuth
-from airbyte_spark.sources.http import DatetimeSlicer, HttpStreamSource, Paginator
+from airbyte_spark.sources.http import (
+    DatetimeSlicer,
+    ErrorHandler,
+    HttpStreamSource,
+    Paginator,
+)
 
 Transport = Callable[..., tuple[int, Any]]
 
@@ -170,6 +175,7 @@ class DeclarativeStream:
     #  "parent_key": ..., "partition_field": ..., "request_param": ...}
     partition_router: dict | None = None
     parent: "DeclarativeStream | None" = None  # wired by ManifestSource
+    error_handler: ErrorHandler | None = None  # response-filter policy
 
     @property
     def cursor_field(self) -> str | None:
@@ -191,6 +197,7 @@ class DeclarativeStream:
             authenticator=self.authenticator,
             min_call_interval_s=self.min_call_interval_s,
             prefetch_pages=self.prefetch_pages,
+            error_handler=self.error_handler,
             **kwargs,
         )
 
@@ -393,6 +400,16 @@ class ManifestSource:
                     min_call_interval_s=s.get("min_call_interval_s", 0.0),
                     prefetch_pages=s.get("prefetch_pages", 0),
                     partition_router=s.get("partition_router"),
+                    error_handler=(
+                        ErrorHandler(
+                            **{
+                                k: tuple(v) if isinstance(v, list) else v
+                                for k, v in s["error_handler"].items()
+                            }
+                        )
+                        if s.get("error_handler")
+                        else None
+                    ),
                 )
             )
         by_name = {st.name: st for st in out}

@@ -20,6 +20,7 @@ specific HTTP client.
 
 from __future__ import annotations
 
+import json
 import threading
 import time
 from dataclasses import dataclass, field
@@ -106,6 +107,57 @@ class Paginator:
     token_field: str = "next_page_token"
 
 
+#: sentinel returned by ``_call`` for an IGNOREd response — extracts to
+#: zero records and (being a short page / token-less body) ends its
+#: scope's pagination, matching the reference's empty-record-set mapping.
+_IGNORED = object()
+
+
+@dataclass(frozen=True)
+class ErrorHandler:
+    """Declarative response-filter policy — the reference's
+    ``DefaultErrorHandler`` + ``HttpResponseFilter`` (airbyte-cdk/python/
+    airbyte_cdk/sources/declarative/requesters/error_handlers/
+    default_error_handler.py:105-142 filter chain;
+    http_response_filter.py:22-78 action by status / body match;
+    backoff_strategies/ constant + exponential): classify each response
+    into FAIL / IGNORE / RETRY / OK with a configurable backoff.
+
+    Precedence per response: ``fail_on_status`` > ``ignore_on_status`` >
+    retry (status in ``retry_on_status``, or the rendered body containing
+    ``retry_on_body_contains`` — the 200-with-error-envelope pattern some
+    APIs use for rate limits). An IGNOREd response contributes zero
+    records and ends its scope's pagination; a 401 still goes through the
+    authenticator's refresh-once path before this policy applies.
+    """
+
+    retry_on_status: tuple[int, ...] = (429, 500, 502, 503, 504)
+    ignore_on_status: tuple[int, ...] = ()
+    fail_on_status: tuple[int, ...] = ()
+    retry_on_body_contains: str | None = None
+    max_retries: int = 5
+    backoff: str = "exponential"  # or "constant"
+    backoff_base_s: float = 0.1
+
+    def classify(self, status: int, body: Any) -> str:
+        if status in self.fail_on_status:
+            return "fail"
+        if status in self.ignore_on_status:
+            return "ignore"
+        if self.retry_on_body_contains is not None:
+            text = body if isinstance(body, str) else json.dumps(body, default=str)
+            if self.retry_on_body_contains in text:
+                return "retry"
+        if status < 400:
+            return "ok"
+        return "retry" if status in self.retry_on_status else "fail"
+
+    def delay_s(self, attempt: int) -> float:
+        if self.backoff == "constant":
+            return self.backoff_base_s
+        return self.backoff_base_s * (2**attempt)
+
+
 @dataclass
 class HttpStreamSource:
     transport: Transport
@@ -120,6 +172,7 @@ class HttpStreamSource:
     sleep: Callable[[float], None] = time.sleep  # injectable for tests
     authenticator: Any = None  # object with auth_header() (sources/auth.py)
     prefetch_pages: int = 0  # >1 -> concurrent lookahead for offset/page kinds
+    error_handler: ErrorHandler | None = None  # None -> legacy default policy
 
     _rate_lock: threading.Lock = field(
         default_factory=threading.Lock, repr=False, compare=False
@@ -157,7 +210,16 @@ class HttpStreamSource:
             # Retry-After (DefaultBackoffStrategy honors it likewise)
             status, body = resp[0], resp[1]
             resp_headers = resp[2] if len(resp) > 2 else {}
-            if status < 400:
+            eh = self.error_handler
+            if eh is not None:
+                action = eh.classify(status, body)
+            else:  # legacy default policy, unchanged
+                action = (
+                    "ok"
+                    if status < 400
+                    else ("retry" if status in RETRYABLE_STATUSES else "fail")
+                )
+            if action == "ok":
                 return body
             if (
                 status == 401
@@ -165,12 +227,23 @@ class HttpStreamSource:
                 and self.authenticator is not None
                 and hasattr(self.authenticator, "invalidate")
             ):
+                # refresh-once precedence over any filter verdict: a revoked
+                # token must get its one transparent refresh before the
+                # response policy decides anything
                 self.authenticator.invalidate()
                 auth_retried = True
                 log_metric("http_auth_retry", url=self.url)
                 continue
-            if status in RETRYABLE_STATUSES and attempt < self.max_retries:
-                delay = self.backoff_base_s * (2**attempt)
+            if action == "ignore":
+                log_metric("http_response_ignored", url=self.url, status=status)
+                return _IGNORED
+            max_r = eh.max_retries if eh is not None else self.max_retries
+            if action == "retry" and attempt < max_r:
+                delay = (
+                    eh.delay_s(attempt)
+                    if eh is not None
+                    else self.backoff_base_s * (2**attempt)
+                )
                 retry_after = _retry_after_s(resp_headers)
                 if retry_after is not None:
                     # the server's explicit wait wins over our exponential
@@ -186,6 +259,8 @@ class HttpStreamSource:
             raise RuntimeError(f"HTTP {status} from {self.url} after {attempt} retries")
 
     def _extract(self, body: Any) -> list[dict]:
+        if body is _IGNORED:
+            return []
         recs = body if self.records_field is None else body.get(self.records_field, [])
         if recs is None:
             return []
@@ -321,6 +396,7 @@ class HttpStreamSource:
                 sleep=self.sleep,
                 authenticator=self.authenticator,
                 prefetch_pages=self.prefetch_pages,
+                error_handler=self.error_handler,
             )
             records = list(src.read_records(max_pages=max_pages_per_slice))
             log_metric(
