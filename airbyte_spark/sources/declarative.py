@@ -176,13 +176,18 @@ class DeclarativeStream:
     partition_router: dict | None = None
     parent: "DeclarativeStream | None" = None  # wired by ManifestSource
     error_handler: ErrorHandler | None = None  # response-filter policy
+    http_method: str = "GET"
+    body_json: dict[str, Any] = field(default_factory=dict)  # request body template
 
     @property
     def cursor_field(self) -> str | None:
         return (self.incremental or {}).get("cursor_field")
 
     def _source(
-        self, extra_params: dict | None = None, url: str | None = None
+        self,
+        extra_params: dict | None = None,
+        url: str | None = None,
+        body_json: dict | None = None,
     ) -> HttpStreamSource:
         kwargs: dict[str, Any] = {}
         if self.sleep is not None:
@@ -198,6 +203,8 @@ class DeclarativeStream:
             min_call_interval_s=self.min_call_interval_s,
             prefetch_pages=self.prefetch_pages,
             error_handler=self.error_handler,
+            http_method=self.http_method,
+            body_json=self.body_json if body_json is None else body_json,
             **kwargs,
         )
 
@@ -256,6 +263,13 @@ class DeclarativeStream:
             {k: interpolate_partition(v, partition) for k, v in self.params.items()}
             if partition else {}
         )
+        # body templates resolve {{ stream_partition.* }} too — the
+        # RequestOption body_json target for partitioned POST APIs
+        body = (
+            interpolate_partition(self.body_json, partition)
+            if (partition and self.body_json)
+            else None
+        )
         rp = (self.partition_router or {}).get("request_param")
         if rp and partition:
             extra[rp] = partition[self.partition_router["partition_field"]]
@@ -263,7 +277,7 @@ class DeclarativeStream:
         if not inc:
             return (
                 list(
-                    self._source(extra_params=extra, url=url).read_records(
+                    self._source(extra_params=extra, url=url, body_json=body).read_records(
                         max_pages=max_pages
                     )
                 ),
@@ -273,7 +287,7 @@ class DeclarativeStream:
             records: list[dict] = []
             new_state = state
             for state_doc, recs in self._source(
-                extra_params=extra, url=url
+                extra_params=extra, url=url, body_json=body
             ).read_datetime_sliced(
                 self._slicer(inc), state=state, max_pages_per_slice=max_pages
             ):
@@ -281,7 +295,7 @@ class DeclarativeStream:
                 new_state = state_doc["slice_end_epoch"]
             return records, new_state
         if inc["type"] == "cursor":
-            return self._source(extra_params=extra, url=url).read_incremental(
+            return self._source(extra_params=extra, url=url, body_json=body).read_incremental(
                 cursor_field=inc["cursor_field"],
                 state=state,
                 cursor_param=inc.get("cursor_param", "since"),
@@ -400,6 +414,8 @@ class ManifestSource:
                     min_call_interval_s=s.get("min_call_interval_s", 0.0),
                     prefetch_pages=s.get("prefetch_pages", 0),
                     partition_router=s.get("partition_router"),
+                    http_method=s.get("http_method", "GET"),
+                    body_json=s.get("body", {}),
                     error_handler=(
                         ErrorHandler(
                             **{

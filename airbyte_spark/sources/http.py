@@ -98,6 +98,12 @@ class Paginator:
     - kind="page":   request param ``param`` = page number (from 1).
     - kind="cursor": request param ``param`` = token found at
       ``token_field`` of the previous response body (stop when absent).
+
+    ``inject_into`` places the pagination values per the reference's
+    RequestOption (declarative/requesters/request_option.py: request
+    parameter / header / body_json): "param" (default, query string),
+    "body" (request JSON body — the GraphQL/search-endpoint pattern), or
+    "header". The page-size value travels with it.
     """
 
     kind: str = "offset"
@@ -105,6 +111,7 @@ class Paginator:
     page_size: int = 100
     size_param: str | None = "limit"
     token_field: str = "next_page_token"
+    inject_into: str = "param"  # "param" | "body" | "header"
 
 
 #: sentinel returned by ``_call`` for an IGNOREd response — extracts to
@@ -173,6 +180,8 @@ class HttpStreamSource:
     authenticator: Any = None  # object with auth_header() (sources/auth.py)
     prefetch_pages: int = 0  # >1 -> concurrent lookahead for offset/page kinds
     error_handler: ErrorHandler | None = None  # None -> legacy default policy
+    http_method: str = "GET"
+    body_json: dict[str, Any] = field(default_factory=dict)  # request body template
 
     _rate_lock: threading.Lock = field(
         default_factory=threading.Lock, repr=False, compare=False
@@ -191,28 +200,44 @@ class HttpStreamSource:
                 self.sleep(wait)
             self._last_call = time.monotonic()
 
-    def _call(self, params: dict[str, Any]) -> Any:
+    def _call(
+        self,
+        params: dict[str, Any],
+        body: dict[str, Any] | None = None,
+        extra_headers: dict[str, str] | None = None,
+    ) -> Any:
         """One request with exponential backoff on retryable statuses
         (HttpStream.should_retry/backoff_time semantics). The auth header is
         evaluated PER REQUEST so a token expiring mid-pagination refreshes
         transparently; a 401 invalidates the cached token and retries once
-        (server-side revocation -> one forced refresh, not a hard failure)."""
+        (server-side revocation -> one forced refresh, not a hard failure).
+
+        ``body`` is passed to the transport as a ``body=`` kwarg ONLY when
+        non-empty, so existing 4-argument transports keep working for every
+        GET/params source; a POST-body API's transport accepts the kwarg."""
         attempt = 0
         auth_retried = False
         while True:
             headers = dict(self.headers)
+            if extra_headers:
+                headers.update(extra_headers)
             if self.authenticator is not None:
                 headers.update(self.authenticator.auth_header())
             self._rate_wait()
-            resp = self.transport("GET", self.url, params=params, headers=headers)
+            kw: dict[str, Any] = {"params": params, "headers": headers}
+            if body:
+                kw["body"] = body
+            resp = self.transport(self.http_method, self.url, **kw)
             # transports return (status, body) or (status, body, headers) —
             # the 3-tuple form lets rate-limited APIs drive the backoff via
             # Retry-After (DefaultBackoffStrategy honors it likewise)
-            status, body = resp[0], resp[1]
+            # NOT unpacked into ``body`` — that name is the REQUEST body
+            # parameter, which must survive retries unchanged
+            status, resp_body = resp[0], resp[1]
             resp_headers = resp[2] if len(resp) > 2 else {}
             eh = self.error_handler
             if eh is not None:
-                action = eh.classify(status, body)
+                action = eh.classify(status, resp_body)
             else:  # legacy default policy, unchanged
                 action = (
                     "ok"
@@ -220,7 +245,7 @@ class HttpStreamSource:
                     else ("retry" if status in RETRYABLE_STATUSES else "fail")
                 )
             if action == "ok":
-                return body
+                return resp_body
             if (
                 status == 401
                 and not auth_retried
@@ -285,28 +310,28 @@ class HttpStreamSource:
         cursor_token: Any = None
         pages = 0
         while True:
-            params = dict(self.params)
+            params, req_body, hdrs = dict(self.params), dict(self.body_json), {}
             if pg.size_param:
-                params[pg.size_param] = pg.page_size
+                self._inject(params, req_body, hdrs, pg.size_param, pg.page_size)
             if pg.kind == "offset":
-                params[pg.param] = offset
+                self._inject(params, req_body, hdrs, pg.param, offset)
             elif pg.kind == "page":
-                params[pg.param] = page_no
+                self._inject(params, req_body, hdrs, pg.param, page_no)
             elif pg.kind == "cursor":
                 if cursor_token is not None:
-                    params[pg.param] = cursor_token
+                    self._inject(params, req_body, hdrs, pg.param, cursor_token)
             else:
                 raise ValueError(f"unknown paginator kind {pg.kind!r}")
 
-            body = self._call(params)
-            recs = self._extract(body)
+            resp = self._call(params, body=req_body, extra_headers=hdrs)
+            recs = self._extract(resp)
             yield from recs
             pages += 1
             offset += len(recs)
             page_no += 1
             cursor_token = (
-                body.get(self.paginator.token_field)
-                if isinstance(body, dict)
+                resp.get(self.paginator.token_field)
+                if isinstance(resp, dict)
                 else None
             )
             exhausted = (
@@ -318,20 +343,43 @@ class HttpStreamSource:
                 log_metric("http_stream_done", url=self.url, pages=pages)
                 return
 
-    def _page_params(self, page_index: int) -> dict[str, Any]:
-        """Request params for 0-based ``page_index`` under an offset/page
-        paginator. Valid because the sequential loop only continues past a
-        page when it was FULL (len == page_size), so the running offset for
-        any continuing page is always exactly index * page_size."""
-        pg = self.paginator
-        params = dict(self.params)
-        if pg.size_param:
-            params[pg.size_param] = pg.page_size
-        if pg.kind == "offset":
-            params[pg.param] = page_index * pg.page_size
+    def _inject(
+        self,
+        params: dict[str, Any],
+        body: dict[str, Any],
+        headers: dict[str, str],
+        key: str,
+        value: Any,
+    ) -> None:
+        """Place a pagination value per ``paginator.inject_into`` — the
+        RequestOption target (request parameter / body_json / header)."""
+        tgt = self.paginator.inject_into
+        if tgt == "param":
+            params[key] = value
+        elif tgt == "body":
+            body[key] = value
+        elif tgt == "header":
+            headers[key] = str(value)
         else:
-            params[pg.param] = page_index + 1
-        return params
+            raise ValueError(f"unknown inject_into {tgt!r}")
+
+    def _page_request(
+        self, page_index: int
+    ) -> tuple[dict[str, Any], dict[str, Any], dict[str, str]]:
+        """(params, body, headers) for 0-based ``page_index`` under an
+        offset/page paginator. Valid because the sequential loop only
+        continues past a page when it was FULL (len == page_size), so the
+        running offset for any continuing page is always exactly
+        index * page_size."""
+        pg = self.paginator
+        params, body, hdrs = dict(self.params), dict(self.body_json), {}
+        if pg.size_param:
+            self._inject(params, body, hdrs, pg.size_param, pg.page_size)
+        if pg.kind == "offset":
+            self._inject(params, body, hdrs, pg.param, page_index * pg.page_size)
+        else:
+            self._inject(params, body, hdrs, pg.param, page_index + 1)
+        return params, body, hdrs
 
     def _read_records_prefetch(self, max_pages: int | None) -> Iterator[dict]:
         """Bounded concurrent lookahead: keep up to ``prefetch_pages``
@@ -350,7 +398,8 @@ class HttpStreamSource:
                 while len(futures) < self.prefetch_pages and (
                     max_pages is None or next_submit < max_pages
                 ):
-                    futures[next_submit] = ex.submit(self._call, self._page_params(next_submit))
+                    p, b, h = self._page_request(next_submit)
+                    futures[next_submit] = ex.submit(self._call, p, b, h)
                     next_submit += 1
                 if next_yield not in futures:
                     break  # max_pages reached
@@ -397,6 +446,8 @@ class HttpStreamSource:
                 authenticator=self.authenticator,
                 prefetch_pages=self.prefetch_pages,
                 error_handler=self.error_handler,
+                http_method=self.http_method,
+                body_json=self.body_json,
             )
             records = list(src.read_records(max_pages=max_pages_per_slice))
             log_metric(
@@ -442,21 +493,21 @@ class HttpStreamSource:
         buf: list[dict] = []
         while True:
             if pg.kind in ("offset", "page"):
-                params = self._page_params(page_index)
+                params, req_body, hdrs = self._page_request(page_index)
             elif pg.kind == "cursor":
-                params = dict(self.params)
+                params, req_body, hdrs = dict(self.params), dict(self.body_json), {}
                 if pg.size_param:
-                    params[pg.size_param] = pg.page_size
+                    self._inject(params, req_body, hdrs, pg.size_param, pg.page_size)
                 if token is not None:
-                    params[pg.param] = token
+                    self._inject(params, req_body, hdrs, pg.param, token)
             else:
                 raise ValueError(f"unknown paginator kind {pg.kind!r}")
-            body = self._call(params)
-            recs = self._extract(body)
+            resp = self._call(params, body=req_body, extra_headers=hdrs)
+            recs = self._extract(resp)
             buf.extend(recs)
             pages += 1
             page_index += 1
-            token = body.get(pg.token_field) if isinstance(body, dict) else None
+            token = resp.get(pg.token_field) if isinstance(resp, dict) else None
             exhausted = (
                 len(recs) < pg.page_size
                 if pg.kind in ("offset", "page")
@@ -542,6 +593,9 @@ class HttpStreamSource:
             sleep=self.sleep,
             authenticator=self.authenticator,
             prefetch_pages=self.prefetch_pages,
+            error_handler=self.error_handler,
+            http_method=self.http_method,
+            body_json=self.body_json,
         )
         records = []
         new_state = state
