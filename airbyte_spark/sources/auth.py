@@ -65,6 +65,15 @@ class OAuth2Auth:
     returns the Bearer header. ``invalidate()`` drops the cached token —
     the source calls it on a 401 so a server-side revocation triggers one
     forced refresh instead of a hard failure.
+
+    Single-use refresh tokens (the reference's
+    SingleUseRefreshTokenOauth2Authenticator, abstract_oauth.py:169-249):
+    when the token endpoint ROTATES the refresh token (returns a new
+    ``refresh_token`` in the grant response), the authenticator adopts it
+    for subsequent refreshes and calls ``on_refresh_token_update(new)`` so
+    the caller can persist it — the analog of the reference emitting an
+    AirbyteControlMessage(CONNECTOR_CONFIG) to update the stored config;
+    without persistence the next sync would replay a dead token.
     """
 
     transport: Transport
@@ -75,6 +84,7 @@ class OAuth2Auth:
     scopes: list[str] | None = None
     expiry_margin_s: float = 30.0
     clock: Callable[[], float] = time.time  # injectable for tests
+    on_refresh_token_update: Callable[[str], None] | None = None
 
     _access_token: str | None = field(default=None, repr=False)
     _expires_at: float = field(default=0.0, repr=False)
@@ -101,6 +111,12 @@ class OAuth2Auth:
             raise RuntimeError(f"OAuth2 token refresh failed: HTTP {status}")
         self._access_token = resp["access_token"]
         self._expires_at = self.clock() + float(resp.get("expires_in", 3600))
+        rotated = resp.get("refresh_token")
+        if rotated and rotated != self.refresh_token:
+            self.refresh_token = rotated
+            log_metric("oauth2_refresh_token_rotated", token_url=self.token_url)
+            if self.on_refresh_token_update is not None:
+                self.on_refresh_token_update(rotated)
         log_metric(
             "oauth2_token_refreshed",
             token_url=self.token_url,

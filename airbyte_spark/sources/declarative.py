@@ -126,7 +126,11 @@ def _ddl_json_schema(ddl: str) -> dict:
     return _DDL_JSON.get(t, {"type": "string", "description": f"unsupported ddl {ddl}"})
 
 
-def _build_authenticator(spec: dict | None, transport: Transport):
+def _build_authenticator(
+    spec: dict | None,
+    transport: Transport,
+    on_refresh_token_update: Callable[[str], None] | None = None,
+):
     if not spec:
         return None
     kind = spec.get("type", "token")
@@ -146,6 +150,7 @@ def _build_authenticator(spec: dict | None, transport: Transport):
             client_secret=spec["client_secret"],
             refresh_token=spec["refresh_token"],
             scopes=spec.get("scopes"),
+            on_refresh_token_update=on_refresh_token_update,
         )
     raise ValueError(f"unknown authenticator type {kind!r}")
 
@@ -378,6 +383,11 @@ class ManifestSource:
     def __init__(self, manifest: dict, transport: Transport):
         self.manifest = manifest
         self.transport = transport
+        # AirbyteControlMessage(CONNECTOR_CONFIG) analog: rotated single-use
+        # refresh tokens land here so the platform/caller can persist the
+        # updated config (the reference emits these on stdout mid-sync —
+        # airbyte-protocol.md control messages; abstract_oauth.py:169-249).
+        self.control_messages: list[dict] = []
 
     # ------------------------------------------------------------ verbs
 
@@ -405,7 +415,9 @@ class ManifestSource:
                     records_field=s.get("records_field", "data"),
                     paginator=Paginator(**s.get("paginator", {})),
                     authenticator=_build_authenticator(
-                        s.get("authenticator"), self.transport
+                        s.get("authenticator"),
+                        self.transport,
+                        on_refresh_token_update=self._on_token_rotated(s["name"]),
                     ),
                     primary_key=s.get("primary_key"),
                     incremental=s.get("incremental"),
@@ -440,6 +452,25 @@ class ManifestSource:
                     )
                 st.parent = by_name[parent_name]
         return out
+
+    def _on_token_rotated(self, stream_name: str) -> Callable[[str], None]:
+        def hook(new_refresh_token: str) -> None:
+            self.control_messages.append(
+                {
+                    "type": "CONTROL",
+                    "control": {
+                        "type": "CONNECTOR_CONFIG",
+                        "connectorConfig": {
+                            "stream": stream_name,
+                            "config": {
+                                "authenticator": {"refresh_token": new_refresh_token}
+                            },
+                        },
+                    },
+                }
+            )
+
+        return hook
 
     def check(self, config: dict) -> dict:
         """Read one page of the designated check stream (the reference's
@@ -530,3 +561,7 @@ class ManifestSource:
                     },
                 },
             }
+        # rotated-credential CONNECTOR_CONFIG updates accumulated during the
+        # read: the platform must persist these before the next sync
+        while self.control_messages:
+            yield self.control_messages.pop(0)
