@@ -68,3 +68,69 @@ def test_read_with_catalog_selection_and_state(spark, tmp_path):
     assert states[-1]["state"]["stream"]["stream_state"]["cursor"] == 300.0
     # users was never called: catalog selected events only
     assert all(c["url"].endswith("/events") for c in t.calls)
+
+
+def test_crash_emits_trace_error(tmp_path):
+    """A verb that blows up emits an AirbyteTraceMessage(ERROR) with a
+    stack trace and exits 1 — the platform's structured crash report."""
+
+    def bomb(method, url, params=None, headers=None, body=None):
+        raise ConnectionError("socket exploded")
+
+    buf = io.StringIO()
+    # discover is offline (schema-driven) so use read-free check? check
+    # catches its own errors into CONNECTION_STATUS — use a config error
+    # instead: required key missing -> ValueError -> config_error TRACE
+    m = tmp_path / "manifest.json"
+    m.write_text(json.dumps(MANIFEST))
+    c = tmp_path / "config.json"
+    c.write_text(json.dumps({}))  # api_key missing
+    rc = run(
+        ["discover", "--manifest", str(m), "--config", str(c)],
+        transport=bomb, out=buf,
+    )
+    assert rc == 1
+    (msg,) = _lines(buf)
+    assert msg["type"] == "TRACE" and msg["trace"]["type"] == "ERROR"
+    assert msg["trace"]["error"]["failure_type"] == "config_error"
+    assert "stack_trace" in msg["trace"]["error"]
+
+
+def test_default_transport_sends_json_body():
+    """default_transport serializes the body kwarg as a JSON POST with the
+    right content type (checked against a local loopback server)."""
+    import http.server
+    import threading
+
+    from airbyte_spark.entrypoint import default_transport
+
+    seen = {}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            seen["body"] = json.loads(self.rfile.read(n))
+            seen["ctype"] = self.headers.get("Content-Type")
+            out = json.dumps({"ok": True}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        status, body = default_transport(
+            "POST",
+            f"http://127.0.0.1:{srv.server_port}/x",
+            params={"q": 1},
+            body={"query": "items", "after": "T1"},
+        )
+        assert status == 200 and body == {"ok": True}
+        assert seen["body"] == {"query": "items", "after": "T1"}
+        assert seen["ctype"] == "application/json"
+    finally:
+        srv.shutdown()
