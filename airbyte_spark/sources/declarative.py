@@ -126,6 +126,90 @@ def _ddl_json_schema(ddl: str) -> dict:
     return _DDL_JSON.get(t, {"type": "string", "description": f"unsupported ddl {ddl}"})
 
 
+_PLAIN_NAME = re.compile(r"^[A-Za-z0-9_]+$")
+
+
+def _ddl_of(value: Any) -> str | None:
+    """DDL type of one JSON value; None for null (unknown)."""
+    if value is None:
+        return None
+    if isinstance(value, bool):  # before int: bool is an int subclass
+        return "boolean"
+    if isinstance(value, int):
+        return "bigint"
+    if isinstance(value, float):
+        return "double"
+    if isinstance(value, str):
+        return "string"
+    if isinstance(value, list):
+        elem: str | None = None
+        for v in value:
+            elem = _join_ddl(elem, _ddl_of(v))
+        return f"array<{elem or 'string'}>"
+    if isinstance(value, dict):
+        if not all(isinstance(k, str) and _PLAIN_NAME.match(k) for k in value):
+            return "string"  # unrepresentable keys -> keep the JSON text
+        fields = ",".join(
+            f"{k}:{_ddl_of(v) or 'string'}" for k, v in sorted(value.items())
+        )
+        return f"struct<{fields}>" if fields else "string"
+    return "string"
+
+
+def _join_ddl(a: str | None, b: str | None) -> str | None:
+    """Widening join of two inferred DDL types: null is absorbed, int and
+    float widen to double, matching arrays/structs merge recursively, any
+    other conflict degrades to string (the JSON text is always recoverable
+    — the same degrade-don't-fail rule as the union-type fallback)."""
+    if a is None:
+        return b
+    if b is None or a == b:
+        return a
+    if {a, b} == {"bigint", "double"}:
+        return "double"
+    if a.startswith("array<") and b.startswith("array<"):
+        return f"array<{_join_ddl(a[6:-1], b[6:-1])}>"
+    if a.startswith("struct<") and b.startswith("struct<"):
+        fa = dict(f.split(":", 1) for f in _split_top(a[7:-1]) if f)
+        fb = dict(f.split(":", 1) for f in _split_top(b[7:-1]) if f)
+        merged = {k: _join_ddl(fa.get(k), fb.get(k)) for k in sorted(set(fa) | set(fb))}
+        return "struct<" + ",".join(f"{k}:{t or 'string'}" for k, t in merged.items()) + ">"
+    return "string"
+
+
+def _split_top(s: str) -> list[str]:
+    """Split a struct field list on top-level commas only (nested
+    struct/array types carry their own commas)."""
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+    out.append(s[start:])
+    return out
+
+
+def infer_schema(records: list[dict], max_records: int = 200) -> dict[str, str]:
+    """Infer a ``{name: DDL}`` schema from a record sample — the
+    connector-builder's SchemaInferrer re-expressed for the engine's typed
+    extractor (airbyte-cdk/python/airbyte_cdk/utils/schema_inferrer.py
+    accumulates a genson JSON schema per stream from observed records; here
+    the accumulated shape feeds ``schema_extract`` directly, so inference
+    and typing share one vocabulary). Only plain-identifier top-level keys
+    are inferred (a dotted name means path traversal to the extractor);
+    fields that were null in every sampled record default to string."""
+    acc: dict[str, str | None] = {}
+    for rec in records[:max_records]:
+        for k, v in rec.items():
+            if isinstance(k, str) and _PLAIN_NAME.match(k):
+                acc[k] = _join_ddl(acc.get(k), _ddl_of(v))
+    return {k: (t or "string") for k, t in acc.items()}
+
+
 def _build_authenticator(
     spec: dict | None,
     transport: Transport,
@@ -183,6 +267,7 @@ class DeclarativeStream:
     error_handler: ErrorHandler | None = None  # response-filter policy
     http_method: str = "GET"
     body_json: dict[str, Any] = field(default_factory=dict)  # request body template
+    infer_schema: bool = False  # no declared schema -> infer from records
 
     @property
     def cursor_field(self) -> str | None:
@@ -348,11 +433,13 @@ class DeclarativeStream:
         raw = spark.createDataFrame(
             [(json.dumps(r),) for r in records], "_ab_data string"
         )
-        df = (
-            schema_extract(raw, "_ab_data", self.schema)
-            if self.schema
-            else raw
-        )
+        schema = self.schema
+        if not schema and self.infer_schema and records:
+            schema = infer_schema(records)
+            log_metric(
+                "declarative_schema_inferred", stream=self.name, fields=len(schema)
+            )
+        df = schema_extract(raw, "_ab_data", schema) if schema else raw
         return apply_transforms(df, self.transforms)
 
     def read_df(
@@ -428,6 +515,7 @@ class ManifestSource:
                     partition_router=s.get("partition_router"),
                     http_method=s.get("http_method", "GET"),
                     body_json=s.get("body", {}),
+                    infer_schema=s.get("infer_schema", False),
                     error_handler=(
                         ErrorHandler(
                             **{
@@ -511,6 +599,24 @@ class ManifestSource:
                 ),
             })
         return {"type": "CATALOG", "catalog": {"streams": entries}}
+
+    def discover_inferred(self, config: dict, max_pages: int = 1) -> dict:
+        """Connector-builder discovery: read a page sample per stream and
+        return a catalog whose schemas are INFERRED from the observed
+        records (schema_inferrer.py accumulate-per-stream behavior).
+        Declared schemas win; only schema-less streams are sampled."""
+        base = self.discover(config)
+        by_name = {e["name"]: e for e in base["catalog"]["streams"]}
+        for s in self.streams(config):
+            if s.schema or not s.infer_schema:
+                continue
+            records, _ = s.read_records(max_pages=max_pages)
+            inferred = infer_schema(records)
+            by_name[s.name]["json_schema"] = {
+                "type": "object",
+                "properties": {n: _ddl_json_schema(t) for n, t in inferred.items()},
+            }
+        return base
 
     def read(
         self,
