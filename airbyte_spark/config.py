@@ -88,11 +88,18 @@ class EngineConfig:
     # This is what keeps small-batch tailing viable on a table that is
     # orders of magnitude larger than each batch (the 100 TB regime).
     mor_max_fraction: float | None = 0.05
-    # Fold deltas back into base (inline compact) once this many delta
-    # files accumulate — bounds scan-side read amplification. At real
-    # scale the fold runs asynchronously; here it is inline and counted
-    # in replay wall time.
+    # Fold deltas back into base (compact) once this many delta files
+    # accumulate — bounds scan-side read amplification.
     mor_max_delta_files: int = 64
+    # Run that fold ASYNCHRONOUSLY (one background thread) while replay
+    # keeps appending delta batches — maintenance off the ingest critical
+    # path, the way a real deployment schedules rewrite_data_files. Safe
+    # because delta appends rebase over the fold's commit and the fold
+    # commits through the rewrite-rebase path (concurrent appends'
+    # files are preserved; a fold whose inputs got rewritten re-plans on
+    # the next trigger). False keeps the fold inline (counted in replay
+    # wall time — simpler ops story for tests/small jobs).
+    mor_async_fold: bool = False
     # Union / oneOf type fallback (supported-data-types.md:74-113): when an
     # incoming column's type conflicts non-additively with the table's, the
     # reference's destinations degrade the column to a JSON-string

@@ -111,6 +111,11 @@ class CdcEngine:
         self.lineage = LineageLog(root)
         self._table: LakeTable | None = None
         self._table_gen: int | None = None
+        # async MoR fold (cfg.mor_async_fold): at most ONE maintenance
+        # rewrite in flight; replay joins it at batch barriers that need a
+        # non-delta commit and at replay end.
+        self._fold_pool = None
+        self._fold_future = None
 
     # ------------------------------------------------------------- lifecycle
 
@@ -542,6 +547,10 @@ class CdcEngine:
                 inflight.unpersist()
             if prefetch_pool is not None:
                 prefetch_pool.shutdown(wait=False)
+            # drain any in-flight async fold: replay never returns with a
+            # maintenance rewrite still running (its tail rides wall time,
+            # same accounting as the inline fold)
+            self._join_fold()
         wall = time.monotonic() - t0
         stats = {
             "batches": n_batches,
@@ -749,6 +758,23 @@ class CdcEngine:
         base_rows = sum(f.rows for f in snap.files if f.kind != "delta")
         return base_rows > 0 and n_events < frac * base_rows
 
+    def _join_fold(self) -> None:
+        """Wait for an in-flight async fold and surface its outcome. A
+        CommitConflict is NON-fatal: the fold's inputs were rewritten under
+        it (stale plan) — the deltas are still live and the next threshold
+        trigger re-plans. Anything else propagates like an inline fold."""
+        fut = self._fold_future
+        if fut is None:
+            return
+        self._fold_future = None
+        from airbyte_spark.lake.table import CommitConflict
+
+        try:
+            v = fut.result()
+            log_metric("mor_fold_async_done", snapshot=v)
+        except CommitConflict as e:
+            log_metric("mor_fold_async_replan", error=str(e))
+
     def _commit_batch(
         self,
         winners: DataFrame,
@@ -763,6 +789,10 @@ class CdcEngine:
         the whole table with this batch (full-refresh overwrite,
         BigQuerySqlGenerator.java:684-694 tmp-swap analog)."""
         mode = self.stream.sync_mode
+        if not (mode == SYNC_APPEND_DEDUP and use_mor):
+            # any non-delta commit rewrites files and cannot rebase over a
+            # concurrent fold (and vice versa): drain maintenance first
+            self._join_fold()
         if mode == SYNC_APPEND_DEDUP:
             if use_mor:
                 table = self.table
@@ -771,12 +801,30 @@ class CdcEngine:
                     and not self.cfg.stage_commits
                 ):
                     # fold deltas back into base before appending more —
-                    # bounds scan-side read amplification (async at scale).
-                    # Deferred while staging: the fold's commit is not
-                    # staged and folding staged deltas into base files
-                    # would implicitly publish them.
-                    v = table.compact()
-                    log_metric("mor_fold", snapshot=v)
+                    # bounds scan-side read amplification. Deferred while
+                    # staging: the fold's commit is not staged and folding
+                    # staged deltas into base files would implicitly
+                    # publish them.
+                    if self.cfg.mor_async_fold:
+                        # off the critical path: one fold in flight max;
+                        # this batch's delta append rebases over its commit
+                        if self._fold_future is not None and self._fold_future.done():
+                            self._join_fold()
+                        if self._fold_future is None:
+                            if self._fold_pool is None:
+                                from concurrent.futures import ThreadPoolExecutor
+
+                                self._fold_pool = ThreadPoolExecutor(
+                                    max_workers=1, thread_name_prefix="mor-fold"
+                                )
+                            self._fold_future = self._fold_pool.submit(table.compact)
+                            log_metric(
+                                "mor_fold_async_submitted",
+                                deltas=table.delta_file_count(),
+                            )
+                    else:
+                        v = table.compact()
+                        log_metric("mor_fold", snapshot=v)
                 n_files = max(
                     1, min(self.cfg.write_partitions or 8, 1 + (n_events or 0) // 250_000)
                 )

@@ -918,6 +918,68 @@ class LakeTable:
             f"append lost {self.REBASE_MAX_RETRIES + 1} commit races in a row"
         )
 
+    def _rewrite_with_rebase(
+        self,
+        base: "Snapshot",
+        replaced_paths: set,
+        new_files: list,
+        summary: dict,
+        mode: str,
+    ) -> int:
+        """Commit ``latest.files - replaced + new_files`` — Iceberg's
+        RewriteFiles validation: a rewrite (delta fold, compaction) planned
+        against ``base`` may commit onto a NEWER snapshot as long as (a)
+        every file it replaced is still live there (nobody else rewrote our
+        inputs) and (b) no intervening commit is rebase-unsafe or changed
+        schema/spec. Files added since planning — e.g. delta appends from a
+        replay batch racing an async fold — are preserved untouched, which
+        is semantically exact because scan-time LWW resolution is an
+        associative per-key max: resolving (base ∪ deltas_at_plan) first and
+        late deltas on top equals resolving everything at once. Raises
+        :class:`CommitConflict` when the replaced set was itself rewritten
+        (the caller re-plans on its next maintenance tick)."""
+        attempt = base
+        for _ in range(self.REBASE_MAX_RETRIES + 1):
+            files = [
+                f for f in attempt.files if f.path not in replaced_paths
+            ] + new_files
+            snap = Snapshot(
+                version=attempt.version + 1,
+                parent=attempt.version,
+                schema_version=attempt.schema_version,
+                schemas=dict(attempt.schemas),
+                spec=attempt.spec,
+                files=files,
+                summary=summary,
+            )
+            try:
+                self._write_snapshot(snap, parent=attempt)
+                return snap.version
+            except CommitConflict:
+                latest = self.snapshot(self.current_version())
+                if (
+                    latest.schema_version != base.schema_version
+                    or latest.spec != base.spec
+                ):
+                    raise
+                for v in range(attempt.version + 1, latest.version + 1):
+                    if (
+                        self.snapshot(v).summary.get("operation")
+                        in self.REBASE_UNSAFE_OPS
+                    ):
+                        raise
+                live = {f.path for f in latest.files}
+                if not replaced_paths <= live:
+                    raise  # our inputs were rewritten: stale plan, re-plan
+                log_metric(
+                    "rewrite_rebased", mode=mode, onto=latest.version,
+                    lost_to=latest.summary.get("operation"),
+                )
+                attempt = latest
+        raise CommitConflict(
+            f"rewrite lost {self.REBASE_MAX_RETRIES + 1} commit races in a row"
+        )
+
     def append_delta(
         self,
         df: DataFrame,
@@ -977,8 +1039,16 @@ class LakeTable:
         pre_aligned: bool = False,
         drop_deltas: bool = False,
         new_spec: dict | None = None,
+        rebase_rewrite: bool = False,
     ) -> int:
         """Write ``df`` as new data files and commit a snapshot.
+
+        ``rebase_rewrite=True`` (maintenance rewrites only — folds,
+        compaction) commits through :meth:`_rewrite_with_rebase`: losing a
+        race to concurrent APPENDS preserves their files instead of
+        conflicting, so maintenance can run off the ingest critical path.
+        Ignored when the commit changes schema/spec or pins a version —
+        those must re-plan on any race.
 
         - ``replace_buckets=None`` -> pure append (keep all existing files).
         - ``replace_buckets=[...]`` -> CoW: drop existing files of those
@@ -1061,6 +1131,19 @@ class LakeTable:
             kept = [f for f in base.files if f.bucket not in dropped]
         if drop_deltas:
             kept = [f for f in kept if f.kind != "delta"]
+
+        if (
+            rebase_rewrite
+            and new_schema is None
+            and new_spec is None
+            and expected_version is None
+        ):
+            kept_paths = {f.path for f in kept}
+            replaced_paths = {f.path for f in base.files if f.path not in kept_paths}
+            return self._rewrite_with_rebase(
+                base, replaced_paths, new_files, summary,
+                summary.get("operation", "rewrite"),
+            )
 
         snap = Snapshot(
             version=new_version,
@@ -1451,6 +1534,8 @@ class LakeTable:
                 replace_buckets=range(snap.spec["num_buckets"]),
                 summary={"operation": "compact-fold"},
                 drop_deltas=True,
+                # maintenance racing ingest appends preserves their files
+                rebase_rewrite=True,
             )
 
         per_bucket: dict[int, int] = {}
@@ -1464,6 +1549,7 @@ class LakeTable:
             df,
             replace_buckets=frag,
             summary={"operation": "compact", "buckets": len(frag)},
+            rebase_rewrite=True,
         )
 
     def rebucket(self, new_num_buckets: int) -> int | None:
