@@ -49,6 +49,24 @@ from airbyte_spark.engine import CdcEngine
 from airbyte_spark.lineage import log_metric
 
 
+def _stream_root(root: str, s: StreamConfig) -> str:
+    """Lake-table root for a stream: namespaced streams land under a
+    namespace subdirectory — the destination-schema analog of the
+    protocol's stream_descriptor.namespace."""
+    if s.namespace:
+        if os.sep in s.namespace or s.namespace in (".", ".."):
+            raise ValueError(f"invalid namespace {s.namespace!r}")
+        return os.path.join(root, "streams", s.namespace, s.name)
+    return os.path.join(root, "streams", s.name)
+
+
+def _descriptor(s: StreamConfig) -> dict:
+    d = {"name": s.name}
+    if s.namespace:
+        d["namespace"] = s.namespace
+    return d
+
+
 class CatalogSnapshotStore:
     """Atomic ``{stream -> table_version}`` pin documents on disk — the
     storage primitive behind catalog snapshots. Single-writer per directory
@@ -152,7 +170,7 @@ class CatalogEngine:
         self.root = root
         self.streams = list(streams)
         self.engines: dict[str, CdcEngine] = {
-            s.name: CdcEngine(spark, os.path.join(root, "streams", s.name), s, cfg)
+            s.name: CdcEngine(spark, _stream_root(root, s), s, cfg)
             for s in streams
         }
         self.state_path = os.path.join(root, "catalog_state.json")
@@ -274,7 +292,7 @@ class CatalogEngine:
             ckpt = load_checkpoint(self.engines[s.name].checkpoint_path)
             stream_states.append(
                 {
-                    "stream_descriptor": {"name": s.name},
+                    "stream_descriptor": _descriptor(s),
                     "stream_state": ckpt.to_json() if ckpt else None,
                 }
             )

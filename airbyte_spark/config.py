@@ -28,6 +28,13 @@ class StreamConfig:
     """
 
     name: str = "tokenseq"
+    # Stream namespace (airbyte-protocol.md stream_descriptor.namespace —
+    # the source schema/dataset): routes the stream's lake table into a
+    # namespace subdirectory (the destination-schema analog) and is carried
+    # on state stream_descriptors. Stream NAMES must still be unique within
+    # a catalog (a documented simplification of the reference's
+    # (namespace, name) key — sync()/changelog routing key on name).
+    namespace: str | None = None
     primary_key: str = "doc_id"
     cursor_field: str = "lsn"
     sync_mode: str = SYNC_APPEND_DEDUP

@@ -64,8 +64,10 @@ class DemuxEngine:
         self.stream_col = stream_col
         self.streams = list(streams)
         self.on_unrouted = on_unrouted
+        from airbyte_spark.catalog import _stream_root
+
         self.engines: dict[str, CdcEngine] = {
-            s.name: CdcEngine(spark, os.path.join(root, "streams", s.name), s, cfg)
+            s.name: CdcEngine(spark, _stream_root(root, s), s, cfg)
             for s in streams
         }
         # the GLOBAL shared WAL position — reuses the Checkpoint doc; only
@@ -227,6 +229,7 @@ class DemuxEngine:
         ckpt = load_checkpoint(self.state_path)
         if ckpt is None:
             return None
+        from airbyte_spark.catalog import _descriptor as _desc
         from airbyte_spark.checkpoint import load_checkpoint as _lc
 
         return {
@@ -235,14 +238,14 @@ class DemuxEngine:
                 "shared_state": ckpt.to_json()["shared_state"],
                 "stream_states": [
                     {
-                        "stream_descriptor": {"name": n},
+                        "stream_descriptor": _desc(s),
                         "stream_state": (
                             c.to_json()
-                            if (c := _lc(self.engines[n].checkpoint_path))
+                            if (c := _lc(self.engines[s.name].checkpoint_path))
                             else None
                         ),
                     }
-                    for n in self.engines
+                    for s in self.streams
                 ],
             },
         }

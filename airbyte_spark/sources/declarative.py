@@ -268,6 +268,7 @@ class DeclarativeStream:
     http_method: str = "GET"
     body_json: dict[str, Any] = field(default_factory=dict)  # request body template
     infer_schema: bool = False  # no declared schema -> infer from records
+    decoder: str = "json"  # "json" | "jsonl" (bulk-export text bodies)
 
     @property
     def cursor_field(self) -> str | None:
@@ -295,6 +296,7 @@ class DeclarativeStream:
             error_handler=self.error_handler,
             http_method=self.http_method,
             body_json=self.body_json if body_json is None else body_json,
+            decoder=self.decoder,
             **kwargs,
         )
 
@@ -516,6 +518,7 @@ class ManifestSource:
                     http_method=s.get("http_method", "GET"),
                     body_json=s.get("body", {}),
                     infer_schema=s.get("infer_schema", False),
+                    decoder=s.get("decoder", "json"),
                     error_handler=(
                         ErrorHandler(
                             **{

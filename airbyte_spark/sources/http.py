@@ -182,6 +182,12 @@ class HttpStreamSource:
     error_handler: ErrorHandler | None = None  # None -> legacy default policy
     http_method: str = "GET"
     body_json: dict[str, Any] = field(default_factory=dict)  # request body template
+    # "json" (default: body is parsed JSON, records under records_field) or
+    # "jsonl" (body is TEXT, one JSON record per line — bulk-export APIs;
+    # the reference's declarative decoders: decoders/json_decoder.py
+    # JsonDecoder/JsonlDecoder). Cursor pagination needs a dict body, so
+    # jsonl pairs with offset/page paginators.
+    decoder: str = "json"
 
     _rate_lock: threading.Lock = field(
         default_factory=threading.Lock, repr=False, compare=False
@@ -286,6 +292,12 @@ class HttpStreamSource:
     def _extract(self, body: Any) -> list[dict]:
         if body is _IGNORED:
             return []
+        if self.decoder == "jsonl":
+            if not body:
+                return []
+            if not isinstance(body, str):
+                raise ValueError("jsonl decoder expects a text response body")
+            return [json.loads(ln) for ln in body.splitlines() if ln.strip()]
         recs = body if self.records_field is None else body.get(self.records_field, [])
         if recs is None:
             return []
@@ -448,6 +460,7 @@ class HttpStreamSource:
                 error_handler=self.error_handler,
                 http_method=self.http_method,
                 body_json=self.body_json,
+                decoder=self.decoder,
             )
             records = list(src.read_records(max_pages=max_pages_per_slice))
             log_metric(
@@ -596,6 +609,7 @@ class HttpStreamSource:
             error_handler=self.error_handler,
             http_method=self.http_method,
             body_json=self.body_json,
+            decoder=self.decoder,
         )
         records = []
         new_state = state
