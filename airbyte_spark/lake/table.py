@@ -1132,12 +1132,11 @@ class LakeTable:
         if drop_deltas:
             kept = [f for f in kept if f.kind != "delta"]
 
-        if (
-            rebase_rewrite
-            and new_schema is None
-            and new_spec is None
-            and expected_version is None
-        ):
+        if rebase_rewrite and new_schema is None and new_spec is None:
+            # expected_version here is the PLAN version: base (and hence the
+            # replaced set) is the snapshot the caller scanned, so racers'
+            # files are never replaced; the rebase loop itself supplies the
+            # freshness the strict-CAS path gets from expected_version
             kept_paths = {f.path for f in kept}
             replaced_paths = {f.path for f in base.files if f.path not in kept_paths}
             return self._rewrite_with_rebase(
@@ -1515,8 +1514,17 @@ class LakeTable:
         null) whose cursor is < horizon are dropped during the rewrite —
         the retention-horizon GC for delete-heavy streams. A tombstone
         older than the horizon can no longer be needed to suppress late
-        out-of-order updates (the caller bounds the reordering window)."""
-        snap = self.snapshot()
+        out-of-order updates (the caller bounds the reordering window).
+
+        The ENTIRE rewrite is pinned to one plan version: the scan, the
+        replaced-file set, and the commit base all come from the same
+        snapshot, so a delta append landing at ANY point during an async
+        fold is provably outside the replaced set and preserved by the
+        rewrite-rebase (an unpinned plan had a window between the scan's
+        snapshot read and the commit's base read where a racer's file
+        could join the replaced set without its rows being in the fold)."""
+        plan_version = self.current_version()
+        snap = self.snapshot(plan_version)
         has_deltas = any(f.kind == "delta" for f in snap.files)
 
         def gc_tombstones(df: DataFrame) -> DataFrame:
@@ -1528,12 +1536,13 @@ class LakeTable:
             )
 
         if has_deltas:
-            df = gc_tombstones(self.scan())
+            df = gc_tombstones(self.scan(version=plan_version))
             return self.write_and_commit(
                 df,
                 replace_buckets=range(snap.spec["num_buckets"]),
                 summary={"operation": "compact-fold"},
                 drop_deltas=True,
+                expected_version=plan_version,
                 # maintenance racing ingest appends preserves their files
                 rebase_rewrite=True,
             )
@@ -1544,11 +1553,12 @@ class LakeTable:
         frag = sorted(b for b, n in per_bucket.items() if n > max_files_per_bucket)
         if not frag:
             return None
-        df = gc_tombstones(self.scan(buckets=frag))
+        df = gc_tombstones(self.scan(buckets=frag, version=plan_version))
         return self.write_and_commit(
             df,
             replace_buckets=frag,
             summary={"operation": "compact", "buckets": len(frag)},
+            expected_version=plan_version,
             rebase_rewrite=True,
         )
 

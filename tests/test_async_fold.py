@@ -102,6 +102,36 @@ def test_fold_rebases_over_concurrent_delta_append(spark, workdir, monkeypatch):
     assert out.count() == rows_before + 1
 
 
+def test_fold_plan_is_version_pinned(spark, workdir, monkeypatch):
+    """A delta landing AFTER the fold picked its plan version but BEFORE
+    its scan executes must survive: the scan, replaced set, and commit base
+    all pin to the plan version, so the racer's file is never replaced.
+    (An unpinned plan had a window where the racer's file joined the
+    replaced set without its rows being in the fold — silent row loss.)"""
+    eng, table = _mor_table(spark, workdir)
+    rows_before = table.scan().count()
+    other = LakeTable.load(spark, eng.table_root)
+    late = _late_delta(other, spark)
+    state = {"raced": False}
+    orig_scan = LakeTable.scan
+
+    def scan(self, buckets=None, version=None, min_cursor_gt=None):
+        if version is not None and self is table and not state["raced"]:
+            state["raced"] = True  # race inside the fold's planning step
+            other.append_delta(late, summary={"operation": "delta-append"})
+        return orig_scan(
+            self, buckets=buckets, version=version, min_cursor_gt=min_cursor_gt
+        )
+
+    monkeypatch.setattr(LakeTable, "scan", scan)
+    v = table.compact()
+    assert v is not None and state["raced"]
+    fresh = LakeTable.load(spark, eng.table_root)
+    out = fresh.scan()
+    assert out.filter(F.col("doc_id") == "late-doc").count() == 1
+    assert out.count() == rows_before + 1
+
+
 def test_fold_refuses_when_inputs_rewritten(spark, workdir, monkeypatch):
     """A concurrent commit that REWROTE the fold's input files (a second
     fold) is not rebasable: the stale fold raises CommitConflict."""
