@@ -758,6 +758,16 @@ class CdcEngine:
         base_rows = sum(f.rows for f in snap.files if f.kind != "delta")
         return base_rows > 0 and n_events < frac * base_rows
 
+    def close(self) -> None:
+        """Release engine-held resources: drain any in-flight async fold
+        and shut the maintenance pool down. Replay already drains folds at
+        its end, so this is only needed by long-lived callers that want
+        deterministic thread teardown before process exit."""
+        self._join_fold()
+        if self._fold_pool is not None:
+            self._fold_pool.shutdown(wait=True)
+            self._fold_pool = None
+
     def _join_fold(self) -> None:
         """Wait for an in-flight async fold and surface its outcome. A
         CommitConflict is NON-fatal: the fold's inputs were rewritten under

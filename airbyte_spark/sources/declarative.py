@@ -201,7 +201,14 @@ def infer_schema(records: list[dict], max_records: int = 200) -> dict[str, str]:
     the accumulated shape feeds ``schema_extract`` directly, so inference
     and typing share one vocabulary). Only plain-identifier top-level keys
     are inferred (a dotted name means path traversal to the extractor);
-    fields that were null in every sampled record default to string."""
+    fields that were null in every sampled record default to string.
+
+    Inference is PER READ: two syncs can observe different shapes and
+    infer different schemas. Pipelines that union incremental reads (or
+    feed a lake table) should pin a declared schema once discovered —
+    ``discover_inferred`` exists exactly to promote an observed shape into
+    the manifest; downstream, the engine's union-type fallback absorbs
+    residual drift by degrading conflicted columns to string."""
     acc: dict[str, str | None] = {}
     for rec in records[:max_records]:
         for k, v in rec.items():

@@ -186,3 +186,16 @@ def test_async_fold_interrupted_resume(spark, workdir):
     eng2 = _engine(spark, workdir, mor_max_delta_files=2, mor_async_fold=True)
     eng2.replay(p)
     assert_frames_equal(final_as_pandas(eng2.read_final()), _golden(spark))
+
+
+def test_engine_close_drains_maintenance(spark, workdir):
+    """close() is idempotent, drains any fold, and shuts the pool down."""
+    eng = _engine(spark, workdir, mor_max_delta_files=3, mor_async_fold=True)
+    eng.create_table()
+    eng.bootstrap(seed_df(spark, CFG))
+    p = os.path.join(workdir, "cl")
+    write_changelog(spark, CFG, p)
+    eng.replay(p, max_batches=4)
+    eng.close()
+    assert eng._fold_pool is None and eng._fold_future is None
+    eng.close()  # idempotent
