@@ -237,9 +237,9 @@ def token_budget_oracle_sql(
           FROM {table_expr}
         )
         SELECT source, doc_id, n_tok,
-               SUM(n_tok) OVER (
+               CAST(SUM(n_tok) OVER (
                  PARTITION BY source ORDER BY k, doc_id
-                 ROWS UNBOUNDED PRECEDING) AS cum_tok
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
         FROM t
         QUALIFY cum_tok <= {int(budget)}
     """

@@ -29,8 +29,11 @@ TABLES = [
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # Canonical value rendering: floats rounded so Spark/DuckDB ULP noise
-    # does not flip the hash (the driver is stricter; green here with
-    # rounding + exact row counts has matched the driver every round).
+    # does not flip the hash.  Float leniency applies ONLY when the column is
+    # float on the side being canonicalized — we deliberately do NOT coerce
+    # dtypes across sides, so an oracle that renders an integer aggregate as
+    # float64 (e.g. an un-CAST DuckDB window SUM) fails here exactly like it
+    # fails with the driver (r3 lesson: corpus_token_budget).
     out = {}
     for c in df.columns:
         s = df[c]
@@ -75,6 +78,7 @@ def main() -> int:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     fails = []
+    report: dict[str, dict] = {}
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
@@ -83,29 +87,53 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error {exc}")
             fails.append(name)
+            report[name] = {"status": "FAIL", "err": f"spark: {exc}"}
             continue
         sql = oracles.get(name)
         if sql is None:
             print(f"PASS {name}: rows-only ({len(sdf)})")
+            report[name] = {"status": "PASS", "mode": "rows-only", "spark_rows": len(sdf)}
             continue
         try:
             odf = con.execute(sql).df()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: oracle error {exc}")
             fails.append(name)
+            report[name] = {"status": "FAIL", "err": f"oracle: {exc}"}
             continue
         rows = len(sdf) == len(odf)
         schema = sorted(map(str.lower, sdf.columns)) == sorted(map(str.lower, odf.columns))
         if rows and schema:
             a, b = _canon(sdf), _canon(odf)
             b.columns = a.columns  # case-insensitive name match already checked
-            hsh = _hash(a) == _hash(b.astype({c: a[c].dtype for c in a.columns}, errors="ignore"))
+            # Driver-strict: NO cross-side dtype coercion.  int64 12 vs
+            # float64 12.0 must hash-differ, like it does for the driver.
+            hsh = _hash(a) == _hash(b)
         else:
             hsh = False
         status = "PASS" if (rows and schema and hsh) else "FAIL"
         if status == "FAIL":
             fails.append(name)
         print(f"{status} {name}: rows={len(sdf)}/{len(odf)} schema={schema} hash={hsh}")
+        report[name] = {
+            "status": status,
+            "rows_match": rows,
+            "schema_match": schema,
+            "hash_match": hsh,
+            "spark_rows": len(sdf),
+            "oracle_rows": len(odf),
+        }
+
+    # Full-suite runs persist a committed local-correctness snapshot so a
+    # future driver sample disagreement is immediately triangulable (the
+    # driver samples a subset per round; this file covers ALL keys).
+    if not only:
+        out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "CORRECTNESS_local.json")
+        with open(out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_queries": len(report),
+                       "n_failures": len(fails), "results": report}, f, indent=1)
+        print(f"wrote {out}")
 
     print(f"\n{len(fails)} failures" + (f": {fails}" if fails else ""))
     return len(fails)
