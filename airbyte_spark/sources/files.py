@@ -142,6 +142,93 @@ class FileHistoryCursor:
                 "_ab_source_file_last_modified": cursor}
 
 
+@dataclass(frozen=True)
+class CsvFormat:
+    """CSV dialect options, mirroring the reference's
+    `airbyte-cdk/python/airbyte_cdk/sources/file_based/config/csv_format.py`
+    (delimiter/quote/escape/encoding/double_quote/null_values/
+    strings_can_be_null/skip_rows_before_header/skip_rows_after_header/
+    header_definition/true_values/false_values).
+
+    Execution strategy (Spark-first, three tiers):
+
+    1. Pure reader options (delimiter, quote, escape, double-quote, encoding,
+       header, ≤1 null value) → the native splittable Spark CSV scan with the
+       typed schema pushed down. The common path; whole-stage codegen.
+    2. Multiple null values / true-false lists → native scan with an
+       all-strings schema, then a vectorized ``isin``-nullify + cast
+       projection (still JVM-side, one extra projection, no Python).
+    3. ``skip_rows_*`` preambles → per-file pandas parse via ``mapInPandas``
+       over the file list (Arrow-batched; parallel BY FILE, exactly how the
+       reference's per-file parser and any non-splittable codec scales —
+       preamble-skipping is inherently a per-file-prefix operation).
+    """
+
+    delimiter: str = ","
+    quote_char: str = '"'
+    escape_char: str | None = None
+    double_quote: bool = True
+    encoding: str = "utf-8"
+    null_values: tuple[str, ...] = ()
+    strings_can_be_null: bool = True
+    skip_rows_before_header: int = 0
+    skip_rows_after_header: int = 0
+    header_definition: str = "from_csv"  # from_csv | autogenerated | user_provided
+    column_names: tuple[str, ...] = ()  # for header_definition=user_provided
+    true_values: tuple[str, ...] = ()
+    false_values: tuple[str, ...] = ()
+
+    def __post_init__(self):
+        if len(self.delimiter) != 1:
+            raise ValueError("delimiter must be a single character")
+        if len(self.quote_char) != 1:
+            raise ValueError("quote_char must be a single character")
+        if self.escape_char is not None and len(self.escape_char) != 1:
+            raise ValueError("escape_char must be a single character")
+        if self.header_definition not in ("from_csv", "autogenerated", "user_provided"):
+            raise ValueError(f"unknown header_definition {self.header_definition!r}")
+        if self.header_definition == "user_provided" and not self.column_names:
+            raise ValueError("user_provided header needs column_names")
+        if self.skip_rows_before_header < 0 or self.skip_rows_after_header < 0:
+            raise ValueError("skip_rows_* must be >= 0")
+
+    # -- tier selection ---------------------------------------------------
+
+    def needs_string_pass(self) -> bool:
+        """True when values must be read as strings and mapped JVM-side."""
+        return (
+            len(self.null_values) > 1
+            # native nullValue applies to every column; when string columns
+            # must keep literal null tokens, mapping has to be per-column
+            or (bool(self.null_values) and not self.strings_can_be_null)
+            or bool(self.true_values)
+            or bool(self.false_values)
+        )
+
+    def needs_per_file_parse(self) -> bool:
+        """True when the dialect needs the per-file pandas parser (tier 3)."""
+        return self.skip_rows_before_header > 0 or self.skip_rows_after_header > 0
+
+    def spark_options(self) -> dict[str, str]:
+        """The dialect rendered as native Spark CSV reader options."""
+        esc = self.escape_char
+        if esc is None:
+            # RFC-4180 doubled quotes ("" inside a quoted field) are
+            # expressed in univocity as escape == quote
+            esc = self.quote_char if self.double_quote else "\\"
+        opts = {
+            "sep": self.delimiter,
+            "quote": self.quote_char,
+            "escape": esc,
+            "encoding": self.encoding,
+            "header": "true" if self.header_definition == "from_csv" else "false",
+            "mode": "PERMISSIVE",
+        }
+        if len(self.null_values) == 1:
+            opts["nullValue"] = self.null_values[0]
+        return opts
+
+
 class FileSource:
     """A bounded file-based changelog source with a declared schema."""
 
@@ -151,6 +238,7 @@ class FileSource:
         path: str,
         fmt: str = "parquet",
         schema: StructType | None = None,
+        csv_format: CsvFormat | None = None,
     ):
         if fmt not in FORMATS:
             raise ValueError(f"format {fmt!r} not in {FORMATS}")
@@ -158,6 +246,7 @@ class FileSource:
         self.path = path
         self.fmt = fmt
         self.schema = schema or S.changelog_schema()
+        self.csv_format = csv_format or CsvFormat()
 
     def read(self) -> DataFrame:
         if self.fmt == "parquet":
@@ -167,14 +256,44 @@ class FileSource:
         if self.fmt == "jsonl":
             return self.spark.read.schema(self.schema).json(self.path)
         if self.fmt == "csv":
-            # CSV cannot nest arrays: tokens travel as a joined string column
-            flat = self.spark.read.option("header", "true").schema(
-                _csv_schema(self.schema)
-            ).csv(self.path)
-            return _csv_restore_arrays(flat, self.schema)
+            return self._read_csv([self.path])
         # avro: requires the spark-avro module on the classpath; callers
         # should gate with is_avro_available()
         return self.spark.read.format("avro").load(self.path)
+
+    def _read_csv(self, paths: list[str]) -> DataFrame:
+        """Dialect-aware CSV read (see CsvFormat for the tier strategy).
+        Array columns travel as ';'-joined strings (CSV cannot nest)."""
+        from pyspark.sql.types import StringType, StructField
+
+        fmt = self.csv_format
+        flat_schema = _csv_schema(self.schema)
+        if fmt.header_definition == "user_provided":
+            # headerless file; column_names give the FILE's column order,
+            # possibly different from the declared schema — read strings
+            # positionally, then select/cast into declared order by name
+            read_schema = StructType(
+                [StructField(n, StringType(), True) for n in fmt.column_names]
+            )
+            string_pass = True
+        elif fmt.needs_string_pass() or fmt.needs_per_file_parse():
+            read_schema = _all_strings(flat_schema)
+            string_pass = True
+        else:
+            read_schema = flat_schema
+            string_pass = False
+        if fmt.needs_per_file_parse():
+            flat = _csv_per_file_parse(self.spark, paths, fmt, read_schema)
+        else:
+            opts = fmt.spark_options()
+            if string_pass:
+                # null/bool token mapping happens in the typed projection;
+                # the read itself must hand every token through verbatim
+                opts.pop("nullValue", None)
+            flat = self.spark.read.options(**opts).schema(read_schema).csv(paths)
+        if string_pass:
+            flat = _csv_apply_value_maps(flat, fmt, flat_schema)
+        return _csv_restore_arrays(flat, self.schema)
 
     # -- incremental (file-history) sync ---------------------------------
 
@@ -201,10 +320,7 @@ class FileSource:
         if self.fmt == "jsonl":
             return self.spark.read.schema(self.schema).json(uris)
         if self.fmt == "csv":
-            flat = self.spark.read.option("header", "true").schema(
-                _csv_schema(self.schema)
-            ).csv(uris)
-            return _csv_restore_arrays(flat, self.schema)
+            return self._read_csv(uris)
         return self.spark.read.format("avro").load(uris)
 
     def incremental_slices(
@@ -280,6 +396,111 @@ def _csv_restore_arrays(flat: DataFrame, schema: StructType) -> DataFrame:
             ),
         ).drop(raw)
     return flat
+
+
+def _all_strings(schema: StructType) -> StructType:
+    """The same field names, every type widened to string (tier-2 read)."""
+    from pyspark.sql.types import StringType, StructField
+
+    return StructType([StructField(f.name, StringType(), True) for f in schema.fields])
+
+
+def _csv_apply_value_maps(flat: DataFrame, fmt: CsvFormat, flat_schema: StructType) -> DataFrame:
+    """Vectorized null/bool token mapping + cast from an all-strings frame
+    into the declared flat schema — one JVM-side projection, no Python."""
+    from pyspark.sql.types import BooleanType, StringType
+
+    cols = []
+    for f in flat_schema.fields:
+        raw = F.col(f.name)
+        if isinstance(f.dataType, BooleanType):
+            c = raw.cast("boolean")
+            if fmt.false_values:
+                c = F.when(raw.isin(*fmt.false_values), F.lit(False)).otherwise(c)
+            if fmt.true_values:
+                c = F.when(raw.isin(*fmt.true_values), F.lit(True)).otherwise(c)
+        else:
+            c = raw.cast(f.dataType)
+        is_string = isinstance(f.dataType, StringType)
+        if fmt.null_values and (fmt.strings_can_be_null or not is_string):
+            c = F.when(raw.isin(*fmt.null_values), F.lit(None)).otherwise(c)
+        cols.append(c.alias(f.name))
+    return flat.select(*cols)
+
+
+def _csv_data_files(paths: list[str]) -> list[str]:
+    """Expand directories to their .csv data files (driver-side listing,
+    metadata-scale — same discipline as FileSource.list_files)."""
+    out = []
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, names in os.walk(p):
+                for n in sorted(names):
+                    if not n.startswith((".", "_")) and n.endswith(_EXTS["csv"]):
+                        out.append(os.path.join(root, n))
+        else:
+            out.append(p)
+    return out
+
+
+def _csv_per_file_parse(
+    spark: SparkSession, paths: list[str], fmt: CsvFormat, read_schema: StructType
+) -> DataFrame:
+    """Tier-3 dialect parse: one pandas.read_csv per file, Arrow-batched via
+    mapInPandas over the file LIST (parallel by file — preamble skipping is
+    a per-file-prefix operation, so intra-file splitting cannot apply; the
+    reference's csv_parser.py is per-file for the same reason). Every value
+    comes back as a string; _csv_apply_value_maps does the typed cast."""
+    files = _csv_data_files(paths)
+    if not files:
+        return spark.createDataFrame([], read_schema)
+    names = [f.name for f in read_schema.fields]
+    has_header = fmt.header_definition == "from_csv"
+    skip_b, skip_a = fmt.skip_rows_before_header, fmt.skip_rows_after_header
+    sep, quote, esc = fmt.delimiter, fmt.quote_char, fmt.escape_char
+    dq, enc = fmt.double_quote, fmt.encoding
+
+    def parse(batches):
+        import pandas as pd
+
+        for b in batches:
+            for uri in b["uri"]:
+                if has_header:
+                    # file-line indices: preamble, then header at skip_b,
+                    # then skip_a junk rows between header and data
+                    skiprows = list(range(skip_b)) + list(
+                        range(skip_b + 1, skip_b + 1 + skip_a)
+                    )
+                    header = 0
+                else:
+                    skiprows = list(range(skip_b + skip_a))
+                    header = None
+                pdf = pd.read_csv(
+                    uri,
+                    sep=sep,
+                    quotechar=quote,
+                    escapechar=esc,
+                    doublequote=dq,
+                    encoding=enc,
+                    header=header,
+                    skiprows=skiprows,
+                    dtype=str,
+                    keep_default_na=False,
+                    na_values=[],
+                )
+                if len(pdf.columns) != len(names):
+                    raise ValueError(
+                        f"{uri}: {len(pdf.columns)} columns, schema has {len(names)}"
+                    )
+                pdf.columns = names  # positional, like Spark's enforceSchema
+                # Spark's CSV reader renders empty fields as null (its
+                # nullValue default is "") — align so tiers agree
+                yield pdf.where(pdf != "", None)
+
+    fdf = spark.createDataFrame([(u,) for u in files], "uri string").repartition(
+        max(1, min(len(files), 256))
+    )
+    return fdf.mapInPandas(parse, schema=read_schema)
 
 
 def _csv_schema(schema: StructType) -> StructType:
