@@ -1276,6 +1276,20 @@ def q_docs_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_embed_lanes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic embedder (operators/embedder.py, vector_db_based
+    embedder.py parity): the integer md5 lanes each document's unit vector
+    is derived from — exact cross-engine (the float normalization is a pure
+    projection of these lanes). Narrow plan, zero shuffles, whole-stage
+    codegen end to end."""
+    from airbyte_spark.operators.embedder import deterministic_lanes
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return d.select(
+        "doc_id", F.array(*deterministic_lanes(F.col("text"), 8)).alias("lanes")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full CDC pipeline (validate -> dedup -> apply) at sf0.001."""
     return q_cdc_apply_final(spark, SF0001)
@@ -1351,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_demux_streams": q_cdc_demux_streams,
         "docs_url_dedup": q_docs_url_dedup,
         "docs_unicode_clean": q_docs_unicode_clean,
+        "docs_embed_lanes": q_docs_embed_lanes,
     }
 
 
@@ -1448,6 +1463,12 @@ SELECT doc_id,
        CAST(length({clean_sql(dirty)}) AS BIGINT) AS clean_len
 FROM documents
 """
+
+
+def _embed_lanes_oracle() -> str:
+    from airbyte_spark.operators.embedder import embed_lanes_oracle_sql
+
+    return embed_lanes_oracle_sql(dimensions=8)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2175,4 +2196,5 @@ GROUP BY 1
 """,
         "docs_url_dedup": _url_dedup_oracle(),
         "docs_unicode_clean": _unicode_clean_oracle(),
+        "docs_embed_lanes": _embed_lanes_oracle(),
     }

@@ -66,6 +66,47 @@ class Embedder:
         raise NotImplementedError
 
 
+def deterministic_lanes(col, dimensions: int) -> list:
+    """The integer lanes of :class:`DeterministicEmbedder` BEFORE float
+    normalization: 32-bit windows of chained ``md5(value:j)`` digests as
+    exact int64 — SQL-portable (see :func:`embed_lanes_oracle_sql`), which
+    is what makes the embedder value-hash gateable cross-engine."""
+    lanes = []
+    for j in range(math.ceil(dimensions / 4)):
+        digest = F.md5(F.concat_ws(":", col.cast("string"), F.lit(j)))
+        for k in range(4):
+            if len(lanes) == dimensions:
+                break
+            lanes.append(F.conv(F.substring(digest, 8 * k + 1, 8), 16, 10).cast("long"))
+    return lanes
+
+
+def embed_lanes_oracle_sql(
+    dimensions: int = 8,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB rendering of :func:`deterministic_lanes` over a table."""
+    lanes = []
+    j = 0
+    while len(lanes) < dimensions:
+        for k in range(4):
+            if len(lanes) == dimensions:
+                break
+            lanes.append(
+                f"CAST(('0x' || substring(md5({text_col} || ':' || {j}), "
+                f"{8 * k + 1}, 8)) AS BIGINT)"
+            )
+        j += 1
+    return f"""
+        SELECT {id_col}, [{", ".join(lanes)}] AS lanes
+        FROM {table}
+        WHERE {text_col} IS NOT NULL
+        ORDER BY {id_col}
+    """
+
+
 class DeterministicEmbedder(Embedder):
     """FakeEmbedder parity, but pure Catalyst: float lanes are 32-bit
     windows of chained ``md5(text:j)`` digests mapped to [-1, 1], then
@@ -80,14 +121,10 @@ class DeterministicEmbedder(Embedder):
         return None
 
     def embed(self, df, text_col="page_content", out_col="embedding"):
-        lanes = []
-        for j in range(math.ceil(self.dimensions / 4)):
-            digest = F.md5(F.concat_ws(":", F.col(text_col).cast("string"), F.lit(j)))
-            for k in range(4):
-                if len(lanes) == self.dimensions:
-                    break
-                word = F.conv(F.substring(digest, 8 * k + 1, 8), 16, 10).cast("double")
-                lanes.append(word / F.lit(float(2**31)) - F.lit(1.0))
+        lanes = [
+            lane.cast("double") / F.lit(float(2**31)) - F.lit(1.0)
+            for lane in deterministic_lanes(F.col(text_col), self.dimensions)
+        ]
         vec = F.array(*lanes)
         norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
         unit = F.transform(vec, lambda x: (x / norm).cast("float"))
