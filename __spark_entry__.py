@@ -1290,6 +1290,66 @@ def q_docs_embed_lanes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PM31 = 2_147_483_648
+
+
+def _plsn_h(salt: int) -> str:
+    """Dialect-neutral 2-round LCG hash of lsn (pure BIGINT arithmetic,
+    products < 2^62 — same template as plans/derived.py)."""
+    r1 = f"((lsn + {salt}) % {_PM31})"
+    r2 = f"(({r1} * 1103515245 + 12345) % {_PM31})"
+    return f"(({r2} * 1103515245 + 12345) % {_PM31})"
+
+
+# patch-envelope masks for cdc_patch_fold — one string, both dialects
+_PM_GROUP = f"({_plsn_h(41)} % 4)"          # 1 -> n_tok absent, 0 -> event_type absent
+_PM_ETNULL = f"(({_plsn_h(43)} % 5) = 0)"   # explicit NULL of event_type
+_PM_PH = f"(({_plsn_h(45)} % 3) = 0)"       # payload_hash absent
+
+
+def q_cdc_patch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-update (patch) envelope fold — column-wise LWW with
+    full-image epochs (operators/patch.py fold_patches). U events carry
+    only a deterministic subset of (n_tok, event_type, payload_hash);
+    explicitly-nulled event_type rides `_ab_null_fields`. One shuffle on
+    doc_id: epoch window + max-epoch filter + max_by hash aggregate."""
+    from airbyte_spark.operators.patch import fold_patches
+
+    ch = _changelog(spark, sf_dir).drop("tokens")
+    is_u = F.col("op") == "U"
+    grp = F.expr(_PM_GROUP)
+    etn = is_u & (grp != 0) & F.expr(_PM_ETNULL)
+    ch = (
+        ch.withColumn("n_tok", F.when(is_u & (grp == 1), None).otherwise(F.col("n_tok")))
+        .withColumn(
+            "event_type",
+            F.when(is_u & ((grp == 0) | etn), None).otherwise(F.col("event_type")),
+        )
+        .withColumn(
+            "payload_hash",
+            F.when(is_u & F.expr(_PM_PH), None).otherwise(F.col("payload_hash")),
+        )
+        .withColumn(
+            "_ab_null_fields",
+            F.when(etn, F.array(F.lit("event_type"))).otherwise(
+                F.array().cast("array<string>")
+            ),
+        )
+    )
+    folded = fold_patches(ch, payload_cols=["n_tok", "event_type", "payload_hash"])
+    return folded.select(
+        "doc_id",
+        "op",
+        "lsn",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "event_type",
+        F.col("payload_hash").cast("long").alias("payload_hash"),
+        F.col("_touched_n_tok").cast("int").alias("touched_n_tok"),
+        F.col("_touched_event_type").cast("int").alias("touched_event_type"),
+        F.col("_touched_payload_hash").cast("int").alias("touched_payload_hash"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full CDC pipeline (validate -> dedup -> apply) at sf0.001."""
     return q_cdc_apply_final(spark, SF0001)
@@ -1366,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_url_dedup": q_docs_url_dedup,
         "docs_unicode_clean": q_docs_unicode_clean,
         "docs_embed_lanes": q_docs_embed_lanes,
+        "cdc_patch_fold": q_cdc_patch_fold,
     }
 
 
@@ -1523,6 +1584,49 @@ WITH ch AS ({_CH})
 SELECT source_partition, max(lsn) AS last_lsn, count(*) AS events,
        count(DISTINCT doc_id) AS distinct_docs
 FROM ch GROUP BY source_partition
+""",
+        "cdc_patch_fold": f"""
+WITH ch AS ({_CH}),
+p AS (
+  SELECT op, doc_id, lsn,
+    CASE WHEN op='U' AND {_PM_GROUP} = 1 THEN NULL ELSE n_tok END AS n_tok,
+    CASE WHEN op='U' AND ({_PM_GROUP} = 0
+                          OR ({_PM_GROUP} <> 0 AND {_PM_ETNULL}))
+         THEN NULL ELSE event_type END AS event_type,
+    CASE WHEN op='U' AND {_PM_PH} THEN NULL ELSE payload_hash END AS payload_hash,
+    (op='U' AND {_PM_GROUP} <> 0 AND {_PM_ETNULL}) AS etn
+  FROM ch),
+e AS (
+  SELECT *, SUM(CASE WHEN op IN ('I','D') THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY lsn
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS epoch
+  FROM p),
+f AS (
+  SELECT * FROM (SELECT *, MAX(epoch) OVER (PARTITION BY doc_id) AS maxe FROM e)
+  WHERE epoch = maxe),
+pres AS (
+  SELECT *,
+    (op='I') OR (op='U' AND n_tok IS NOT NULL) AS pr_nt,
+    (op='I') OR (op='U' AND (event_type IS NOT NULL OR etn)) AS pr_et,
+    (op='I') OR (op='U' AND payload_hash IS NOT NULL) AS pr_ph
+  FROM f),
+w AS (
+  SELECT *,
+    MIN(lsn) OVER (PARTITION BY doc_id) AS head_lsn,
+    MAX(CASE WHEN pr_nt THEN lsn END) OVER (PARTITION BY doc_id) AS wl_nt,
+    MAX(CASE WHEN pr_et THEN lsn END) OVER (PARTITION BY doc_id) AS wl_et,
+    MAX(CASE WHEN pr_ph THEN lsn END) OVER (PARTITION BY doc_id) AS wl_ph
+  FROM pres)
+SELECT doc_id,
+  MAX(CASE WHEN lsn = head_lsn THEN op END) AS op,
+  CAST(MAX(lsn) AS BIGINT) AS lsn,
+  CAST(MAX(CASE WHEN lsn = wl_nt THEN n_tok END) AS BIGINT) AS n_tok,
+  MAX(CASE WHEN lsn = wl_et THEN event_type END) AS event_type,
+  CAST(MAX(CASE WHEN lsn = wl_ph THEN payload_hash END) AS BIGINT) AS payload_hash,
+  CAST(MAX(CASE WHEN pr_nt THEN 1 ELSE 0 END) AS INT) AS touched_n_tok,
+  CAST(MAX(CASE WHEN pr_et THEN 1 ELSE 0 END) AS INT) AS touched_event_type,
+  CAST(MAX(CASE WHEN pr_ph THEN 1 ELSE 0 END) AS INT) AS touched_payload_hash
+FROM w GROUP BY doc_id
 """,
         "cdc_tombstone_stats": _WINNERS
         + """

@@ -46,6 +46,14 @@ class ChangelogConfig:
     n_source_partitions: int = 4
     max_tokens: int = 64
     vocab_size: int = 50_257
+    # Patch-style update envelopes (StreamConfig.update_mode="patch"):
+    # U events carry only a changed-column subset — tokens+n_tok travel as
+    # one group (they are one logical field; a source would never ship one
+    # without the other), `source` as another; ~1 in 5 source-bearing
+    # patches instead EXPLICITLY nulls it via the `_ab_null_fields` list.
+    # The column is emitted whenever this is on (empty array on I events,
+    # NULL payloads on D as usual).
+    patch_updates: bool = False
 
 
 def _lcg(c: Column) -> Column:
@@ -130,15 +138,38 @@ def changelog_df(spark: SparkSession, cfg: ChangelogConfig) -> DataFrame:
     n_tok = F.when(is_corrupt, length + F.lit(1) + (_h(j, 8, s) % F.lit(5)).cast("int")).otherwise(length)
 
     is_delete = op == "D"
-    return df.select(
+    cols = [
         op.alias("op"),
         _doc_id_expr(doc_idx).alias("doc_id"),
         lsn.alias("lsn"),
         ts_ms.alias("ts_ms"),
         (doc_idx % cfg.n_source_partitions).cast("int").alias("source_partition"),
-        F.when(is_delete, F.lit(None)).otherwise(tokens).alias("tokens"),
-        F.when(is_delete, F.lit(None)).otherwise(n_tok).cast("int").alias("n_tok"),
-        F.when(is_delete, F.lit(None)).otherwise(_source_expr(doc_idx)).alias("source"),
+    ]
+    if not cfg.patch_updates:
+        return df.select(
+            *cols,
+            F.when(is_delete, F.lit(None)).otherwise(tokens).alias("tokens"),
+            F.when(is_delete, F.lit(None)).otherwise(n_tok).cast("int").alias("n_tok"),
+            F.when(is_delete, F.lit(None)).otherwise(_source_expr(doc_idx)).alias("source"),
+        )
+
+    # patch envelopes: mask m in [0,4) -> 0: tokens-group only, 1: source
+    # only, 2/3: both; explicit source null on ~20% of source-bearing Us
+    is_update = op == "U"
+    m = _h(j, 21, s) % F.lit(4)
+    tok_present = (~is_update) | (m != F.lit(1))
+    src_present = (~is_update) | (m != F.lit(0))
+    src_null = is_update & src_present & (_h(j, 22, s) % F.lit(5) == F.lit(0))
+    return df.select(
+        *cols,
+        F.when(is_delete | ~tok_present, F.lit(None)).otherwise(tokens).alias("tokens"),
+        F.when(is_delete | ~tok_present, F.lit(None)).otherwise(n_tok).cast("int").alias("n_tok"),
+        F.when(is_delete | ~src_present | src_null, F.lit(None))
+        .otherwise(_source_expr(doc_idx))
+        .alias("source"),
+        F.when(src_null, F.array(F.lit("source")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_ab_null_fields"),
     )
 
 

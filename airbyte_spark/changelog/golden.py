@@ -43,17 +43,25 @@ def apply_golden(
     seed_pdf: pd.DataFrame | None,
     changelog_pdf: pd.DataFrame,
     vocab_size: int = 50_257,
+    patch_mode: bool = False,
 ) -> pd.DataFrame:
     """Replay seed + changelog; return the expected final table as pandas
     with columns (doc_id, tokens, n_tok, source, _ab_lsn), sorted by doc_id.
 
     ``seed_pdf`` rows are treated as inserts at their own (lsn, ts_ms)
     (the generator seeds at lsn=0, before any stream event).
+
+    ``patch_mode``: U events carry only changed columns (tokens+n_tok as
+    one group — present iff tokens is not None; `source` present iff
+    non-None or listed in the row's `_ab_null_fields`). A patch to a
+    DELETED doc is suppressed (a tombstone is positive knowledge; see
+    operators/patch.py resolve_patches); a patch to an unknown doc upserts
+    the touched columns with the rest NULL.
     """
     # state: doc_id -> dict(lsn, ts_ms, deleted, tokens, n_tok, source)
     state: dict[str, dict] = {}
 
-    def apply_event(op, doc_id, lsn, ts_ms, tokens, n_tok, source):
+    def apply_event(op, doc_id, lsn, ts_ms, tokens, n_tok, source, null_fields=()):
         cur = state.get(doc_id)
         key = (int(lsn), int(ts_ms))
         if cur is not None and key < (cur["lsn"], cur["ts_ms"]):
@@ -63,6 +71,25 @@ def apply_golden(
                 "lsn": key[0], "ts_ms": key[1], "deleted": True,
                 "tokens": None, "n_tok": None, "source": None,
             }
+            return
+        if patch_mode and op == "U":
+            if cur is not None and cur["deleted"]:
+                return  # tombstone suppresses partial images
+            nf = list(null_fields) if null_fields is not None else []
+            base = cur if cur is not None else {
+                "tokens": None, "n_tok": None, "source": None,
+            }
+            new = {"lsn": key[0], "ts_ms": key[1], "deleted": False,
+                   "tokens": base["tokens"], "n_tok": base["n_tok"],
+                   "source": base["source"]}
+            if tokens is not None:
+                toks, nt, _err = _validate_payload(tokens, n_tok, vocab_size)
+                new["tokens"], new["n_tok"] = toks, nt
+            if "source" in nf:
+                new["source"] = None
+            elif source is not None:
+                new["source"] = source
+            state[doc_id] = new
             return
         toks, nt, _err = _validate_payload(tokens, n_tok, vocab_size)
         state[doc_id] = {
@@ -75,8 +102,15 @@ def apply_golden(
             apply_event("I", row.doc_id, row.lsn, row.ts_ms, row.tokens, row.n_tok, row.source)
 
     ordered = changelog_pdf.sort_values(["lsn", "ts_ms"], kind="mergesort")
+    # itertuples positional-renames underscore-prefixed columns; alias it
+    has_nf = "_ab_null_fields" in ordered.columns
+    if has_nf:
+        ordered = ordered.rename(columns={"_ab_null_fields": "nf"})
     for row in ordered.itertuples(index=False):
-        apply_event(row.op, row.doc_id, row.lsn, row.ts_ms, row.tokens, row.n_tok, row.source)
+        apply_event(
+            row.op, row.doc_id, row.lsn, row.ts_ms, row.tokens, row.n_tok, row.source,
+            null_fields=row.nf if has_nf else (),
+        )
 
     rows = [
         {

@@ -45,6 +45,16 @@ class StreamConfig:
     # ever stores mapped values. Tuple of dicts (frozen dataclass).
     # Renaming/removing the primary key or cursor column raises at sync.
     mappers: tuple = ()
+    # Update-envelope semantics: "full" = every U event carries the complete
+    # after-image (row-based replication, the default); "patch" = U events
+    # carry ONLY changed columns (MongoDB change streams / MySQL
+    # binlog_row_image=MINIMAL) — absent column means unchanged, an
+    # explicitly-nulled column is listed in the event's `_ab_null_fields`
+    # array. Patch batches fold column-wise (operators/patch.py) and are
+    # resolved to full rows against the touched buckets before commit, so
+    # every stored row stays a complete image and scan/merge paths are
+    # unchanged. Only meaningful with sync_mode=append_dedup.
+    update_mode: str = "full"
     # Lake layout: final table bucketed by hash(primary_key) % num_buckets so
     # MERGE rewrites only affected buckets and dedup shuffles align.
     # SIZING RULE: pick num_buckets ~ table_bytes / target_file_bytes

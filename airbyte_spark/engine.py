@@ -45,7 +45,7 @@ from airbyte_spark.operators.dedup import lww_dedup
 from airbyte_spark.operators.merge import merge_upsert, merge_upsert_mor
 from airbyte_spark.operators.metadata import inject_cdc_metadata
 
-_SOURCE_ONLY_COLS = {"op", "lsn", "ts_ms", "source_partition"}
+_SOURCE_ONLY_COLS = {"op", "lsn", "ts_ms", "source_partition", "_ab_null_fields"}
 
 
 class SchemaEvolutionError(ValueError):
@@ -116,6 +116,9 @@ class CdcEngine:
         # non-delta commit and at replay end.
         self._fold_pool = None
         self._fold_future = None
+        # patch-mode scratch: persisted intermediates (the folded batch)
+        # released in the same finally that unpersists the batch's winners
+        self._scratch: list[DataFrame] = []
 
     # ------------------------------------------------------------- lifecycle
 
@@ -606,6 +609,10 @@ class CdcEngine:
 
         batch_types = {f.name: f.dataType for f in batch.schema.fields}
         out = [F.col(c) for c in ("op", "lsn", "ts_ms", "source_partition")]
+        if self.stream.update_mode == "patch" and "_ab_null_fields" in batch_types:
+            # the explicit-null list is envelope metadata, consumed by the
+            # patch fold and never stored
+            out.append(F.col("_ab_null_fields"))
         for f in table_schema.fields:
             if f.name in S.ENGINE_COLS or f.name == "op":
                 continue
@@ -716,12 +723,60 @@ class CdcEngine:
         enriched = self._prepare_batch(batch, table)
         if self.stream.sync_mode == SYNC_APPEND:
             return enriched
+        if self.stream.update_mode == "patch":
+            return self._patch_winners(enriched, table)
         return lww_dedup(
             enriched,
             key=self.stream.primary_key,
             strategy=self.cfg.dedup_strategy,
             salt_buckets=self.cfg.salt_buckets,
         )
+
+    def _patch_winners(self, enriched: DataFrame, table: LakeTable) -> DataFrame:
+        """Patch-mode batch -> full-row winners: column-wise fold to one
+        patch row per key (operators/patch.py), then resolve against the
+        CURRENT state of only the touched buckets (manifest-pruned scan).
+        The folded batch is persisted (self._scratch — released with the
+        batch's winners) because both the bucket-set collect and the
+        downstream winners materialization read it; the bucket collect is
+        the one patch-specific extra driver action, and it aggregates
+        batch-sized data only."""
+        from airbyte_spark.operators.patch import fold_patches, resolve_patches
+
+        pk = self.stream.primary_key
+        snap = table.snapshot()
+        payload_cols = [
+            f.name for f in S.payload_fields(snap.schema) if f.name not in (pk, "op")
+        ]
+        fold_in = enriched.withColumn("_errs", F.col(S.COL_META)["errors"]).drop(
+            *[c for c in S.ENGINE_COLS if c in enriched.columns]
+        )
+        folded = fold_patches(
+            fold_in,
+            payload_cols=payload_cols,
+            key=pk,
+            order_col="lsn",
+            carry_cols=("source_partition",),
+            errors_col="_errs",
+        ).persist()
+        self._scratch.append(folded)
+        affected = [
+            r[0]
+            for r in folded.select(table.bucket_expr(pk).alias("b"))
+            .where(F.col("b").isNotNull())
+            .distinct()
+            .collect()
+        ]
+        resolved = resolve_patches(table, folded, payload_cols, affected, key=pk)
+        resolved = resolved.withColumn(
+            S.COL_META, F.struct(F.col("_errs").alias("errors"))
+        ).drop("_errs")
+        return inject_cdc_metadata(resolved)
+
+    def _drop_scratch(self) -> None:
+        for df in self._scratch:
+            df.unpersist()
+        self._scratch.clear()
 
     def _use_full_merge(self, table: LakeTable, n_events: int) -> bool:
         """Large batches (vs table size) merge the whole table in one
@@ -737,6 +792,10 @@ class CdcEngine:
             frac is None
             or self.stream.sync_mode != SYNC_APPEND_DEDUP
             or self.cfg.dedup_strategy != "agg"
+            # patch batches resolve against touched buckets before commit
+            # (_patch_winners); the bucket-CoW / MoR paths then apply as-is,
+            # and the single-pass whole-table union-fold does not.
+            or self.stream.update_mode == "patch"
         ):
             return False
         snap = table.snapshot()
@@ -1030,6 +1089,7 @@ class CdcEngine:
             )
         finally:
             winners.unpersist()
+            self._drop_scratch()
 
         wall_ms = int((time.monotonic() - t0) * 1000)
         hi = max(int(r["max_lsn"]) for r in part_stats)
@@ -1135,9 +1195,11 @@ class CdcEngine:
         if enriched is not None:
             # the enriched df IS the prepared batch: in append mode it is
             # the winners verbatim (no dedup in that mode), otherwise only
-            # the LWW step remains.
+            # the dedup/fold step remains.
             if self.stream.sync_mode == SYNC_APPEND:
                 winners = enriched
+            elif self.stream.update_mode == "patch":
+                winners = self._patch_winners(enriched, table).persist()
             else:
                 winners = lww_dedup(
                     enriched,
@@ -1212,6 +1274,7 @@ class CdcEngine:
             )
         finally:
             winners.unpersist()
+            self._drop_scratch()
             if own_enriched:
                 enriched.unpersist()
 

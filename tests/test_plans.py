@@ -305,3 +305,29 @@ def test_schema_extract_dotted_name_traverses_nested(spark):
     assert out["a.b"] == 5
     assert out["plain"] == 7
     assert out["_ab_errors"] == ""
+
+
+def test_patch_fold_single_exchange(spark):
+    """fold_patches must plan ONE hashpartitioning(key) exchange: the epoch
+    window, the max-epoch window, and the column-wise max_by aggregate all
+    reuse it. The aggregate must stay partial+final (associative fold) —
+    though both sides sit above the exchange here, since the windows
+    already established per-key partitioning (ordered epochs inherently
+    need the key's events together)."""
+    from airbyte_spark.operators.patch import fold_patches
+
+    df = spark.range(1000).select(
+        (F.col("id") % 50).cast("string").alias("doc_id"),
+        F.col("id").alias("lsn"),
+        (F.col("id") * 2).alias("ts_ms"),
+        F.when(F.col("id") % 3 == 0, F.lit("I"))
+        .when(F.col("id") % 3 == 1, F.lit("U"))
+        .otherwise(F.lit("D"))
+        .alias("op"),
+        (F.col("id") % 7).cast("int").alias("n_tok"),
+        F.lit("e").alias("event_type"),
+    )
+    out = fold_patches(df, payload_cols=["n_tok", "event_type"], null_fields_col=None)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_max_by" in plan
