@@ -1350,6 +1350,21 @@ def q_cdc_patch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HH_K = 200
+
+
+def q_tokens_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (freq > N/k) via two-pass Misra–Gries
+    (operators/heavy_hitters.py): partition-local mergeable MG sketch
+    bounds the candidate set (zero-shuffle scan 1), broadcast semi-join +
+    hash agg recounts exactly (candidate-bounded shuffle, scan 2). The
+    distinct-token vocabulary never crosses the wire."""
+    from airbyte_spark.operators.heavy_hitters import heavy_hitters
+
+    toks = _docs(spark, sf_dir).select(F.split("text", " ").alias("toks"))
+    return heavy_hitters(toks, "toks", k=_HH_K)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full CDC pipeline (validate -> dedup -> apply) at sf0.001."""
     return q_cdc_apply_final(spark, SF0001)
@@ -1427,10 +1442,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_unicode_clean": q_docs_unicode_clean,
         "docs_embed_lanes": q_docs_embed_lanes,
         "cdc_patch_fold": q_cdc_patch_fold,
+        "tokens_heavy_hitters": q_tokens_heavy_hitters,
     }
 
 
 _CH = ORACLE_CHANGELOG_CTE  # derived-changelog SELECT (DuckDB dialect)
+
+
+def _hh_oracle() -> str:
+    from airbyte_spark.operators.heavy_hitters import heavy_hitters_oracle_sql
+
+    return heavy_hitters_oracle_sql("documents", _HH_K)
 
 # ---- DuckDB-dialect fragments from the same templates the Spark side uses
 # (airbyte_spark/plans/textsql.py) — one source of truth per operator.
@@ -1628,6 +1650,7 @@ SELECT doc_id,
   CAST(MAX(CASE WHEN pr_ph THEN 1 ELSE 0 END) AS INT) AS touched_payload_hash
 FROM w GROUP BY doc_id
 """,
+        "tokens_heavy_hitters": _hh_oracle(),
         "cdc_tombstone_stats": _WINNERS
         + """
 SELECT op, count(*) AS n FROM ranked WHERE rn = 1 GROUP BY op
