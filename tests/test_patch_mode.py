@@ -236,3 +236,40 @@ def test_patch_golden_mor_delta_path(spark, workdir):
         mor_max_fraction=0.5, mor_max_delta_files=4,
         compact_after_replay_max_files=None,
     )
+
+
+def test_patch_stream_replay_matches_golden(spark, workdir):
+    """Structured Streaming replay with patch envelopes: the foreachBatch
+    epoch path routes through the same _dedup_winners -> patch fold +
+    resolve as bounded replay, so an availableNow drain must land exactly
+    on the patch-mode golden; a second drain from the same SS checkpoint
+    applies nothing."""
+    from airbyte_spark.streaming import stream_replay
+
+    cfg = ChangelogConfig(
+        n_events=1500, n_seed_docs=250, dup_pct=2.0, corrupt_pct=1.0,
+        patch_updates=True,
+    )
+    seed = seed_df(spark, cfg)
+    clpath = os.path.join(workdir, "changelog")
+    write_changelog(spark, cfg, clpath, n_files=6)
+    eng = _patch_engine(spark, workdir, batch_events=500)
+    eng.bootstrap(seed)
+
+    ckpt = os.path.join(workdir, "ss_ckpt")
+    stats = stream_replay(eng, clpath, ckpt, max_files_per_trigger=2)
+    assert stats["epochs"] >= 3
+    exp = golden_normalize(
+        apply_golden(
+            seed.toPandas(),
+            changelog_df(spark, cfg).toPandas(),
+            cfg.vocab_size,
+            patch_mode=True,
+        )
+    )
+    assert_frames_equal(final_as_pandas(eng.read_final()), exp)
+
+    before = eng.table.current_version()
+    stats2 = stream_replay(eng, clpath, ckpt)
+    assert stats2["rows_applied"] == 0
+    assert eng.table.current_version() == before
