@@ -1365,6 +1365,107 @@ def q_tokens_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "toks", k=_HH_K)
 
 
+def q_cdc_mongo_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo change-stream envelope decode (sources/mongo.py): events
+    rendered as Debezium-Mongo JSON (images as extended-JSON STRINGS,
+    ``$oid``-wrapped ids, BsonTimestamp (sec, ord) position, patch updates
+    via updateDescription, update-then-delete race with both images null)
+    then decoded by two typed from_json + string-level oid normalization.
+    The oracle computes the decode's closed form straight off the base
+    table, value-hash-gating op mapping, oid unwrap, key recovery on
+    deletes/patches, LSN packing, and removedFields -> null_fields."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from airbyte_spark.sources.debezium import split_malformed
+    from airbyte_spark.sources.mongo import decode_mongo
+
+    payload = StructType(
+        [
+            StructField("_id", StringType(), True),
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+        ]
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m = (F.col("event_id") % 5).cast("int")
+    hexid = F.format_string("%012x", F.col("event_id"))
+    op_raw = F.element_at(
+        F.array(F.lit("c"), F.lit("i"), F.lit("u"), F.lit("u"), F.lit("d")),
+        m + 1,
+    )
+    is_race = (m == 3) & (F.col("event_id") % 7 == 0)  # u with no image at all
+    is_patch = (m == 3) & ~is_race
+    after_full = F.to_json(
+        F.struct(
+            hexid.alias("_id"), F.col("user_id"), F.col("event_type"), F.col("value")
+        )
+    )
+    after_oid = F.to_json(
+        F.struct(
+            F.struct(hexid.alias("$oid")).alias("_id"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.col("value"),
+        )
+    )
+    upd_fields = F.to_json(F.struct(F.col("user_id"), F.col("value")))
+    removed = F.when(
+        F.col("event_id") % 2 == 0, F.array(F.lit("event_type"))
+    ).otherwise(F.array().cast("array<string>"))
+    sec = F.unix_seconds(F.col("ts").cast("timestamp"))
+    src_ts = F.unix_millis(F.col("ts").cast("timestamp"))
+    env = F.struct(
+        F.lit(None).cast("string").alias("before"),
+        F.when(m.isin(0, 1), after_full).when(m == 2, after_oid).alias("after"),
+        F.when(
+            is_patch,
+            F.struct(
+                upd_fields.alias("updatedFields"), removed.alias("removedFields")
+            ),
+        ).alias("updateDescription"),
+        F.struct(
+            src_ts.alias("ts_ms"),
+            sec.alias("sec"),
+            (F.col("event_id") % 1000).alias("ord"),
+            F.lit("app").alias("db"),
+            F.lit("events").alias("collection"),
+            F.lit(None).cast("string").alias("snapshot"),
+        ).alias("source"),
+        op_raw.alias("op"),
+        (src_ts + 5).alias("ts_ms"),
+    )
+    # deletes and oid-updates carry the id in the key as a SERIALIZED
+    # {"$oid": ...} doc; others as a plain string
+    key = F.when(
+        m.isin(2, 4),
+        F.format_string('{"id": "{\\"$oid\\": \\"%s\\"}"}', hexid),
+    ).otherwise(F.format_string('{"id": "%s"}', hexid))
+    feed = ev.select(
+        F.to_json(env, {"ignoreNullFields": "false"}).alias("value"),
+        key.alias("key"),
+    )
+    good, _bad = split_malformed(
+        decode_mongo(feed, payload, key_col="key", emit_patch=True)
+    )
+    return good.select(
+        "op",
+        F.col("_id").alias("id"),
+        "lsn",
+        "ts_ms",
+        "user_id",
+        "event_type",
+        "value",
+        F.array_join("_ab_null_fields", ",").alias("null_fields"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full CDC pipeline (validate -> dedup -> apply) at sf0.001."""
     return q_cdc_apply_final(spark, SF0001)
@@ -1443,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_embed_lanes": q_docs_embed_lanes,
         "cdc_patch_fold": q_cdc_patch_fold,
         "tokens_heavy_hitters": q_tokens_heavy_hitters,
+        "cdc_mongo_decode": q_cdc_mongo_decode,
     }
 
 
@@ -1651,6 +1753,29 @@ SELECT doc_id,
 FROM w GROUP BY doc_id
 """,
         "tokens_heavy_hitters": _hh_oracle(),
+        "cdc_mongo_decode": """
+SELECT CASE WHEN event_id % 5 IN (0, 1) THEN 'I'
+            WHEN event_id % 5 = 2 THEN 'U'
+            WHEN event_id % 5 = 3 THEN
+                 CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END
+            ELSE 'D' END AS op,
+       printf('%012x', event_id) AS id,
+       CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) * 4294967296
+           + event_id % 1000 AS lsn,
+       epoch_ms(ts) AS ts_ms,
+       CASE WHEN event_id % 5 IN (0, 1, 2)
+             OR (event_id % 5 = 3 AND event_id % 7 <> 0)
+            THEN user_id END AS user_id,
+       CASE WHEN event_id % 5 IN (0, 1, 2) THEN event_type END AS event_type,
+       CASE WHEN event_id % 5 IN (0, 1, 2)
+             OR (event_id % 5 = 3 AND event_id % 7 <> 0)
+            THEN value END AS value,
+       CASE WHEN event_id % 5 = 3 AND event_id % 7 <> 0 THEN
+                 CASE WHEN event_id % 2 = 0 THEN 'event_type' ELSE '' END
+            WHEN event_id % 5 IN (0, 1, 2) THEN ''
+            ELSE NULL END AS null_fields
+FROM events
+""",
         "cdc_tombstone_stats": _WINNERS
         + """
 SELECT op, count(*) AS n FROM ranked WHERE rn = 1 GROUP BY op
