@@ -465,6 +465,27 @@ class DeclarativeStream:
         return df, new_state
 
 
+def _stream_status(name: str, status: str, namespace: str | None = None) -> dict:
+    """AirbyteStreamStatusTraceMessage (utils/stream_status_utils.py
+    ``as_airbyte_message``): stream lifecycle signal the platform uses to
+    distinguish 'no records' from 'never ran' and to fail fast per stream."""
+    import time as _time
+
+    desc: dict[str, Any] = {"name": name}
+    if namespace is not None:
+        desc["namespace"] = namespace
+    return {
+        "type": "TRACE",
+        "trace": {
+            "type": "STREAM_STATUS",
+            "emitted_at": _time.time() * 1000.0,
+            "stream_status": {
+                "stream_descriptor": desc,
+                "status": status,
+            },
+        },
+    }
+
 class ManifestSource:
     """The manifest-interpreted connector: spec / check / discover / read.
 
@@ -655,18 +676,37 @@ class ManifestSource:
         streams: list[str] | None = None,
         max_pages: int | None = None,
     ) -> Iterator[dict]:
-        """Protocol-parity rendering: RECORD lines per row then one STATE
-        per stream (AirbyteMessage shapes, airbyte-protocol.md:337-420).
-        Driver-side by construction — for tests/interop, not the 100 TB
-        path (that's ``read`` → DataFrames)."""
-        for name, (df, new_state) in self.read(
-            spark, config, state=state, streams=streams, max_pages=max_pages
-        ).items():
-            for row in df.toJSON().toLocalIterator():
-                yield {
-                    "type": "RECORD",
-                    "record": {"stream": name, "data": json.loads(row)},
-                }
+        """Protocol-parity rendering: per stream a STARTED stream-status
+        TRACE, RECORD lines per row (RUNNING trace at the first record),
+        one STATE with ``sourceStats.recordCount``, then COMPLETE — or
+        INCOMPLETE on failure, before the error propagates (the reference's
+        per-stream status lifecycle: utils/stream_status_utils.py
+        ``as_airbyte_message``; abstract_source.py:124-145 STARTED/COMPLETE/
+        INCOMPLETE, :207-209 RUNNING on first record). Driver-side by
+        construction — for tests/interop, not the 100 TB path (that's
+        ``read`` → DataFrames)."""
+        state = state or {}
+        for s in self.streams(config):
+            if streams is not None and s.name not in streams:
+                continue
+            name = s.name
+            yield _stream_status(name, "STARTED")
+            try:
+                df, new_state = s.read_df(
+                    spark, state=state.get(name), max_pages=max_pages
+                )
+                n_records = 0
+                for row in df.toJSON().toLocalIterator():
+                    if n_records == 0:
+                        yield _stream_status(name, "RUNNING")
+                    n_records += 1
+                    yield {
+                        "type": "RECORD",
+                        "record": {"stream": name, "data": json.loads(row)},
+                    }
+            except Exception:
+                yield _stream_status(name, "INCOMPLETE")
+                raise
             yield {
                 "type": "STATE",
                 "state": {
@@ -675,8 +715,12 @@ class ManifestSource:
                         "stream_descriptor": {"name": name},
                         "stream_state": {"cursor": new_state},
                     },
+                    # per-message record count (protocol sourceStats) — the
+                    # platform reconciles source vs destination counts
+                    "sourceStats": {"recordCount": float(n_records)},
                 },
             }
+            yield _stream_status(name, "COMPLETE")
         # rotated-credential CONNECTOR_CONFIG updates accumulated during the
         # read: the platform must persist these before the next sync
         while self.control_messages:

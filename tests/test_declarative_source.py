@@ -191,6 +191,39 @@ def test_read_messages_protocol_shapes(spark):
     assert len(records) == 6 and len(states) == 1
     assert records[0]["record"]["stream"] == "events"
     assert states[0]["state"]["stream"]["stream_state"]["cursor"] == 300.0
+    # sourceStats record count rides the STATE message (protocol parity)
+    assert states[0]["state"]["sourceStats"]["recordCount"] == 6.0
+    # stream-status lifecycle traces: STARTED -> RUNNING (first record) ->
+    # COMPLETE, in order around the records
+    # (stream_status_utils.as_airbyte_message; abstract_source.py:124-145)
+    statuses = [
+        m["trace"]["stream_status"]["status"]
+        for m in msgs
+        if m["type"] == "TRACE" and m["trace"]["type"] == "STREAM_STATUS"
+    ]
+    assert statuses == ["STARTED", "RUNNING", "COMPLETE"]
+    order = [m["type"] for m in msgs if m["type"] in ("TRACE", "RECORD", "STATE")]
+    assert order[0] == "TRACE" and order[-1] == "TRACE"
+
+
+def test_read_messages_failure_emits_incomplete(spark):
+    import pytest as _pytest
+
+    class _BoomTransport:
+        def __call__(self, *a, **kw):
+            raise ConnectionError("wire cut")
+
+    src = ManifestSource(MANIFEST, _BoomTransport())
+    msgs = []
+    with _pytest.raises(Exception):
+        for m in src.read_messages(spark, CONFIG, streams=["events"]):
+            msgs.append(m)
+    statuses = [
+        m["trace"]["stream_status"]["status"]
+        for m in msgs
+        if m["type"] == "TRACE" and m["trace"].get("type") == "STREAM_STATUS"
+    ]
+    assert statuses == ["STARTED", "INCOMPLETE"]
 
 
 def test_oauth2_stream_refreshes_and_retries_on_401(spark):
