@@ -76,6 +76,15 @@ class EngineConfig:
     """
 
     batch_events: int = 1_000_000
+    # Replay windows are normally arithmetic LSN ranges (lo, lo+batch_events]
+    # — correct and action-free when LSNs are dense (event ids). Sparse LSN
+    # spaces (Postgres byte-offset LSNs, Mongo BsonTimestamp sec*2^32+ord)
+    # would make that loop iterate billions of empty windows; when the
+    # arithmetic split would exceed this many windows, replay switches to
+    # event-count quantile windowing (one count + one approxQuantile pass
+    # over the pruned lsn column) so each batch still carries
+    # ~batch_events EVENTS regardless of how the positions are spaced.
+    max_arithmetic_windows: int = 4096
     vocab_size: int = 50_257
     max_tokens: int = 2_048
     # Validation policy: rows with bad payloads are repaired + flagged in

@@ -470,12 +470,15 @@ class CdcEngine:
         ckpt.target_lsn = target
         save_checkpoint(self.checkpoint_path, ckpt)
 
+        bounds, n_exact = self._lsn_windows(source, last, target, batch_events)
+
         # Sync-size estimate up front (AirbyteEstimateTraceMessage shape:
         # name/type/row_estimate/byte_estimate — the reference's sources
         # emit it so platforms can show progress; ours derives rows from
-        # the LSN span and bytes from the input files' on-disk size scaled
+        # the LSN span (or the exact count when sparse windowing already
+        # paid for one) and bytes from the input files' on-disk size scaled
         # by the un-replayed fraction).
-        est_rows = target - last
+        est_rows = n_exact if n_exact is not None else target - last
         byte_estimate = None
         if isinstance(changelog, str) and os.path.isdir(changelog):
             total_b = sum(
@@ -509,8 +512,9 @@ class CdcEngine:
 
             prefetch_pool = ThreadPoolExecutor(max_workers=1)
         try:
-            while lo < target:
-                hi = min(lo + batch_events, target)
+            idx = 0
+            while idx < len(bounds):
+                hi = bounds[idx]
                 # Read-ahead: validate+enrich batch k+1 CONCURRENTLY with
                 # batch k's merge — the Spark shape of the reference's
                 # source-reads-ahead-while-destination-flushes queue pipeline
@@ -518,7 +522,8 @@ class CdcEngine:
                 # The merge itself cannot pipeline (it needs k's commit),
                 # but the scan+validate leg is table-independent.
                 next_f = None
-                nxt_lo, nxt_hi = hi, min(hi + batch_events, target)
+                nxt_lo = hi
+                nxt_hi = bounds[idx + 1] if idx + 1 < len(bounds) else hi
                 if (
                     prefetch_pool is not None
                     and nxt_lo < nxt_hi
@@ -540,6 +545,7 @@ class CdcEngine:
                     prefetched = next_f.result()
                     inflight = None
                 lo = hi
+                idx += 1
                 n_batches += 1
                 if max_batches is not None and n_batches >= max_batches:
                     break
@@ -591,6 +597,50 @@ class CdcEngine:
         stats["total_wall_s"] = round(wall + stats["compact_s"], 3)
         log_metric("replay_done", **stats)
         return stats
+
+    def _lsn_windows(
+        self, source: DataFrame, last: int, target: int, batch_events: int
+    ) -> tuple[list[int], int | None]:
+        """Batch-window upper bounds over (last, target] and (when computed)
+        the exact remaining event count.
+
+        Dense LSNs (event ids): arithmetic ranges — zero extra actions, the
+        historical behavior. Sparse LSN spaces (Postgres byte-offset LSNs,
+        Mongo BsonTimestamp ``sec*2^32+ord`` — sources/mongo.py) would turn
+        that into billions of empty windows, so when the arithmetic split
+        exceeds ``cfg.max_arithmetic_windows`` the boundaries come from
+        event-count quantiles instead: one count + one approxQuantile pass
+        over the column-pruned lsn scan, then every batch carries
+        ~batch_events EVENTS regardless of position spacing. Correctness
+        does not depend on the boundary choice — any ascending bounds ending
+        at ``target`` partition (last, target]; resume after a crash
+        recomputes bounds over the REMAINING events only, and committed
+        (lo, hi] ranges are never revisited (checkpoint + batch ids)."""
+        span = target - last
+        n_windows = -(-span // batch_events)
+        if n_windows <= self.cfg.max_arithmetic_windows:
+            return (
+                [min(last + i * batch_events, target) for i in range(1, n_windows + 1)],
+                None,
+            )
+        remaining = source.filter(F.col("lsn") > last).select("lsn")
+        n = remaining.count()
+        k = max(1, -(-n // batch_events))
+        if k == 1:
+            return [target], n
+        qs = remaining.approxQuantile(
+            "lsn", [i / k for i in range(1, k)], max(0.0001, 1.0 / (4 * k))
+        )
+        inner = sorted({int(q) for q in qs if last < int(q) < target})
+        bounds = inner + [target]
+        log_metric(
+            "sparse_lsn_windows",
+            windows=len(bounds),
+            events=n,
+            lsn_span=span,
+            arithmetic_windows_avoided=n_windows,
+        )
+        return bounds, n
 
     def apply_range(self, source: DataFrame, lo: int, hi: int) -> int:
         """Apply one externally-driven (lo, hi] LSN window as an atomic,
@@ -1321,9 +1371,11 @@ class CdcEngine:
             wall_ms=wall_ms,
             dedup_ms=int((t_collect - t0) * 1000),
             commit_ms=wall_ms - int((t_collect - t0) * 1000),
-            events_per_sec=round((hi - lo) / (wall_ms / 1000.0), 1) if wall_ms else None,
+            events_per_sec=round(n_events / (wall_ms / 1000.0), 1) if wall_ms else None,
         )
-        return hi - lo
+        # exact delivered-event count, NOT the LSN span — sparse LSN spaces
+        # (Mongo BsonTimestamps, PG byte offsets) make hi - lo meaningless
+        return n_events
 
     def _apply_batch_full(
         self, batch: DataFrame, table: LakeTable, bid: str,
@@ -1433,9 +1485,11 @@ class CdcEngine:
             snapshot=version,
             wall_ms=wall_ms,
             merge_mode="full",
-            events_per_sec=round((hi - lo) / (wall_ms / 1000.0), 1) if wall_ms else None,
+            events_per_sec=round(rows_applied / (wall_ms / 1000.0), 1) if wall_ms else None,
         )
-        return hi - lo
+        # rows_applied == delivered events in (lo, hi] (per-partition sums),
+        # exact under sparse LSN spaces where hi - lo is meaningless
+        return rows_applied
 
     # ----------------------------------------------------------------- read
 

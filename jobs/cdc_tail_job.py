@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the wire-format CDC tail job.
+
+The missing first mile of ``replay_job.py``: that job replays an
+already-typed changelog; THIS one starts from the raw wire — a directory
+of JSON-lines files holding Debezium/Mongo change-event envelopes exactly
+as a Kafka-topic dump lands them (one object per line: ``value`` = the
+envelope JSON, optional ``key`` = the event key JSON, optional
+``partition`` = the Kafka partition) — decodes them connector-appropriately
+(``sources/debezium.py`` for postgres/mysql, ``sources/mongo.py`` for
+mongo, incl. ``--update-mode patch`` for change streams without
+full-document lookup), quarantines undecodable lines to a parquet side
+path (never silently dropped, never poisoning the replay), and replays the
+good rows through the engine with the usual exactly-once checkpointing:
+
+    python -m zipfile -c /tmp/airbyte_spark.zip airbyte_spark
+    spark-submit --master local[8] --py-files /tmp/airbyte_spark.zip \\
+        jobs/cdc_tail_job.py --lake /data/lake --wire /data/kafka_dump \\
+        --connector postgres --payload-ddl "doc_id string, tokens array<int>, n_tok int, source string"
+
+Scale shape: the decode is pure projection (typed from_json, whole-stage
+codegen) fused into the same scan the replay batches — no extra pass over
+the wire; the quarantine split is one filter each way. Re-submitting after
+a crash resumes from the checkpoint (LSN-range batch ids), identical to
+replay_job.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--lake", required=True, help="lake root (table + checkpoint)")
+    p.add_argument("--wire", required=True,
+                   help="directory of JSON-lines Kafka-dump files "
+                        "({value, key?, partition?} per line)")
+    p.add_argument("--connector", required=True,
+                   choices=["postgres", "mysql", "mongo"])
+    p.add_argument("--payload-ddl", default=None,
+                   help="payload schema as DDL ('name type, ...'); optional "
+                        "when the lake table already exists (derived from it)")
+    p.add_argument("--pk", default="doc_id", help="primary-key payload column")
+    p.add_argument("--mongo-id-field", default="_id",
+                   help="mongo document id field in the payload schema; "
+                        "renamed to --pk for the engine when they differ")
+    p.add_argument("--update-mode", default="full", choices=["full", "patch"],
+                   help="patch: mongo updateDescription-only updates fold "
+                        "column-wise (StreamConfig.update_mode)")
+    p.add_argument("--quarantine", default=None,
+                   help="parquet path for undecodable wire lines "
+                        "(default <lake>/_quarantine)")
+    p.add_argument("--batch-events", type=int, default=1_000_000)
+    p.add_argument("--num-buckets", type=int, default=32)
+    p.add_argument("--validate-tokens", action="store_true",
+                   help="run the token validator (requires tokens/n_tok cols)")
+    p.add_argument("--vocab-size", type=int, default=50_257)
+    return p
+
+
+def run(spark, args) -> dict:
+    """Decode + replay with an existing SparkSession; returns replay stats.
+
+    Split from ``main`` so tests (and notebook users) can drive the job
+    in-process without the session lifecycle."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from airbyte_spark.config import EngineConfig, StreamConfig
+    from airbyte_spark.engine import CdcEngine
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.sources.debezium import decode_debezium, split_malformed
+
+    eng = CdcEngine(
+        spark,
+        args.lake,
+        StreamConfig(
+            num_buckets=args.num_buckets,
+            primary_key=args.pk,
+            update_mode=args.update_mode,
+        ),
+        EngineConfig(
+            batch_events=args.batch_events,
+            validate_tokens=args.validate_tokens,
+            vocab_size=args.vocab_size,
+        ),
+    )
+    if not LakeTable.exists(eng.table_root):
+        eng.create_table(_table_schema_from_ddl(args))
+    if args.payload_ddl is not None:
+        payload = StructType.fromDDL(args.payload_ddl)
+    else:
+        from airbyte_spark import schemas as S
+
+        snap = eng.table.snapshot()
+        payload = StructType(
+            [f for f in S.payload_fields(snap.schema) if f.name != "op"]
+        )
+    if args.connector == "mongo" and args.mongo_id_field != args.pk:
+        payload = StructType(
+            [
+                StructField(args.mongo_id_field, f.dataType, f.nullable)
+                if f.name == args.pk
+                else f
+                for f in payload.fields
+            ]
+        )
+
+    wire = spark.read.schema(
+        StructType(
+            [
+                StructField("value", StringType(), True),
+                StructField("key", StringType(), True),
+                StructField("partition", LongType(), True),
+            ]
+        )
+    ).json(args.wire)
+
+    if args.connector == "mongo":
+        from airbyte_spark.sources.mongo import decode_mongo
+
+        decoded = decode_mongo(
+            wire,
+            payload,
+            key_col="key",
+            partition_col="partition",
+            pk_field=args.mongo_id_field,
+            emit_patch=args.update_mode == "patch",
+        )
+        if args.mongo_id_field != args.pk:
+            decoded = decoded.withColumnRenamed(args.mongo_id_field, args.pk)
+    else:
+        decoded = decode_debezium(
+            wire, payload, connector=args.connector,
+            json_col="value", partition_col="partition",
+        )
+    good, bad = split_malformed(decoded)
+
+    quarantine = args.quarantine or f"{args.lake.rstrip('/')}/_quarantine"
+    # one pass over the bad side only; good rows are consumed lazily by the
+    # replay's own batched scans
+    n_bad = bad.count()
+    if n_bad:
+        bad.write.mode("append").parquet(quarantine)
+
+    stats = eng.replay(good)
+    stats["quarantined"] = n_bad
+    stats["final_rows"] = eng.read_final().count()
+    return stats
+
+
+def _table_schema_from_ddl(args):
+    """First run against a fresh lake: table schema = payload DDL + engine
+    metadata columns (the same layout CdcEngine.create_table defaults to)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from airbyte_spark import schemas as S
+
+    if args.payload_ddl is None:
+        raise SystemExit("--payload-ddl is required when the lake table does not exist")
+    payload = StructType.fromDDL(args.payload_ddl)
+    pk = args.pk
+    if pk not in payload.fieldNames():
+        raise SystemExit(f"--pk {pk!r} not in --payload-ddl")
+    engine_tail = [
+        f for f in S.tokenseq_schema().fields if f.name in S.ENGINE_COLS[1:]
+    ]
+    return StructType(
+        list(payload.fields)
+        + [StructField(S.COL_LSN, LongType(), False)]
+        + engine_tail
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("cdc-tail").getOrCreate()
+    stats = run(spark, args)
+    print(json.dumps(stats), flush=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

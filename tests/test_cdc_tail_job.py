@@ -1,0 +1,246 @@
+"""Wire-format CDC tail job (jobs/cdc_tail_job.py): Kafka-dump JSONL of
+Debezium envelopes -> decode -> quarantine split -> engine replay must land
+on the same final table as replaying the typed changelog directly, resume
+idempotently, and bank undecodable lines."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from airbyte_spark.changelog import ChangelogConfig, changelog_df
+from airbyte_spark.config import EngineConfig, StreamConfig
+from airbyte_spark.engine import CdcEngine
+
+from jobs.cdc_tail_job import build_parser, run
+
+CFG = ChangelogConfig(n_events=600, n_seed_docs=120, dup_pct=2.0)
+PAYLOAD_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+def _wire_df(spark):
+    """Render the synthetic changelog as Debezium-postgres wire lines."""
+    cl = changelog_df(spark, CFG)
+    op_raw = F.when(F.col("op") == "I", "c").when(F.col("op") == "U", "u").otherwise("d")
+    after = F.struct("doc_id", "tokens", "n_tok", "source")
+    pk_only = F.struct(
+        F.col("doc_id"),
+        F.lit(None).cast("array<int>").alias("tokens"),
+        F.lit(None).cast("int").alias("n_tok"),
+        F.lit(None).cast("string").alias("source"),
+    )
+    env = F.struct(
+        F.when(F.col("op") == "D", pk_only).alias("before"),
+        F.when(F.col("op") != "D", after).alias("after"),
+        F.struct(F.col("ts_ms"), F.col("lsn")).alias("source"),
+        op_raw.alias("op"),
+        (F.col("ts_ms") + 5).alias("ts_ms"),
+    )
+    return cl.select(
+        F.to_json(env, {"ignoreNullFields": "false"}).alias("value"),
+        F.lit(None).cast("string").alias("key"),
+        F.col("source_partition").cast("long").alias("partition"),
+    )
+
+
+def _args(workdir, **over):
+    base = dict(
+        lake=os.path.join(workdir, "lake"),
+        wire=os.path.join(workdir, "wire"),
+        connector="postgres",
+        payload_ddl=PAYLOAD_DDL,
+        batch_events=200,
+        num_buckets=8,
+        validate_tokens=True,
+    )
+    base.update(over)
+    argv = []
+    for k, v in base.items():
+        if v is True:
+            argv.append(f"--{k.replace('_', '-')}")
+        elif v is not None and v is not False:
+            argv += [f"--{k.replace('_', '-')}", str(v)]
+    return build_parser().parse_args(argv)
+
+
+def test_tail_job_matches_direct_replay(spark, workdir):
+    wire_path = os.path.join(workdir, "wire")
+    _wire_df(spark).write.mode("overwrite").json(wire_path)
+    # one undecodable line in the dump
+    with open(os.path.join(wire_path, "junk.json"), "w") as f:
+        f.write(json.dumps({"value": "{not an envelope", "partition": 0}) + "\n")
+
+    args = _args(workdir)
+    stats = run(spark, args)
+    assert stats["quarantined"] == 1
+    assert stats["events"] == CFG.n_events
+
+    # direct replay of the typed changelog on an identical fresh table
+    ref = CdcEngine(
+        spark,
+        os.path.join(workdir, "lake_ref"),
+        StreamConfig(num_buckets=8),
+        EngineConfig(batch_events=200),
+    )
+    ref.create_table()
+    ref.replay(changelog_df(spark, CFG))
+
+    job_eng = CdcEngine(
+        spark, args.lake, StreamConfig(num_buckets=8), EngineConfig()
+    )
+    a = sorted(
+        (r["doc_id"], r["_ab_lsn"], r["tokens"], r["n_tok"], r["source"])
+        for r in job_eng.read_final().collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["_ab_lsn"], r["tokens"], r["n_tok"], r["source"])
+        for r in ref.read_final().collect()
+    )
+    assert a == b and len(a) > 0
+
+    # quarantine banked the bad line
+    q = spark.read.parquet(os.path.join(workdir, "lake", "_quarantine"))
+    assert q.count() == 1
+
+    # resubmit: checkpointed ranges skip, table unchanged
+    v = job_eng.table.current_version()
+    stats2 = run(spark, args)
+    assert stats2["events"] == 0
+    assert job_eng.table.current_version() == v
+
+
+def test_tail_job_mongo_patch_wire(spark, workdir):
+    """Mongo change-stream dump without full-document lookup: the job's
+    --connector mongo --update-mode patch path folds updateDescription
+    envelopes and recovers ids from keys."""
+
+    def env(op, after=None, upd=None, removed=None, sec=100, ord_=1, key_id=None):
+        e = {
+            "before": None,
+            "after": json.dumps(after) if after is not None else None,
+            "source": {"ts_ms": sec * 1000, "sec": sec, "ord": ord_},
+            "op": op,
+            "ts_ms": sec * 1000 + 5,
+        }
+        if upd is not None or removed is not None:
+            e["updateDescription"] = {
+                "updatedFields": json.dumps(upd) if upd is not None else None,
+                "removedFields": removed,
+            }
+        return {
+            "value": json.dumps(e),
+            "key": json.dumps({"id": key_id}) if key_id else None,
+            "partition": 0,
+        }
+
+    lines = [
+        env("i", after={"_id": "a", "name": "x", "score": 1.0}, sec=100, ord_=1),
+        env("i", after={"_id": "b", "name": "y", "score": 2.0}, sec=100, ord_=2),
+        env("u", upd={"score": 9.0}, removed=["name"], key_id="a", sec=101, ord_=1),
+        env("d", key_id="b", sec=101, ord_=2),
+    ]
+    wire_path = os.path.join(workdir, "wire")
+    os.makedirs(wire_path)
+    with open(os.path.join(wire_path, "part-0.json"), "w") as f:
+        for ln in lines:
+            f.write(json.dumps(ln) + "\n")
+
+    args = _args(
+        workdir,
+        connector="mongo",
+        update_mode="patch",
+        payload_ddl="doc_id string, name string, score double",
+        batch_events=10,
+        validate_tokens=False,
+    )
+    stats = run(spark, args)
+    assert stats["quarantined"] == 0 and stats["final_rows"] == 1
+
+    eng = CdcEngine(
+        spark,
+        args.lake,
+        StreamConfig(num_buckets=8, update_mode="patch"),
+        EngineConfig(),
+    )
+    (row,) = eng.read_final().collect()
+    assert row["doc_id"] == "a"
+    assert row["score"] == 9.0 and row["name"] is None  # removedFields null
+
+
+def test_sparse_lsn_windows_quantile_batching(spark, workdir):
+    """BsonTimestamp-style sparse LSNs (sec*2^32+ord): replay must window by
+    event-count quantiles — bounded batches, exact golden-by-construction
+    final state, resume across the sparse space."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    rows = []
+    for i in range(300):
+        lsn = (100 + i) * (1 << 32) + (i % 7)
+        op = "U" if i % 3 else "I"
+        rows.append((op, f"d{i % 50}", lsn, lsn >> 32, 0, f"n{i}", float(i)))
+    schema = StructType(
+        [
+            StructField("op", StringType(), False),
+            StructField("doc_id", StringType(), False),
+            StructField("lsn", LongType(), False),
+            StructField("ts_ms", LongType(), False),
+            StructField("source_partition", LongType(), False),
+            StructField("name", StringType(), True),
+            StructField("score", DoubleType(), True),
+        ]
+    )
+    cl = spark.createDataFrame(rows, schema)
+
+    from airbyte_spark import schemas as S
+
+    table_schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("name", StringType(), True),
+            StructField("score", DoubleType(), True),
+            StructField(S.COL_LSN, LongType(), False),
+            *[f for f in S.tokenseq_schema().fields if f.name in S.ENGINE_COLS[1:]],
+        ]
+    )
+    eng = CdcEngine(
+        spark,
+        os.path.join(workdir, "lake"),
+        StreamConfig(num_buckets=4),
+        EngineConfig(batch_events=100, validate_tokens=False),
+    )
+    eng.create_table(table_schema)
+
+    bounds, n = eng._lsn_windows(cl, 0, rows[-1][2], 100)
+    assert n == 300 and 2 <= len(bounds) <= 5
+    assert bounds[-1] == rows[-1][2] and bounds == sorted(bounds)
+
+    # interrupted replay + fresh-engine resume across the sparse space
+    stats1 = eng.replay(cl, max_batches=1)
+    assert 0 < stats1["events"] < 300
+    eng2 = CdcEngine(
+        spark,
+        os.path.join(workdir, "lake"),
+        StreamConfig(num_buckets=4),
+        EngineConfig(batch_events=100, validate_tokens=False),
+    )
+    stats2 = eng2.replay(cl)
+    assert stats1["events"] + stats2["events"] == 300
+
+    final = {r["doc_id"]: r for r in eng2.read_final().collect()}
+    assert len(final) == 50
+    # per-key winner = highest lsn = highest i for that key
+    for kid in (0, 7, 49):
+        i = 250 + kid  # last i with i % 50 == kid
+        assert final[f"d{kid}"]["score"] == float(i)
+
+    # dense LSNs keep the action-free arithmetic split
+    dense_bounds, dense_n = eng._lsn_windows(cl.limit(0), 0, 1000, 100)
+    assert dense_n is None and dense_bounds == [100 * i for i in range(1, 11)]
