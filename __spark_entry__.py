@@ -1365,6 +1365,39 @@ def q_tokens_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "toks", k=_HH_K)
 
 
+def q_tokens_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (operators/bpe.py): ONE corpus-scale
+    word-count aggregate, then vocab-sized merge iterations (pair argmax +
+    pure-Catalyst greedy fold; total tie-break (count DESC, pair ASC) makes
+    the list partitioning-independent). Iterative training is not
+    SQL-expressible, so no DuckDB oracle — the driver records a rows-only
+    check; exactness vs an independent single-threaded reference is pinned
+    in tests/test_bpe.py."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from airbyte_spark.operators.bpe import train_bpe
+
+    merges, seg = train_bpe(_docs(spark, sf_dir), n_merges=16)
+    seg.unpersist()
+    return spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        StructType(
+            [
+                StructField("rank", IntegerType(), False),
+                StructField("left", StringType(), False),
+                StructField("right", StringType(), False),
+                StructField("pair_count", LongType(), False),
+            ]
+        ),
+    )
+
+
 def q_cdc_mongo_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mongo change-stream envelope decode (sources/mongo.py): events
     rendered as Debezium-Mongo JSON (images as extended-JSON STRINGS,
@@ -1545,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_patch_fold": q_cdc_patch_fold,
         "tokens_heavy_hitters": q_tokens_heavy_hitters,
         "cdc_mongo_decode": q_cdc_mongo_decode,
+        "tokens_bpe_merges": q_tokens_bpe_merges,
     }
 
 
