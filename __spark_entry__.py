@@ -286,6 +286,27 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_components(pairs)
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-priority keeper per near-dup component: keep the BEST copy
+    (priority = text length here; (priority DESC, doc_id ASC) total order)
+    instead of the min id — on the injected near-dups the longer tail copy
+    wins, so this provably diverges from dedup_components' min-id rule.
+    One equi-join + one min_by aggregate over the labeling
+    (operators/components.py dedup_components_by_priority)."""
+    from airbyte_spark.operators.components import dedup_components_by_priority
+
+    docs = _dup_docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, jaccard_pct=50)
+    pri = docs.select("doc_id", F.length("text").cast("long").alias("priority"))
+    out = dedup_components_by_priority(pairs, pri)
+    return out.select(
+        "component_id",
+        "group_size",
+        "keep_doc_id",
+        F.col("keep_priority").cast("long").alias("keep_priority"),
+    )
+
+
 def q_dedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The actionable end of the dedup pipeline: the documents to DELETE —
     every member of a near-dup component except its canonical keeper
@@ -1523,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_components": q_dedup_components,
+        "dedup_keep_best": q_dedup_keep_best,
         "dedup_drop_list": q_dedup_drop_list,
         "docs_repetition": q_docs_repetition,
         "docs_salient_terms": q_docs_salient_terms,
@@ -2005,6 +2027,40 @@ r(src, dst) AS (
 labels AS (SELECT src AS doc_id, min(dst) AS component_id FROM r GROUP BY src)
 SELECT component_id, count(*) AS group_size, min(doc_id) AS keep_doc_id
 FROM labels GROUP BY component_id
+""",
+        "dedup_keep_best": f"""
+WITH RECURSIVE {_LSH_CTES},
+dsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM nz),
+okb AS (SELECT band, band_key FROM bands GROUP BY band, band_key
+        HAVING count(*) <= 64),
+bandsf AS (SELECT bands.doc_id, bands.band, bands.band_key
+           FROM bands JOIN okb USING (band, band_key)),
+cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         FROM bandsf x JOIN bandsf y
+           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+j AS (SELECT a_id, b_id,
+             CAST(len(list_filter(a.sh, t -> list_contains(b.sh, t))) AS BIGINT) AS inter,
+             CAST(len(a.sh) + len(b.sh) AS BIGINT) AS both_n
+      FROM cand JOIN dsh a ON cand.a_id = a.doc_id JOIN dsh b ON cand.b_id = b.doc_id),
+pairs AS (SELECT a_id, b_id FROM j WHERE 100 * inter >= 50 * (both_n - inter)),
+e AS (SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION SELECT b_id, a_id FROM pairs),
+r(src, dst) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM e)
+  UNION
+  SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src),
+labels AS (SELECT src AS doc_id, min(dst) AS component_id FROM r GROUP BY src),
+pri AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS priority FROM dup_docs),
+lp AS (SELECT l.doc_id, l.component_id, p.priority
+       FROM labels l JOIN pri p USING (doc_id)),
+rk AS (SELECT *, row_number() OVER (PARTITION BY component_id
+                                    ORDER BY priority DESC, doc_id ASC) AS rn
+       FROM lp)
+SELECT component_id,
+       count(*) AS group_size,
+       min(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+       CAST(min(CASE WHEN rn = 1 THEN priority END) AS BIGINT) AS keep_priority
+FROM rk GROUP BY component_id
 """,
         "dedup_drop_list": f"""
 WITH RECURSIVE {_LSH_CTES},

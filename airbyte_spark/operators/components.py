@@ -111,3 +111,38 @@ def dedup_components(
         F.count("*").alias("group_size"),
         F.min("doc_id").alias("keep_doc_id"),
     )
+
+
+def dedup_components_by_priority(
+    pairs: DataFrame,
+    priorities: DataFrame,
+    priority_col: str = "priority",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Keeper selection by QUALITY, not by id: production pipelines keep the
+    best copy of a near-dup group (highest quality score / longest /
+    freshest), dropping the rest. ``priorities`` is (doc_id, priority);
+    keeper = (priority DESC, doc_id ASC) — a total order, so the result is
+    partitioning-independent; docs missing a priority lose to any scored
+    doc. Returns (component_id, group_size, keep_doc_id, keep_priority).
+
+    Plan shape: components labeling + ONE equi-join against the priority
+    table + ONE partial-combined min_by aggregate — no windows, no
+    per-group sorts; the ordering rides a struct key (negated priority,
+    doc_id) inside the aggregate."""
+    cc = connected_components(pairs, a_col, b_col)
+    j = cc.join(
+        priorities.select("doc_id", F.col(priority_col).alias("_pri")),
+        "doc_id",
+        "left",
+    )
+    key = F.struct(
+        (-F.coalesce(F.col("_pri").cast("double"), F.lit(float("-inf")))).alias("_np"),
+        F.col("doc_id").alias("_tie"),
+    )
+    return j.groupBy("component_id").agg(
+        F.count("*").alias("group_size"),
+        F.min_by("doc_id", key).alias("keep_doc_id"),
+        F.min_by("_pri", key).alias("keep_priority"),
+    )

@@ -6,11 +6,17 @@ which the batch engine mirrors; this package is the unbounded-tail variant:
 validate -> LWW-dedup -> merge path (SURVEY.md §2.9).
 """
 
-from airbyte_spark.streaming.replay import stream_replay, stream_replay_continuous, streaming_dedup
+from airbyte_spark.streaming.replay import (
+    stream_replay,
+    stream_replay_continuous,
+    stream_replay_df,
+    streaming_dedup,
+)
 from airbyte_spark.streaming.stateful import partition_cursor_tracker
 
 __all__ = [
     "stream_replay",
+    "stream_replay_df",
     "stream_replay_continuous",
     "streaming_dedup",
     "partition_cursor_tracker",

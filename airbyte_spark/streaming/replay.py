@@ -60,6 +60,49 @@ def stream_replay(
     return applied
 
 
+def stream_replay_df(
+    engine: CdcEngine,
+    stream: DataFrame,
+    checkpoint_dir: str,
+    timeout_s: float | None = None,
+    quarantine: str | None = None,
+) -> dict:
+    """:func:`stream_replay` over a CALLER-BUILT streaming DataFrame — the
+    composition point for wire-format tails (readStream.json over a Kafka
+    dump -> sources/mongo.py / sources/debezium.py decode is a pure
+    projection, legal on a stream). With ``quarantine`` set, rows whose
+    ``op`` is NULL (failed envelope parse / unknown op) are banked per
+    epoch under ``<quarantine>/epoch=<id>`` with overwrite — idempotent on
+    epoch redelivery, same discipline as the engine's batch ids — and only
+    decodable rows reach the engine."""
+    applied = {"epochs": 0, "rows_applied": 0, "quarantined": 0}
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        applied["epochs"] += 1
+        good = batch_df
+        if quarantine is not None:
+            from pyspark.sql import functions as F
+
+            bad = batch_df.filter(F.col("op").isNull())
+            n_bad = bad.count()
+            if n_bad:
+                bad.write.mode("overwrite").parquet(
+                    f"{quarantine}/epoch={int(epoch_id)}"
+                )
+            applied["quarantined"] += n_bad
+            good = batch_df.filter(F.col("op").isNotNull())
+        applied["rows_applied"] += engine.apply_stream_epoch(good, epoch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return applied
+
+
 def stream_replay_continuous(
     engine: CdcEngine,
     changelog_path: str,

@@ -58,6 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--validate-tokens", action="store_true",
                    help="run the token validator (requires tokens/n_tok cols)")
     p.add_argument("--vocab-size", type=int, default=50_257)
+    p.add_argument("--streaming", action="store_true",
+                   help="drain via Structured Streaming (availableNow) — "
+                        "offsets live in --ss-checkpoint; quarantine is "
+                        "banked per epoch (idempotent on redelivery)")
+    p.add_argument("--ss-checkpoint", default=None,
+                   help="Structured Streaming checkpointLocation "
+                        "(required with --streaming)")
     return p
 
 
@@ -109,15 +116,20 @@ def run(spark, args) -> dict:
             ]
         )
 
-    wire = spark.read.schema(
-        StructType(
-            [
-                StructField("value", StringType(), True),
-                StructField("key", StringType(), True),
-                StructField("partition", LongType(), True),
-            ]
-        )
-    ).json(args.wire)
+    wire_schema = StructType(
+        [
+            StructField("value", StringType(), True),
+            StructField("key", StringType(), True),
+            StructField("partition", LongType(), True),
+        ]
+    )
+    streaming = getattr(args, "streaming", False)
+    if streaming:
+        if not args.ss_checkpoint:
+            raise SystemExit("--streaming requires --ss-checkpoint")
+        wire = spark.readStream.schema(wire_schema).json(args.wire)
+    else:
+        wire = spark.read.schema(wire_schema).json(args.wire)
 
     if args.connector == "mongo":
         from airbyte_spark.sources.mongo import decode_mongo
@@ -137,9 +149,17 @@ def run(spark, args) -> dict:
             wire, payload, connector=args.connector,
             json_col="value", partition_col="partition",
         )
-    good, bad = split_malformed(decoded)
-
     quarantine = args.quarantine or f"{args.lake.rstrip('/')}/_quarantine"
+    if streaming:
+        from airbyte_spark.streaming import stream_replay_df
+
+        stats = stream_replay_df(
+            eng, decoded, args.ss_checkpoint, quarantine=quarantine
+        )
+        stats["final_rows"] = eng.read_final().count()
+        return stats
+
+    good, bad = split_malformed(decoded)
     # one pass over the bad side only; good rows are consumed lazily by the
     # replay's own batched scans
     n_bad = bad.count()

@@ -244,3 +244,52 @@ def test_sparse_lsn_windows_quantile_batching(spark, workdir):
     # dense LSNs keep the action-free arithmetic split
     dense_bounds, dense_n = eng._lsn_windows(cl.limit(0), 0, 1000, 100)
     assert dense_n is None and dense_bounds == [100 * i for i in range(1, 11)]
+
+
+def test_tail_job_streaming_wire(spark, workdir):
+    """--streaming: the decoded wire stream drains through foreachBatch
+    epochs (stream_replay_df) — same final table as the bounded run,
+    per-epoch quarantine, and SS-checkpoint resume applies nothing."""
+    wire_path = os.path.join(workdir, "wire")
+    _wire_df(spark).repartition(4).write.mode("overwrite").json(wire_path)
+    with open(os.path.join(wire_path, "junk.json"), "w") as f:
+        f.write(json.dumps({"value": "{not an envelope", "partition": 0}) + "\n")
+
+    args = _args(
+        workdir, streaming=True, ss_checkpoint=os.path.join(workdir, "ss")
+    )
+    stats = run(spark, args)
+    assert stats["quarantined"] == 1
+    assert stats["rows_applied"] > 0
+
+    ref = CdcEngine(
+        spark,
+        os.path.join(workdir, "lake_ref"),
+        StreamConfig(num_buckets=8),
+        EngineConfig(batch_events=200),
+    )
+    ref.create_table()
+    ref.replay(changelog_df(spark, CFG))
+
+    job_eng = CdcEngine(
+        spark, args.lake, StreamConfig(num_buckets=8), EngineConfig()
+    )
+    a = sorted(
+        (r["doc_id"], r["_ab_lsn"], r["tokens"], r["n_tok"], r["source"])
+        for r in job_eng.read_final().collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["_ab_lsn"], r["tokens"], r["n_tok"], r["source"])
+        for r in ref.read_final().collect()
+    )
+    assert a == b and len(a) > 0
+
+    # quarantine banked exactly once, under its epoch directory
+    q = spark.read.parquet(os.path.join(workdir, "lake", "_quarantine"))
+    assert q.count() == 1
+
+    # resume from the SS checkpoint: no new files -> nothing applied
+    v = job_eng.table.current_version()
+    stats2 = run(spark, args)
+    assert stats2["rows_applied"] == 0
+    assert job_eng.table.current_version() == v

@@ -160,3 +160,23 @@ def test_ngram_jaccard_superbucket_cap(spark):
     ids = {r["a_id"] for r in out} | {r["b_id"] for r in out}
     assert ids == {1000, 1001}, f"superbucket members leaked pairs: {sorted(ids)[:5]}"
     assert len(out) == 1
+
+
+def test_dedup_components_by_priority(spark):
+    from airbyte_spark.operators.components import dedup_components_by_priority
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["a_id", "b_id"]
+    )
+    pri = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 7)], ["doc_id", "priority"]
+    )
+    out = {
+        r["component_id"]: r
+        for r in dedup_components_by_priority(pairs, pri).collect()
+    }
+    # ties on priority 9 break to the smaller doc_id
+    assert out[1]["keep_doc_id"] == 2 and out[1]["keep_priority"] == 9
+    assert out[1]["group_size"] == 3
+    # doc 11 has NO priority row -> loses to the scored doc 10
+    assert out[10]["keep_doc_id"] == 10 and out[10]["keep_priority"] == 7
