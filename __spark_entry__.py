@@ -1520,6 +1520,132 @@ def q_cdc_mongo_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wal2json_feed(spark: SparkSession, sf_dir: str):
+    """events rendered as wal2json v1 TRANSACTION envelopes: changes grouped
+    3-per-txn in event_id order, per-change JSON with positional
+    columnnames/columnvalues (mixed JSON types: bare numbers next to strings,
+    exercising the decoder's raw-text scalar coercion), deletes carrying only
+    oldkeys, commit LSN rendered as the "X/Y" hex pair, commit timestamp =
+    the txn's last change time."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    txn = F.floor(F.col("event_id") / F.lit(3)).cast("long")
+    m = (F.col("event_id") % 4).cast("int")
+    kind = F.element_at(
+        F.array(F.lit("insert"), F.lit("update"), F.lit("delete"), F.lit("insert")),
+        m + 1,
+    )
+    doc_id = F.format_string("doc%09d", F.col("event_id"))
+    change = F.when(
+        kind == "delete",
+        F.format_string(
+            '{"kind":"delete","schema":"public","table":"events",'
+            '"oldkeys":{"keynames":["doc_id"],"keyvalues":["%s"]}}',
+            doc_id,
+        ),
+    ).otherwise(
+        F.format_string(
+            '{"kind":"%s","schema":"public","table":"events",'
+            '"columnnames":["doc_id","user_id","event_type","value"],'
+            '"columnvalues":["%s",%d,"%s",%s]}',
+            kind,
+            doc_id,
+            F.col("user_id"),
+            F.col("event_type"),
+            F.col("value").cast("string"),
+        )
+    )
+    grp = (
+        ev.select(
+            txn.alias("txn"),
+            F.struct(F.col("event_id"), change.alias("cj")).alias("ch"),
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+        .groupBy("txn")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("ch")), lambda s: s["cj"]
+                ),
+                ",",
+            ).alias("changes"),
+            F.max("ts").alias("commit_ts"),
+        )
+    )
+    pg_lsn = F.lit(5000000000) + F.col("txn") * 97
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    utc_wall = F.date_format(
+        F.to_utc_timestamp(F.col("commit_ts"), tz), "yyyy-MM-dd HH:mm:ss.SSS"
+    )
+    return grp.select(
+        F.format_string(
+            '{"xid":%d,"nextlsn":"%X/%X","timestamp":"%s+00","change":[%s]}',
+            F.col("txn"),
+            F.shiftright(pg_lsn, 32),
+            pg_lsn.bitwiseAND(F.lit(0xFFFFFFFF)),
+            utc_wall,
+            F.col("changes"),
+        ).alias("value")
+    )
+
+
+def _wal2json_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from airbyte_spark.sources.debezium import split_malformed
+    from airbyte_spark.sources.wal2json import decode_wal2json
+
+    payload = StructType(
+        [
+            StructField("doc_id", StringType(), True),
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+        ]
+    )
+    good, _bad = split_malformed(
+        decode_wal2json(_wal2json_feed(spark, sf_dir), payload)
+    )
+    return good
+
+
+def q_cdc_wal2json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wal2json transaction-envelope decode (sources/wal2json.py): events
+    rendered as per-TRANSACTION envelopes (3 changes per txn, positional
+    columnnames/columnvalues with mixed JSON scalar types, oldkeys-only
+    deletes, "X/Y" hex commit LSN, commit timestamp) then decoded by ONE
+    typed from_json + posexplode + map_from_arrays — whole-stage codegen,
+    zero Python. Engine LSN = commit_lsn << 16 | statement_index, so the
+    (commit order, statement order) total order logical decoding guarantees
+    survives the engine's single-long cursor. The oracle computes the decode's
+    closed form straight off the base table (row_number for statement index,
+    max(ts) per txn for commit time), value-hash-gating the whole JSON round
+    trip including hex LSN packing and delete key recovery.
+
+    Reference parity: PostgresCdcTargetPosition.java:23 (single monotonic
+    LSN), DebeziumEventUtils.java:98-109 (image selection), wal2json public
+    wire format."""
+    return _wal2json_decoded(spark, sf_dir).select(
+        "op", "lsn", "xid", "txn_seq", "ts_ms",
+        "doc_id", "user_id", "event_type", "value",
+    )
+
+
+def q_cdc_wal2json_txn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-transaction commit audit over the wal2json decode
+    (sources/wal2json.py txn_stats): ONE partial-combined hash aggregate —
+    change counts by op and the LSN span per xid; the commit-boundary rollup
+    a platform shows per transaction."""
+    from airbyte_spark.sources.wal2json import txn_stats
+
+    return txn_stats(_wal2json_decoded(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full CDC pipeline (validate -> dedup -> apply) at sf0.001."""
     return q_cdc_apply_final(spark, SF0001)
@@ -1601,6 +1727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_heavy_hitters": q_tokens_heavy_hitters,
         "cdc_mongo_decode": q_cdc_mongo_decode,
         "tokens_bpe_merges": q_tokens_bpe_merges,
+        "cdc_wal2json_decode": q_cdc_wal2json_decode,
+        "cdc_wal2json_txn_stats": q_cdc_wal2json_txn_stats,
     }
 
 
@@ -1831,6 +1959,47 @@ SELECT CASE WHEN event_id % 5 IN (0, 1) THEN 'I'
             WHEN event_id % 5 IN (0, 1, 2) THEN ''
             ELSE NULL END AS null_fields
 FROM events
+""",
+        "cdc_wal2json_decode": """
+WITH g AS (
+  SELECT event_id, user_id, event_type, value,
+         CAST(floor(event_id / 3.0) AS BIGINT) AS txn,
+         ROW_NUMBER() OVER (
+           PARTITION BY CAST(floor(event_id / 3.0) AS BIGINT)
+           ORDER BY event_id) - 1 AS seq,
+         MAX(ts) OVER (
+           PARTITION BY CAST(floor(event_id / 3.0) AS BIGINT)) AS commit_ts
+  FROM events)
+SELECT CASE event_id % 4 WHEN 1 THEN 'U' WHEN 2 THEN 'D' ELSE 'I' END AS op,
+       (5000000000 + txn * 97) * 65536 + seq AS lsn,
+       txn AS xid,
+       CAST(seq AS INT) AS txn_seq,
+       epoch_ms(commit_ts) AS ts_ms,
+       printf('doc%09d', event_id) AS doc_id,
+       CASE WHEN event_id % 4 = 2 THEN NULL ELSE user_id END AS user_id,
+       CASE WHEN event_id % 4 = 2 THEN NULL ELSE event_type END AS event_type,
+       CASE WHEN event_id % 4 = 2 THEN NULL ELSE value END AS value
+FROM g
+""",
+        "cdc_wal2json_txn_stats": """
+WITH g AS (
+  SELECT event_id,
+         CAST(floor(event_id / 3.0) AS BIGINT) AS txn,
+         ROW_NUMBER() OVER (
+           PARTITION BY CAST(floor(event_id / 3.0) AS BIGINT)
+           ORDER BY event_id) - 1 AS seq
+  FROM events),
+d AS (
+  SELECT txn AS xid,
+         CASE event_id % 4 WHEN 1 THEN 'U' WHEN 2 THEN 'D' ELSE 'I' END AS op,
+         (5000000000 + txn * 97) * 65536 + seq AS lsn
+  FROM g)
+SELECT xid, count(*) AS n_changes,
+       CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+       CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+       CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
+       min(lsn) AS first_lsn, max(lsn) AS last_lsn
+FROM d GROUP BY xid
 """,
         "cdc_tombstone_stats": _WINNERS
         + """
