@@ -36,6 +36,7 @@ from airbyte_spark.operators.line_dedup import (
     line_dedup_oracle_sql as _line_dedup_oracle_sql,
 )
 from airbyte_spark.operators import mixing as _mixing
+from airbyte_spark.operators import ranking as _ranking
 from airbyte_spark.operators import semantic_dedup as _semantic_dedup
 from airbyte_spark.operators import text_quality as _text_quality
 from airbyte_spark.operators import token_dedup as _token_dedup
@@ -1646,6 +1647,26 @@ def q_cdc_wal2json_txn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txn_stats(_wal2json_decoded(spark, sf_dir))
 
 
+def q_corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering (operators/ranking.py curriculum_order): exact
+    global quality rank -> equal-population difficulty tiers -> deterministic
+    within-tier shuffle -> global training position. Both ranks run the
+    bucket-prefix-sum idiom (bucket counts + broadcast offsets + per-bucket
+    local row_number) — no global-sort window anywhere; the oracle IS the
+    naive global window, provably identical because each bucket is a
+    monotone prefix of its order key."""
+    from airbyte_spark.operators.ranking import curriculum_order
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        "doc_id",
+        F.expr("length(text) - length(replace(text, ' ', '')) + 1")
+        .cast("long")
+        .alias("quality"),
+    )
+    return curriculum_order(scored, quality_col="quality", id_col="doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full CDC pipeline (validate -> dedup -> apply) at sf0.001."""
     return q_cdc_apply_final(spark, SF0001)
@@ -1729,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_bpe_merges": q_tokens_bpe_merges,
         "cdc_wal2json_decode": q_cdc_wal2json_decode,
         "cdc_wal2json_txn_stats": q_cdc_wal2json_txn_stats,
+        "corpus_curriculum": q_corpus_curriculum,
     }
 
 
@@ -2001,6 +2023,10 @@ SELECT xid, count(*) AS n_changes,
        min(lsn) AS first_lsn, max(lsn) AS last_lsn
 FROM d GROUP BY xid
 """,
+        "corpus_curriculum": _ranking.curriculum_oracle_sql(
+            "SELECT doc_id, text FROM documents",
+            "length(text) - length(replace(text, ' ', '')) + 1",
+        ),
         "cdc_tombstone_stats": _WINNERS
         + """
 SELECT op, count(*) AS n FROM ranked WHERE rn = 1 GROUP BY op
