@@ -27,6 +27,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def project_once(df: DataFrame, carrier, select) -> DataFrame:
+    """Evaluate an expensive projection exactly ONCE per row.
+
+    ``carrier`` is a struct Column bundling every expensive derivation;
+    ``select`` is a callable taking the materialized struct Column and
+    returning the output column list. The struct rides through
+    ``explode(array(carrier))`` — a one-element Generate — because a
+    Generate is an optimizer barrier Catalyst cannot collapse:
+
+    - CollapseProject cannot inline the carrier's expressions into
+      downstream projections, so ``OptimizeJsonExprs`` cannot rewrite one
+      ``from_json`` into N per-field pruned parses (measured 4x decode cost
+      on the Mongo envelope path — each pruned parse re-scans the full JSON
+      text);
+    - PushDownPredicate cannot move a downstream filter below the Generate
+      when it references generated attributes, so quarantine splits
+      (``op IS NOT NULL``) test the materialized column instead of
+      re-deriving it per row with a second envelope parse (measured 2x on
+      the same path).
+
+    Trade-off: column pruning also stops at the barrier — every carrier
+    field is computed even if the consumer drops it. Use only where the
+    consumer takes (nearly) the whole carrier, e.g. wire decoders.
+    """
+    g = df.select(F.explode(F.array(carrier)).alias("_once"))
+    return g.select(*select(F.col("_once")))
+
+
 def dpath_extract(
     df: DataFrame, column: str, path: list[str], element_schema: str
 ) -> DataFrame:

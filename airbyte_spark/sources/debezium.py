@@ -131,25 +131,52 @@ def decode_debezium(
         lsn = mysql_packed_lsn(F.col("_env.source.file"), F.col("_env.source.pos"))
 
     ts_ms = F.coalesce(F.col("_env.source.ts_ms"), F.col("_env.ts_ms"))
+    # a wire line without a partition value must not poison lineage: the
+    # engine's per-partition stats require a non-null int (unknown -> 0)
     part = (
-        F.col(partition_col).cast("int")
+        F.coalesce(F.col(partition_col).cast("int"), F.lit(0))
         if partition_col is not None
         else F.lit(0)
     )
 
-    cols = [
+    # One-shot carrier (plans/transforms.py project_once): the envelope
+    # from_json evaluates exactly once per row. Without the barrier,
+    # CollapseProject inlines ``_env`` into every output column and
+    # OptimizeJsonExprs splits the single typed parse into one pruned
+    # from_json per payload field (each re-scanning the JSON text), and the
+    # quarantine filter (split_malformed) re-derives ``op`` with its own
+    # envelope parse per row.
+    carrier = F.struct(
         op.alias("op"),
         lsn.cast("long").alias("lsn"),
         ts_ms.cast("long").alias("ts_ms"),
         part.alias("source_partition"),
-    ] + [image.getField(f.name).alias(f.name) for f in payload_schema.fields]
-    if include_metadata:
-        updated = F.timestamp_millis(ts_ms)
-        cols += [
-            updated.alias("_ab_cdc_updated_at"),
-            F.when(op == "D", updated).alias("_ab_cdc_deleted_at"),
+        image.alias("_img"),
+    )
+
+    def _out(once: Column) -> list[Column]:
+        o = once.getField("op")
+        t = once.getField("ts_ms")
+        cols = [
+            o.alias("op"),
+            once.getField("lsn").alias("lsn"),
+            t.alias("ts_ms"),
+            once.getField("source_partition").alias("source_partition"),
+        ] + [
+            once.getField("_img").getField(f.name).alias(f.name)
+            for f in payload_schema.fields
         ]
-    return d.select(*cols)
+        if include_metadata:
+            updated = F.timestamp_millis(t)
+            cols += [
+                updated.alias("_ab_cdc_updated_at"),
+                F.when(o == "D", updated).alias("_ab_cdc_deleted_at"),
+            ]
+        return cols
+
+    from airbyte_spark.plans.transforms import project_once
+
+    return project_once(d, carrier, _out)
 
 
 def split_malformed(decoded: DataFrame) -> tuple[DataFrame, DataFrame]:

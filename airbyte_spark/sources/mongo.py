@@ -185,8 +185,10 @@ def decode_mongo(
 
     lsn = bson_timestamp_lsn(F.col("_env.source.sec"), F.col("_env.source.ord"))
     ts_ms = F.coalesce(F.col("_env.source.ts_ms"), F.col("_env.ts_ms"))
+    # a wire line without a partition value must not poison lineage: the
+    # engine's per-partition stats require a non-null int (unknown -> 0)
     part = (
-        F.col(partition_col).cast("int")
+        F.coalesce(F.col(partition_col).cast("int"), F.lit(0))
         if partition_col is not None
         else F.lit(0)
     )
@@ -194,24 +196,24 @@ def decode_mongo(
         _key_id(F.col(key_col)) if key_col is not None else F.lit(None).cast("string")
     )
 
-    def payload_col(f) -> Column:
-        base = image.getField(f.name)
-        if emit_patch:
-            base = F.when(is_patch_u, patch_img.getField(f.name)).otherwise(base)
-        if f.name == pk_field:
-            # deletes / both-null updates / patch rows recover the id from
-            # the event key (generateObjectIdDocument)
-            base = F.coalesce(base, key_id)
-        return base.alias(f.name)
-
-    cols = [
+    # One-shot carrier (plans/transforms.py project_once): the envelope and
+    # image from_json + oid regexps evaluate exactly once per row. Without
+    # the barrier, CollapseProject + OptimizeJsonExprs rewrite the image
+    # parse into one PRUNED from_json per payload field (each re-scanning
+    # the full JSON text — measured 4x) and the quarantine filter re-derives
+    # ``op`` with its own envelope parse (another 2x on the split path).
+    carrier_fields = [
         op.alias("op"),
         lsn.alias("lsn"),
         ts_ms.cast("long").alias("ts_ms"),
         part.alias("source_partition"),
-    ] + [payload_col(f) for f in payload_schema.fields]
+        image.alias("_img"),
+        key_id.alias("_kid"),
+    ]
     if emit_patch:
-        cols.append(
+        carrier_fields += [
+            F.when(is_patch_u, patch_img).alias("_pimg"),
+            is_patch_u.alias("_isp"),
             F.when(
                 is_patch_u,
                 F.coalesce(
@@ -221,6 +223,32 @@ def decode_mongo(
             )
             .when(op == "D", F.lit(None).cast(ArrayType(StringType())))
             .otherwise(F.array().cast(ArrayType(StringType())))
-            .alias("_ab_null_fields")
-        )
-    return d.select(*cols)
+            .alias("_ab_null_fields"),
+        ]
+
+    def _out(once: Column) -> list[Column]:
+        def payload_col(f) -> Column:
+            base = once.getField("_img").getField(f.name)
+            if emit_patch:
+                base = F.when(
+                    once.getField("_isp"), once.getField("_pimg").getField(f.name)
+                ).otherwise(base)
+            if f.name == pk_field:
+                # deletes / both-null updates / patch rows recover the id
+                # from the event key (generateObjectIdDocument)
+                base = F.coalesce(base, once.getField("_kid"))
+            return base.alias(f.name)
+
+        cols = [
+            once.getField("op").alias("op"),
+            once.getField("lsn").alias("lsn"),
+            once.getField("ts_ms").alias("ts_ms"),
+            once.getField("source_partition").alias("source_partition"),
+        ] + [payload_col(f) for f in payload_schema.fields]
+        if emit_patch:
+            cols.append(once.getField("_ab_null_fields").alias("_ab_null_fields"))
+        return cols
+
+    from airbyte_spark.plans.transforms import project_once
+
+    return project_once(d, F.struct(*carrier_fields), _out)

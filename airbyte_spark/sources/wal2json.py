@@ -154,8 +154,10 @@ def decode_wal2json(
     commit_lsn = pack_pg_lsn(F.col("_env.nextlsn"))
     lsn = F.shiftleft(commit_lsn, seq_bits) + F.col("_seq")
     ts_ms = F.unix_millis(F.to_timestamp(F.col("_env.timestamp")))
+    # a wire line without a partition value must not poison lineage: the
+    # engine's per-partition stats require a non-null int (unknown -> 0)
     part = (
-        F.col(partition_col).cast("int")
+        F.coalesce(F.col(partition_col).cast("int"), F.lit(0))
         if partition_col is not None
         else F.lit(0)
     )
