@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def project_once(df: DataFrame, carrier, select) -> DataFrame:
+def project_once(df: DataFrame, carrier, select, keep=()) -> DataFrame:
     """Evaluate an expensive projection exactly ONCE per row.
 
     ``carrier`` is a struct Column bundling every expensive derivation;
@@ -50,9 +50,13 @@ def project_once(df: DataFrame, carrier, select) -> DataFrame:
     Trade-off: column pruning also stops at the barrier — every carrier
     field is computed even if the consumer drops it. Use only where the
     consumer takes (nearly) the whole carrier, e.g. wire decoders.
+
+    ``keep`` columns ride through the Generate untouched (a Generate
+    preserves its child's output) and are prepended to the result.
     """
-    g = df.select(F.explode(F.array(carrier)).alias("_once"))
-    return g.select(*select(F.col("_once")))
+    keep = list(keep)
+    g = df.select(*keep, F.explode(F.array(carrier)).alias("_once"))
+    return g.select(*keep, *select(F.col("_once")))
 
 
 def dpath_extract(
@@ -122,18 +126,32 @@ def schema_extract(
         if plain.match(n)
         and not t.lower().strip().startswith(("array", "struct", "map"))
     ]
-    raw_struct = "_raw_" + errors_col
-    raws = F.from_json(
-        F.col(column),
-        ", ".join(f"`{n}` string" for n in scalar_names),
-    ).alias(raw_struct)
-    base = df.select(*keep, F.col(column), raws) if scalar_names else df
+    if scalar_names:
+        # ONE parse per row, enforced: without the Generate barrier inside
+        # project_once, CollapseProject inlines this from_json into every
+        # field reference and OptimizeJsonExprs re-splits it into one pruned
+        # parse per field (each re-scanning the JSON text) — the exact
+        # N-parses-per-row cost this shared struct exists to avoid.
+        raws = F.from_json(
+            F.col(column),
+            ", ".join(f"`{n}` string" for n in scalar_names),
+        )
+        base = project_once(
+            df,
+            raws,
+            lambda once: [once.alias("_raws")],
+            keep=[*keep, F.col(column)],
+        )
+        raw_struct = F.col("_raws")
+    else:
+        base = df
+        raw_struct = None
     typed = []
     errs = []
     for name, typ in schema.items():
         t = typ.lower().strip()
         if name in scalar_names:
-            raw = F.col(raw_struct).getField(name)
+            raw = raw_struct.getField(name)
             if t in ("string", "varchar", "text"):
                 typed.append(raw.alias(name))
                 continue
