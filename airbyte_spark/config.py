@@ -85,6 +85,12 @@ class EngineConfig:
     # over the pruned lsn column) so each batch still carries
     # ~batch_events EVENTS regardless of how the positions are spaced.
     max_arithmetic_windows: int = 4096
+    # Transactional batching: when the LSN packs (commit_lsn << bits |
+    # statement_index) — sources/wal2json.py — align every replay-window
+    # bound DOWN to a commit boundary so no transaction is ever split across
+    # two commits of the destination table (atomicity of source txns under
+    # batched replay). None = positions are not sub-ordered; no alignment.
+    lsn_align_bits: int | None = None
     vocab_size: int = 50_257
     max_tokens: int = 2_048
     # Validation policy: rows with bad payloads are repaired + flagged in

@@ -620,7 +620,14 @@ class CdcEngine:
         n_windows = -(-span // batch_events)
         if n_windows <= self.cfg.max_arithmetic_windows:
             return (
-                [min(last + i * batch_events, target) for i in range(1, n_windows + 1)],
+                self._align_bounds(
+                    [
+                        min(last + i * batch_events, target)
+                        for i in range(1, n_windows + 1)
+                    ],
+                    last,
+                    target,
+                ),
                 None,
             )
         remaining = source.filter(F.col("lsn") > last).select("lsn")
@@ -632,7 +639,7 @@ class CdcEngine:
             "lsn", [i / k for i in range(1, k)], max(0.0001, 1.0 / (4 * k))
         )
         inner = sorted({int(q) for q in qs if last < int(q) < target})
-        bounds = inner + [target]
+        bounds = self._align_bounds(inner + [target], last, target)
         log_metric(
             "sparse_lsn_windows",
             windows=len(bounds),
@@ -641,6 +648,25 @@ class CdcEngine:
             arithmetic_windows_avoided=n_windows,
         )
         return bounds, n
+
+    def _align_bounds(self, bounds: list[int], last: int, target: int) -> list[int]:
+        """Snap every non-final window bound DOWN to a commit boundary when
+        the LSN packs (commit_lsn << lsn_align_bits | statement_index)
+        (sources/wal2json.py): a bound landing mid-transaction would split
+        the txn's statements across two destination commits. Windows are
+        (lo, hi]; snapping hi to ``(hi >> bits << bits) - 1`` puts the
+        straddled transaction wholly in the NEXT batch. The final bound is
+        always ``target`` (the stream's last statement), so coverage of
+        (last, target] is unchanged — only interior boundaries move, and
+        correctness never depended on where they sit (resume re-derives
+        bounds over remaining events only)."""
+        bits = self.cfg.lsn_align_bits
+        if not bits:
+            return bounds
+        snapped = sorted(
+            {((b >> bits) << bits) - 1 for b in bounds[:-1]} | {target}
+        )
+        return [b for b in snapped if b > last]
 
     def apply_range(self, source: DataFrame, lo: int, hi: int) -> int:
         """Apply one externally-driven (lo, hi] LSN window as an atomic,

@@ -266,6 +266,55 @@ def _encode_changelog_as_wal2json(cl, txn_size=4):
     return feed, lsn_map
 
 
+def test_commit_aligned_windows_never_split_a_transaction(spark, workdir):
+    """EngineConfig(lsn_align_bits=16): every replay-window boundary snaps
+    down to a commit boundary, so a transaction's statements always land in
+    ONE destination commit — and the final table still matches the
+    unaligned replay exactly (boundary placement never affects winners)."""
+    cfg = ChangelogConfig(n_events=600, n_seed_docs=150, insert_pct=50, update_pct=35)
+    seed = seed_df(spark, cfg)
+    native = changelog_df(spark, cfg)
+    feed, _ = _encode_changelog_as_wal2json(native)
+    decoded = decode_wal2json(feed, PAYLOAD, partition_col="part").drop(
+        "xid", "txn_seq"
+    )
+
+    def run(sub, align):
+        eng = CdcEngine(
+            spark,
+            os.path.join(workdir, sub),
+            StreamConfig(num_buckets=8),
+            # 150 events/batch is NOT a multiple of the 4-statement txns:
+            # unaligned boundaries would split transactions
+            EngineConfig(batch_events=150, lsn_align_bits=align),
+        )
+        eng.create_table()
+        eng.bootstrap(seed)
+        eng.replay(decoded)
+        return eng
+
+    eng = run("aligned", 16)
+    merges = [
+        s
+        for s in eng.table.history()
+        if s.summary.get("operation", "").startswith("merge")
+    ]
+    assert len(merges) >= 3  # genuinely batched
+    for s in merges:
+        hi = int(s.summary["end_lsn"])
+        # (lo, hi]: an aligned bound is the last statement slot BELOW a
+        # commit boundary, except the stream's final statement
+        assert (hi + 1) % (1 << 16) == 0 or hi == max(
+            int(m.summary["end_lsn"]) for m in merges
+        ), hi
+    base = run("unaligned", None)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        final_as_pandas(eng.read_final()), final_as_pandas(base.read_final())
+    )
+
+
 def test_wal2json_feed_replays_to_identical_table(spark, workdir):
     """Golden end-to-end: encode the synthetic changelog as wal2json txn
     envelopes, decode, replay — same winners as the native replay, with
