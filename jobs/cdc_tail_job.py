@@ -9,7 +9,9 @@ envelope JSON, optional ``key`` = the event key JSON, optional
 ``partition`` = the Kafka partition) — decodes them connector-appropriately
 (``sources/debezium.py`` for postgres/mysql, ``sources/mongo.py`` for
 mongo, incl. ``--update-mode patch`` for change streams without
-full-document lookup), quarantines undecodable lines to a parquet side
+full-document lookup, ``sources/wal2json.py`` for transaction-grouped
+wal2json output with commit-aligned replay windows by default),
+quarantines undecodable lines to a parquet side
 path (never silently dropped, never poisoning the replay), and replays the
 good rows through the engine with the usual exactly-once checkpointing:
 
@@ -39,7 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="directory of JSON-lines Kafka-dump files "
                         "({value, key?, partition?} per line)")
     p.add_argument("--connector", required=True,
-                   choices=["postgres", "mysql", "mongo"])
+                   choices=["postgres", "mysql", "mongo", "wal2json"])
+    p.add_argument("--lsn-align-bits", type=int, default=None,
+                   help="LSN packs (commit_lsn << bits | statement_index) "
+                        "(wal2json: 16): align replay-window bounds to "
+                        "commit boundaries so no source transaction splits "
+                        "across two destination commits")
     p.add_argument("--payload-ddl", default=None,
                    help="payload schema as DDL ('name type, ...'); optional "
                         "when the lake table already exists (derived from it)")
@@ -93,6 +100,11 @@ def run(spark, args) -> dict:
             batch_events=args.batch_events,
             validate_tokens=args.validate_tokens,
             vocab_size=args.vocab_size,
+            lsn_align_bits=(
+                args.lsn_align_bits
+                if args.lsn_align_bits is not None
+                else (16 if args.connector == "wal2json" else None)
+            ),
         ),
     )
     if not LakeTable.exists(eng.table_root):
@@ -144,6 +156,12 @@ def run(spark, args) -> dict:
         )
         if args.mongo_id_field != args.pk:
             decoded = decoded.withColumnRenamed(args.mongo_id_field, args.pk)
+    elif args.connector == "wal2json":
+        from airbyte_spark.sources.wal2json import decode_wal2json
+
+        decoded = decode_wal2json(
+            wire, payload, json_col="value", partition_col="partition"
+        ).drop("xid", "txn_seq")
     else:
         decoded = decode_debezium(
             wire, payload, connector=args.connector,

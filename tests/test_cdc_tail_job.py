@@ -111,6 +111,59 @@ def test_tail_job_matches_direct_replay(spark, workdir):
     assert job_eng.table.current_version() == v
 
 
+def test_tail_job_wal2json_wire(spark, workdir):
+    """wal2json dump: transaction envelopes decode, replay with the
+    default commit-aligned windows (no txn splits across commits), and
+    land on the same winners as a direct replay of the typed changelog."""
+    from tests.test_wal2json import _encode_changelog_as_wal2json
+
+    cl = changelog_df(spark, CFG)
+    feed, _ = _encode_changelog_as_wal2json(cl)
+    wire_path = os.path.join(workdir, "wire")
+    feed.select(
+        "value", F.lit(None).cast("string").alias("key"),
+        F.col("part").cast("long").alias("partition"),
+    ).write.mode("overwrite").json(wire_path)
+
+    args = _args(workdir, connector="wal2json", batch_events=150)
+    stats = run(spark, args)
+    assert stats["events"] == CFG.n_events
+
+    job_eng = CdcEngine(
+        spark, args.lake, StreamConfig(num_buckets=8), EngineConfig()
+    )
+    # commit-aligned by default for wal2json: every merge boundary sits on
+    # a commit boundary (except the stream's final statement)
+    merges = [
+        s for s in job_eng.table.history()
+        if s.summary.get("operation", "").startswith("merge")
+    ]
+    assert len(merges) >= 2
+    last_hi = max(int(s.summary["end_lsn"]) for s in merges)
+    for s in merges:
+        hi = int(s.summary["end_lsn"])
+        assert (hi + 1) % (1 << 16) == 0 or hi == last_hi, hi
+
+    ref = CdcEngine(
+        spark,
+        os.path.join(workdir, "lake_ref"),
+        StreamConfig(num_buckets=8),
+        EngineConfig(batch_events=200),
+    )
+    ref.create_table()
+    ref.replay(cl)
+    # LSNs are remapped by the wal2json packing; winners' payloads match
+    a = sorted(
+        (r["doc_id"], r["tokens"], r["n_tok"], r["source"])
+        for r in job_eng.read_final().collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["tokens"], r["n_tok"], r["source"])
+        for r in ref.read_final().collect()
+    )
+    assert a == b and len(a) > 0
+
+
 def test_tail_job_mongo_patch_wire(spark, workdir):
     """Mongo change-stream dump without full-document lookup: the job's
     --connector mongo --update-mode patch path folds updateDescription
