@@ -257,9 +257,7 @@ class FileSource:
             return self.spark.read.schema(self.schema).json(self.path)
         if self.fmt == "csv":
             return self._read_csv([self.path])
-        # avro: requires the spark-avro module on the classpath; callers
-        # should gate with is_avro_available()
-        return self.spark.read.format("avro").load(self.path)
+        return self._read_avro([self.path])
 
     def _read_csv(self, paths: list[str]) -> DataFrame:
         """Dialect-aware CSV read (see CsvFormat for the tier strategy).
@@ -321,7 +319,18 @@ class FileSource:
             return self.spark.read.schema(self.schema).json(uris)
         if self.fmt == "csv":
             return self._read_csv(uris)
-        return self.spark.read.format("avro").load(uris)
+        return self._read_avro(uris)
+
+    def _read_avro(self, paths: list[str]) -> DataFrame:
+        """spark-avro when on the classpath (JVM-side, vectorized,
+        splittable); otherwise the pure-Python container fallback
+        (sources/avro_py.py — per-file tasks, Arrow-batched mapInPandas;
+        the read logs which path served it)."""
+        if is_avro_available(self.spark):
+            return self.spark.read.format("avro").load(paths)
+        from airbyte_spark.sources.avro_py import read_avro_fallback
+
+        return read_avro_fallback(self.spark, paths)
 
     def incremental_slices(
         self,
@@ -377,8 +386,14 @@ class FileSource:
                 else:
                     cols.append(F.col(f.name))
             out.select(*cols).write.mode("overwrite").option("header", "true").csv(self.path)
-        else:
+        elif is_avro_available(self.spark):
             out.write.mode("overwrite").format("avro").save(self.path)
+        else:
+            from airbyte_spark.sources.avro_py import write_avro_fallback
+
+            # sort so the range partitioning survives the driver-side
+            # collect (fixture writer; see avro_py.write_avro_fallback)
+            write_avro_fallback(out.sortWithinPartitions("lsn"), self.path, n_files)
 
 
 def _csv_restore_arrays(flat: DataFrame, schema: StructType) -> DataFrame:

@@ -46,9 +46,11 @@ def test_text_format_replay_matches_golden(spark, workdir, fmt):
     assert_frames_equal(final_as_pandas(eng.read_final()), _golden(spark, seed))
 
 
-def test_avro_replay_if_available(spark, workdir):
-    if not is_avro_available(spark):
-        pytest.skip("spark-avro module not on classpath")
+def test_avro_replay_matches_golden(spark, workdir):
+    """Avro changelog replay: spark-avro when on the classpath, otherwise
+    the pure-Python container fallback (sources/avro_py.py) — either way
+    the replay must land exactly on golden. This sandbox has no spark-avro,
+    so here the fallback is what's exercised."""
     eng, seed = _replay_with(spark, workdir, "avro")
     assert_frames_equal(final_as_pandas(eng.read_final()), _golden(spark, seed))
 
