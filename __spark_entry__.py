@@ -527,6 +527,34 @@ def q_docs_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_lm_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LM-rarity signals: the integer-exact core of
+    corpus-LM quality filtering (CCNet/RedPajama train an n-gram LM on the
+    corpus and score each doc's perplexity; the doc-level statistics that
+    drive it are its bigrams' corpus frequencies). Emits per doc: bigram
+    count, total corpus frequency of its bigrams, the rarest bigram's
+    frequency, and the hapax count (bigrams seen nowhere else — a strong
+    novelty/noise signal). Shape: map-side 2-shingles -> explode -> ONE
+    frequency aggregate -> join-back on the bigram key (co-partitioned with
+    the aggregate's own exchange, AQE-reusable) -> per-doc agg. No floats,
+    so the oracle hash is exact."""
+    from airbyte_spark.operators.fuzzy_dedup import _shingled
+
+    w = _shingled(_docs(spark, sf_dir), "doc_id", "text", k=2)
+    b = w.select("doc_id", F.explode("sh").alias("bigram"))
+    counts = b.groupBy("bigram").agg(F.count("*").alias("freq"))
+    return (
+        b.join(counts, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("freq").cast("long").alias("sum_freq"),
+            F.min("freq").cast("long").alias("min_freq"),
+            F.sum((F.col("freq") == 1).cast("long")).alias("n_hapax"),
+        )
+    )
+
+
 #: Bloom prefilter geometry for the gated query: small enough that the
 #: sf0.1 bench sees a realistic fill factor, large enough that sf0.01
 #: stays uncrowded. The operator default is 2^20.
@@ -1700,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_contamination": q_docs_contamination,
         "docs_pii_scrub": q_docs_pii_scrub,
         "docs_word_bigrams": q_docs_word_bigrams,
+        "docs_lm_rarity": q_docs_lm_rarity,
         "corpus_mix_sample": q_corpus_mix_sample,
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "corpus_token_budget": q_corpus_token_budget,
@@ -2376,6 +2405,17 @@ FROM pii_docs
 WITH w AS (SELECT doc_id, {X.shingles_sql(_D, "text", 2)} AS sh FROM documents),
 u AS (SELECT unnest(sh) AS bigram FROM w WHERE len(sh) > 0)
 SELECT bigram, count(*) AS freq FROM u GROUP BY bigram HAVING count(*) >= 5
+""",
+        "docs_lm_rarity": f"""
+WITH w AS (SELECT doc_id, {X.shingles_sql(_D, "text", 2)} AS sh FROM documents),
+b AS (SELECT doc_id, unnest(sh) AS bigram FROM w WHERE len(sh) > 0),
+c AS (SELECT bigram, count(*) AS freq FROM b GROUP BY bigram)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(freq) AS BIGINT) AS sum_freq,
+       min(freq) AS min_freq,
+       CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+FROM b JOIN c USING (bigram) GROUP BY doc_id
 """,
         # the ONE-SHOT packing SQL gates the 3-batch incremental fold:
         # equality proves batching-invariance cross-engine
