@@ -286,6 +286,96 @@ class CdcEngine:
         )
         return version
 
+    def snapshot_chunk(self, chunk: DataFrame, idx: int, n_chunks: int) -> int | None:
+        """DBLog-style INCREMENTAL snapshot: apply one snapshot chunk through
+        the MERGE path while the tail replays concurrently — the reference's
+        "initial load concurrent with CDC" (Debezium incremental snapshots /
+        DBLog watermark algorithm; vs :meth:`bootstrap`, which must finish
+        before replay starts).
+
+        Correct by construction, no watermark bookkeeping needed: chunk rows
+        carry their as-of position in ``lsn`` (the consistent-read point of
+        the chunk query), and the merge resolves EVERYTHING by LWW over
+        (lsn, ts_ms) against the stored rows — so a tail update that ran
+        after the chunk was read wins over the late-arriving chunk row, and
+        a tail DELETE can never be resurrected by a late chunk because
+        tombstones are retained in storage (operators/merge.py docstring;
+        the same property that protects against out-of-order batches).
+
+        Chunks are idempotent via per-chunk batch ids, may arrive in any
+        order, and interleave freely with :meth:`replay` calls (single
+        writer). Whichever chunk completes the set commits under the legacy
+        bootstrap id, so ``bootstrap()`` becomes a no-op afterwards and
+        completion is summary-detectable. ``chunk`` carries payload columns
+        + (lsn, ts_ms) like a bootstrap seed; rows within a chunk dedup by
+        LWW first (one row per PK).
+        """
+        table = self.table
+        idx, n_chunks = int(idx), int(n_chunks)
+        if not 0 <= idx < n_chunks:
+            raise ValueError(f"chunk idx {idx} outside [0, {n_chunks})")
+        done_bid = _batch_id(self.stream.name, -1, 0)
+
+        def chunk_bid(i: int) -> str:
+            return _batch_id(f"{self.stream.name}:bootstrapinc{n_chunks}", i, n_chunks)
+
+        if table.find_batch(done_bid) is not None or table.find_batch(
+            chunk_bid(idx)
+        ) is not None:
+            log_metric(
+                "chunk_skipped_already_applied", chunk=idx, n_chunks=n_chunks
+            )
+            return None
+        others_done = all(
+            table.find_batch(chunk_bid(i)) is not None
+            for i in range(n_chunks)
+            if i != idx
+        )
+        bid = done_bid if others_done else chunk_bid(idx)
+
+        df = self._map_records(chunk).withColumn("op", F.lit(S.OP_INSERT))
+        if "source_partition" not in df.columns:
+            df = df.withColumn("source_partition", F.lit(0))
+        # full-row LWW regardless of update_mode: a snapshot row is a whole
+        # image, never a patch
+        winners = lww_dedup(
+            self._prepare_batch(df, table),
+            key=self.stream.primary_key,
+            strategy=self.cfg.dedup_strategy,
+            salt_buckets=self.cfg.salt_buckets,
+        ).persist()
+        try:
+            n = winners.count()
+            version = self._commit_batch(
+                winners,
+                summary=self._summary(
+                    {
+                        "operation": "bootstrap_chunk",
+                        "batch_id": bid,
+                        "chunk": idx,
+                        "n_chunks": n_chunks,
+                    }
+                ),
+                use_mor=self._use_mor(table, n),
+                n_events=n,
+            )
+        finally:
+            winners.unpersist()
+            self._drop_scratch()
+        if bid == done_bid:
+            ckpt = load_checkpoint(self.checkpoint_path) or Checkpoint()
+            ckpt.note_batch(done_bid)
+            save_checkpoint(self.checkpoint_path, ckpt)
+        log_metric(
+            "bootstrap_chunk_committed",
+            chunk=idx,
+            n_chunks=n_chunks,
+            rows=n,
+            snapshot=version,
+            snapshot_complete=bid == done_bid,
+        )
+        return version
+
     def _assert_bootstrap_complete(self) -> None:
         """Refuse to replay over a partially-loaded table: some bootstrap
         slices committed but the finishing slice (legacy bootstrap id) is
