@@ -299,6 +299,52 @@ def test_sparse_lsn_windows_quantile_batching(spark, workdir):
     assert dense_n is None and dense_bounds == [100 * i for i in range(1, 11)]
 
 
+def test_tail_job_streaming_wal2json(spark, workdir):
+    """--streaming --connector wal2json: the transaction-envelope decode
+    (posexplode + map_from_arrays) is stream-legal; epochs drain through
+    foreachBatch and land on the same winners as the bounded run."""
+    from tests.test_wal2json import _encode_changelog_as_wal2json
+
+    cl = changelog_df(spark, CFG)
+    feed, _ = _encode_changelog_as_wal2json(cl)
+    wire_path = os.path.join(workdir, "wire")
+    feed.select(
+        "value", F.lit(None).cast("string").alias("key"),
+        F.col("part").cast("long").alias("partition"),
+    ).repartition(3).write.mode("overwrite").json(wire_path)
+
+    args = _args(
+        workdir, connector="wal2json", streaming=True,
+        ss_checkpoint=os.path.join(workdir, "ss"),
+    )
+    stats = run(spark, args)
+    assert stats["rows_applied"] > 0
+
+    ref = CdcEngine(
+        spark,
+        os.path.join(workdir, "lake_ref"),
+        StreamConfig(num_buckets=8),
+        EngineConfig(batch_events=200),
+    )
+    ref.create_table()
+    ref.replay(cl)
+    job_eng = CdcEngine(
+        spark, args.lake, StreamConfig(num_buckets=8), EngineConfig()
+    )
+    a = sorted(
+        (r["doc_id"], r["tokens"], r["n_tok"], r["source"])
+        for r in job_eng.read_final().collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["tokens"], r["n_tok"], r["source"])
+        for r in ref.read_final().collect()
+    )
+    assert a == b and len(a) > 0
+
+    stats2 = run(spark, args)  # SS-checkpoint resume applies nothing
+    assert stats2["rows_applied"] == 0
+
+
 def test_tail_job_streaming_wire(spark, workdir):
     """--streaming: the decoded wire stream drains through foreachBatch
     epochs (stream_replay_df) — same final table as the bounded run,
