@@ -37,6 +37,7 @@ from airbyte_spark.operators.line_dedup import (
 )
 from airbyte_spark.operators import mixing as _mixing
 from airbyte_spark.operators import ranking as _ranking
+from airbyte_spark.operators.profile import profile_oracle_sql as _profile_oracle_sql
 from airbyte_spark.operators import semantic_dedup as _semantic_dedup
 from airbyte_spark.operators import text_quality as _text_quality
 from airbyte_spark.operators import token_dedup as _token_dedup
@@ -1675,6 +1676,18 @@ def q_cdc_wal2json_txn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txn_stats(_wal2json_decoded(spark, sf_dir))
 
 
+def q_stats_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (operators/profile.py): count / nulls / exact
+    distinct / min / max for every profiled column in ONE job — a single
+    multi-distinct aggregate (Spark's expand-based plan, one data pass) and
+    a narrow explode to long format. The data-quality surface platforms run
+    over synced tables; exact oracle on integer/string columns."""
+    from airbyte_spark.operators.profile import profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return profile(ev, ["event_id", "user_id", "event_type"])
+
+
 def q_corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum ordering (operators/ranking.py curriculum_order): exact
     global quality rank -> equal-population difficulty tiers -> deterministic
@@ -1780,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_wal2json_decode": q_cdc_wal2json_decode,
         "cdc_wal2json_txn_stats": q_cdc_wal2json_txn_stats,
         "corpus_curriculum": q_corpus_curriculum,
+        "stats_column_profile": q_stats_column_profile,
     }
 
 
@@ -2052,6 +2066,9 @@ SELECT xid, count(*) AS n_changes,
        min(lsn) AS first_lsn, max(lsn) AS last_lsn
 FROM d GROUP BY xid
 """,
+        "stats_column_profile": _profile_oracle_sql(
+            "events", ["event_id", "user_id", "event_type"]
+        ),
         "corpus_curriculum": _ranking.curriculum_oracle_sql(
             "SELECT doc_id, text FROM documents",
             "length(text) - length(replace(text, ' ', '')) + 1",
