@@ -133,8 +133,13 @@ def decode_wal2json(
     NULL`` so the caller's quarantine split surfaces them instead of silently
     corrupting replay order.
     """
+    # Materialize the envelope parse ONCE behind a one-element Generate
+    # (plans/transforms.py project_once rationale): without it the change
+    # array's posexplode input collapses to its own pruned from_json while
+    # the _env passthrough column keeps a second full parse.
     env = F.from_json(F.col(json_col), envelope_schema())
-    d = df.withColumn("_env", env).select(
+    keep = [F.col(partition_col)] if partition_col is not None else []
+    d = df.select(*keep, F.explode(F.array(env)).alias("_env")).select(
         "*",
         F.posexplode_outer("_env.change").alias("_seq", "_ch"),
     )

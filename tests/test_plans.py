@@ -331,3 +331,49 @@ def test_patch_fold_single_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_max_by" in plan
+
+
+def test_wire_decoders_parse_json_exactly_once(spark):
+    """The project_once Generate barrier (plans/transforms.py) must hold:
+    each decoder's optimized plan carries exactly ONE envelope from_json for
+    Debezium (plus one per-image parse for Mongo's string images and the
+    patch branch), and the quarantine split must not re-derive op below the
+    barrier. Regression gate for the measured 2-4x decode cost of
+    CollapseProject + OptimizeJsonExprs re-splitting the parse per field."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from airbyte_spark.sources.debezium import decode_debezium, split_malformed
+    from airbyte_spark.sources.mongo import decode_mongo
+    from airbyte_spark.sources.wal2json import decode_wal2json
+
+    payload = StructType(
+        [
+            StructField("doc_id", StringType(), True),
+            StructField("tokens", ArrayType(IntegerType()), True),
+            StructField("n_tok", IntegerType(), True),
+            StructField("source", StringType(), True),
+        ]
+    )
+    feed = spark.createDataFrame([("{}", "{}")], "value string, key string")
+
+    def n_envelope_parses(df) -> int:
+        # from_json over the RAW wire column prints as
+        # "from_json(StructField(...), value#N, ...)" — nested re-parses
+        # (token arrays from raw text, image strings) have other inputs
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return plan.count(", value#")
+
+    dbz, _ = split_malformed(decode_debezium(feed, payload))
+    assert n_envelope_parses(dbz) == 1, "debezium: envelope must parse once"
+
+    w2j, _ = split_malformed(decode_wal2json(feed, payload))
+    assert n_envelope_parses(w2j) == 1, "wal2json: envelope must parse once"
+
+    mgo, _ = split_malformed(decode_mongo(feed, payload, key_col="key", emit_patch=True))
+    assert n_envelope_parses(mgo) == 1, "mongo: envelope must parse once"
