@@ -1676,6 +1676,44 @@ def q_cdc_wal2json_txn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txn_stats(_wal2json_decoded(spark, sf_dir))
 
 
+def q_cdc_outbox_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional-outbox event routing (sources/outbox.py route_outbox,
+    Debezium outbox event router semantics): events rendered as outbox rows
+    (aggregatetype/aggregateid/type/payload-JSON), filtered to inserts,
+    routed by aggregate type, payload typed through the vectorized
+    schema_extract compiler with per-column error capture ('N/A' amounts
+    flag, never fail). Returns the 'order' route; the oracle computes the
+    route's closed form straight off the base table."""
+    from airbyte_spark.sources.outbox import route_outbox
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg_type = F.element_at(
+        F.array(F.lit("order"), F.lit("user"), F.lit("audit")),
+        (F.col("event_id") % 3 + 1).cast("int"),
+    )
+    amount = F.when(F.col("event_id") % 7 == 0, F.lit("N/A")).otherwise(
+        F.floor(F.col("value") * 100).cast("string")
+    )
+    payload = F.format_string(
+        '{"amount": "%s", "day": "%s"}',
+        amount,
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd"),
+    )
+    outbox = ev.select(
+        F.lit("I").alias("op"),
+        agg_type.alias("aggregatetype"),
+        F.format_string("agg%07d", F.col("user_id")).alias("aggregateid"),
+        F.col("event_type").alias("type"),
+        payload.alias("payload"),
+        F.col("event_id").cast("long").alias("lsn"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    routed = route_outbox(outbox, {"order": {"amount": "bigint", "day": "string"}})
+    return routed["order"].select(
+        "op", "doc_id", "lsn", "ts_ms", "event_type", "amount", "day", "_ab_errors"
+    )
+
+
 def q_stats_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (operators/profile.py): count / nulls / exact
     distinct / min / max for every profiled column in ONE job — a single
@@ -1794,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_wal2json_txn_stats": q_cdc_wal2json_txn_stats,
         "corpus_curriculum": q_corpus_curriculum,
         "stats_column_profile": q_stats_column_profile,
+        "cdc_outbox_route": q_cdc_outbox_route,
     }
 
 
@@ -2065,6 +2104,18 @@ SELECT xid, count(*) AS n_changes,
        CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
        min(lsn) AS first_lsn, max(lsn) AS last_lsn
 FROM d GROUP BY xid
+""",
+        "cdc_outbox_route": """
+SELECT 'I' AS op,
+       printf('agg%07d', user_id) AS doc_id,
+       CAST(event_id AS BIGINT) AS lsn,
+       epoch_ms(ts) AS ts_ms,
+       event_type,
+       CASE WHEN event_id % 7 = 0 THEN NULL
+            ELSE CAST(floor(value * 100) AS BIGINT) END AS amount,
+       strftime(ts, '%Y-%m-%d') AS day,
+       CASE WHEN event_id % 7 = 0 THEN 'amount' ELSE '' END AS _ab_errors
+FROM events WHERE event_id % 3 = 0
 """,
         "stats_column_profile": _profile_oracle_sql(
             "events", ["event_id", "user_id", "event_type"]
