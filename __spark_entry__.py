@@ -542,7 +542,11 @@ def q_docs_lm_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbyte_spark.operators.fuzzy_dedup import _shingled
 
     w = _shingled(_docs(spark, sf_dir), "doc_id", "text", k=2)
-    b = w.select("doc_id", F.explode("sh").alias("bigram"))
+    # persisted: feeds BOTH the frequency aggregate and the join-back (the
+    # dedup_ngram_jaccard band-table precedent). At 100 TB one would skip
+    # the persist and recompute the narrow explode instead of caching a
+    # corpus-scale table; at suite scale the cache wins.
+    b = w.select("doc_id", F.explode("sh").alias("bigram")).persist()
     counts = b.groupBy("bigram").agg(F.count("*").alias("freq"))
     return (
         b.join(counts, "bigram")
