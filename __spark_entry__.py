@@ -1680,6 +1680,37 @@ def q_cdc_wal2json_txn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txn_stats(_wal2json_decoded(spark, sf_dir))
 
 
+def q_stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew diagnostics over the change stream: the top-20 busiest
+    keys with event counts and integer basis-point share of total — the
+    numbers that decide salting (EngineConfig.salt_buckets) and AQE skew
+    thresholds before a 100 TB replay. ONE partial-combined count aggregate
+    (a hot key ships <= 1 partial row per map task) + top-k via the dedup
+    aggregate idiom on a single grand-total join; integer-exact oracle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    total = ev.agg(F.count("*").alias("_tot"))
+    from pyspark.sql.window import Window
+
+    # orderBy+limit plans as TakeOrderedAndProject: per-partition partial
+    # top-20 merged on the driver — at billions of distinct keys this never
+    # sorts the counts table in one partition (a bare rank window would).
+    # The rank window then runs over the 20 survivors only.
+    top = counts.orderBy(F.col("n_events").desc(), F.col("user_id").asc()).limit(20)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+        ),
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "rank",
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.expr("CAST((n_events * 10000) DIV _tot AS BIGINT)").alias("share_bp"),
+    )
+
+
 def q_cdc_outbox_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transactional-outbox event routing (sources/outbox.py route_outbox,
     Debezium outbox event router semantics): events rendered as outbox rows
@@ -1837,6 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curriculum": q_corpus_curriculum,
         "stats_column_profile": q_stats_column_profile,
         "cdc_outbox_route": q_cdc_outbox_route,
+        "stats_key_skew": q_stats_key_skew,
     }
 
 
@@ -2108,6 +2140,16 @@ SELECT xid, count(*) AS n_changes,
        CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
        min(lsn) AS first_lsn, max(lsn) AS last_lsn
 FROM d GROUP BY xid
+""",
+        "stats_key_skew": """
+WITH c AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+t AS (SELECT sum(n_events) AS tot FROM c),
+r AS (SELECT user_id, n_events,
+             ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) AS rank
+      FROM c)
+SELECT rank, user_id, CAST(n_events AS BIGINT) AS n_events,
+       CAST((n_events * 10000) // tot AS BIGINT) AS share_bp
+FROM r, t WHERE rank <= 20
 """,
         "cdc_outbox_route": """
 SELECT 'I' AS op,
