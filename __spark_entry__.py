@@ -788,6 +788,32 @@ def q_tokens_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenize_digest(_docs(spark, sf_dir), vocab_top=512)
 
 
+def q_tokens_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detokenization roundtrip (operators/tokenize.py detokenize_digest):
+    encode against the corpus top-512 vocabulary, decode back through the
+    inverted vocab (OOV -> <unk>), and assert the invariant that zero-OOV
+    documents decode bit-identically (roundtrip_ok). Gated on the decoded
+    and original word-sequence digests per doc."""
+    from airbyte_spark.operators.tokenize import detokenize_digest
+
+    return detokenize_digest(_docs(spark, sf_dir), vocab_top=512)
+
+
+def q_docs_adaptive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ADAPTIVE quality filter (operators/quantiles.py
+    adaptive_filter_summary): each source's keep-cutoff is its own exact
+    P25 of the integer word-count score (CCNet-style per-source
+    calibration); reports per-source cutoff + kept/dropped tallies. One
+    corpus pass — the tallies are derived from the same grouped-counts
+    table that calibrates the cutoff."""
+    from airbyte_spark.operators.quantiles import adaptive_filter_summary
+
+    d = _docs(spark, sf_dir)
+    n_space = F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+    scored = d.select("source", (n_space + F.lit(1)).cast("long").alias("score"))
+    return adaptive_filter_summary(scored, "score", 25, group_cols=["source"])
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact inner-product top-5 for the first 10 vectors (broadcast queries)."""
     emb = _embeddings(spark, sf_dir)
@@ -1834,6 +1860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_neardup": q_dedup_embedding_neardup,
         "dedup_semantic": q_dedup_semantic,
         "tokens_encode": q_tokens_encode,
+        "tokens_decode": q_tokens_decode,
+        "docs_adaptive_filter": q_docs_adaptive_filter,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
@@ -2631,6 +2659,32 @@ FROM p WHERE dot > 0 AND 10000 * dot * dot >= 6400 * na2 * nb2
             "dup_emb", n_clusters=16, cos_pct=80, extra_ctes=_DUP_EMB.strip(),
         ),
         "tokens_encode": _tokenize.tokenize_oracle_sql("documents", vocab_top=512),
+        "tokens_decode": _tokenize.detokenize_oracle_sql("documents", vocab_top=512),
+        "docs_adaptive_filter": """
+WITH scored AS (
+  SELECT source,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS score
+  FROM documents),
+counts AS (SELECT source, score, count(*) AS cnt FROM scored GROUP BY 1, 2),
+cum AS (
+  SELECT source, score,
+         sum(cnt) OVER (PARTITION BY source ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum
+  FROM counts),
+tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_rows FROM counts GROUP BY 1),
+cut AS (
+  SELECT source, CAST(min(score) AS BIGINT) AS cutoff
+  FROM cum JOIN tot USING (source)
+  WHERE cum >= (25 * n_rows + 99) // 100
+  GROUP BY source)
+SELECT c.source, k.cutoff,
+       CAST(sum(c.cnt) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN c.score >= k.cutoff THEN c.cnt ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN c.score < k.cutoff THEN c.cnt ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN c.score >= k.cutoff THEN c.score * c.cnt ELSE 0 END) AS BIGINT)
+         AS kept_score_sum
+FROM counts c JOIN cut k USING (source)
+GROUP BY 1, 2
+""",
         "knn_bruteforce": f"""
 WITH q AS (SELECT vec_id, {X.quantize_sql(_D, "embedding")} AS e FROM embeddings),
 s AS (SELECT qa.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -160,3 +160,119 @@ SELECT doc_id,
 FROM tagged
 GROUP BY doc_id, source
 """
+
+
+def detokenize_digest(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    vocab_top: int = 512,
+    unk: str = "<unk>",
+) -> DataFrame:
+    """Encode -> decode roundtrip through the inverted vocabulary — the
+    detokenizer every training pipeline needs next to its tokenizer (and
+    the cheapest end-to-end check that the vocab join is lossless in both
+    directions). OOV ids decode to the reserved ``unk`` marker.
+
+    Returns (doc_id, n_tok, n_oov, decoded_md5, words_md5, roundtrip_ok,
+    source) where ``decoded_md5`` digests the space-joined decoded word
+    sequence, ``words_md5`` digests the original word sequence, and
+    ``roundtrip_ok`` asserts the invariant "a document with zero OOV
+    tokens decodes bit-identically" (1 when n_oov > 0 or the digests
+    match — any 0 is a tokenizer bug).
+
+    Scale shape: one extra narrow explode + broadcast vocab join + the
+    same (pos, word) regroup idiom as tokenize_corpus — only integer ids
+    and vocabulary words (bounded set) cross the wire; original text
+    never shuffles (words_md5 is computed map-side before the explode)."""
+    vocab = build_vocab(df, text_col, vocab_top)
+    words_md5 = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.array_join(F.expr(X.words_sql(S, text_col)), " ")).alias("words_md5"),
+    )
+    toks = tokenize_corpus(df, id_col, text_col, source_col, vocab_top)
+    pos_tid = toks.select(
+        "doc_id", "source", "n_tok", "n_oov", F.posexplode("tokens").alias("pos", "tid")
+    )
+    decoded = (
+        pos_tid.join(F.broadcast(vocab), "tid", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            "n_oov",
+            "pos",
+            F.coalesce(F.col("w"), F.lit(unk)).alias("w"),
+        )
+        .groupBy("doc_id", "source", "n_tok", "n_oov")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.expr("transform(array_sort(collect_list(struct(pos, w))), p -> p.w)"),
+                    " ",
+                )
+            ).alias("decoded_md5")
+        )
+    )
+    return decoded.join(words_md5, "doc_id").select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "n_oov",
+        "decoded_md5",
+        "words_md5",
+        ((F.col("n_oov") > 0) | (F.col("decoded_md5") == F.col("words_md5")))
+        .cast("int")
+        .alias("roundtrip_ok"),
+        "source",
+    )
+
+
+def detokenize_oracle_sql(
+    table_expr: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    vocab_top: int = 512,
+    unk: str = "<unk>",
+) -> str:
+    """DuckDB oracle for detokenize_digest: the tokenize oracle's CTEs,
+    then the inverse vocab join on tid and list(w ORDER BY pos)."""
+    d = X.DUCKDB
+    return f"""
+WITH vocab AS (
+  SELECT w, CAST(rk - 1 AS INTEGER) AS tid
+  FROM (
+    SELECT w, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w ASC) AS rk
+    FROM (
+      SELECT unnest({X.words_sql(d, text_col)}) AS w FROM {table_expr}
+    ) GROUP BY w
+  ) WHERE rk <= {vocab_top}
+), pos_words AS (
+  SELECT {id_col} AS doc_id, {source_col} AS source, i AS pos, ws[i] AS w
+  FROM (
+    SELECT {id_col}, {source_col}, {X.words_sql(d, text_col)} AS ws
+    FROM {table_expr}
+  ), unnest(range(1, len(ws) + 1)) AS r(i)
+), tagged AS (
+  SELECT doc_id, source, pos,
+         COALESCE(v.tid, {vocab_top}) AS tid
+  FROM pos_words p LEFT JOIN vocab v USING (w)
+), decoded AS (
+  SELECT doc_id, source,
+         CAST(COUNT(*) AS BIGINT) AS n_tok,
+         CAST(SUM(CASE WHEN t.tid = {vocab_top} THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         md5(array_to_string(list(COALESCE(v2.w, '{unk}') ORDER BY pos), ' ')) AS decoded_md5
+  FROM tagged t LEFT JOIN vocab v2 USING (tid)
+  GROUP BY doc_id, source
+), originals AS (
+  SELECT {id_col} AS doc_id,
+         md5(array_to_string({X.words_sql(d, text_col)}, ' ')) AS words_md5
+  FROM {table_expr}
+)
+SELECT d.doc_id, d.n_tok, d.n_oov, d.decoded_md5, o.words_md5,
+       CAST(CASE WHEN d.n_oov > 0 OR d.decoded_md5 = o.words_md5 THEN 1 ELSE 0 END AS INT)
+         AS roundtrip_ok,
+       d.source
+FROM decoded d JOIN originals o USING (doc_id)
+"""

@@ -90,3 +90,66 @@ def test_grouped_plan_no_single_partition(spark):
     # exactly one corpus-scale aggregate feeds everything downstream:
     # partial aggregation must appear before the (grp, score) exchange
     assert "partial" in plan.lower(), plan
+
+
+# ---------------------------------------------------------------- adaptive
+
+
+def _adaptive_ref(rows, pct):
+    """Python reference for adaptive_filter_summary."""
+    by_g: dict[str, list[int]] = {}
+    for g, s in rows:
+        by_g.setdefault(g, []).append(s)
+    out = {}
+    for g, scores in by_g.items():
+        cut = _ref(scores, pct)
+        kept = [s for s in scores if s >= cut]
+        out[g] = (cut, len(scores), len(kept), len(scores) - len(kept), sum(kept))
+    return out
+
+
+def test_adaptive_summary_matches_reference(spark):
+    from airbyte_spark.operators.quantiles import adaptive_filter_summary
+
+    df, rows = _df(spark)
+    got = {
+        r["grp"]: (r["cutoff"], r["n_docs"], r["n_kept"], r["n_dropped"], r["kept_score_sum"])
+        for r in adaptive_filter_summary(df, "score", 25, ["grp"]).collect()
+    }
+    assert got == _adaptive_ref(rows, 25)
+
+
+def test_adaptive_rows_match_summary(spark):
+    """adaptive_filter (row level) keeps exactly the rows the summary
+    counts, per group."""
+    from airbyte_spark.operators.quantiles import adaptive_filter, adaptive_filter_summary
+
+    df, rows = _df(spark)
+    kept = adaptive_filter(df, "score", 25, ["grp"])
+    per_g = {r["grp"]: r["cnt"] for r in kept.groupBy("grp").agg(F.count("*").alias("cnt")).collect()}
+    summ = {r["grp"]: r["n_kept"] for r in adaptive_filter_summary(df, "score", 25, ["grp"]).collect()}
+    assert per_g == summ
+    # every kept row individually clears its group's cutoff
+    ref = _adaptive_ref(rows, 25)
+    for r in kept.collect():
+        assert r["score"] >= ref[r["grp"]][0]
+
+
+def test_adaptive_summary_plan_no_single_partition(spark):
+    """The grouped path must never collapse to a SinglePartition sort or
+    window — calibration and tallies both run partitioned by group."""
+    from airbyte_spark.operators.quantiles import adaptive_filter_summary
+
+    df, _ = _df(spark)
+    plan = _explain(adaptive_filter_summary(df, "score", 25, ["grp"]))
+    assert "SinglePartition" not in plan
+
+
+def test_adaptive_validation(spark):
+    from airbyte_spark.operators.quantiles import adaptive_filter_summary
+
+    df, _ = _df(spark)
+    with pytest.raises(ValueError):
+        adaptive_filter_summary(df, "score", 0, ["grp"])
+    with pytest.raises(ValueError):
+        adaptive_filter_summary(df, "score", 25, [])

@@ -150,3 +150,39 @@ def test_semantic_dedup_exact_and_scaled_dups_drop(spark):
     assert out[4]["keep"] == 0 and out[4]["witness"] == 1
     # canonical representatives and the anti-correlated vector survive
     assert out[0]["keep"] == 1 and out[1]["keep"] == 1 and out[6]["keep"] == 1
+
+
+# ------------------------------------------------------------- detokenize
+
+
+def test_detokenize_roundtrip_invariant(spark):
+    """Zero-OOV docs decode bit-identically; OOV docs differ only at <unk>
+    positions; roundtrip_ok is 1 everywhere (any 0 is a tokenizer bug)."""
+    from airbyte_spark.operators.tokenize import detokenize_digest
+
+    rows = [
+        ("d1", "the cat sat on the mat", "s1"),
+        ("d2", "the dog sat", "s1"),
+        ("d3", "zebra xylophone quux", "s2"),  # all-OOV under a tiny vocab
+        ("d4", "the the the cat cat dog", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    out = {r["doc_id"]: r for r in detokenize_digest(df, vocab_top=4).collect()}
+    assert all(r["roundtrip_ok"] == 1 for r in out.values())
+    # d4 uses only the top-4 words (the, cat, dog, ...) -> zero OOV -> exact
+    assert out["d4"]["n_oov"] == 0
+    assert out["d4"]["decoded_md5"] == out["d4"]["words_md5"]
+    # d3 is all-OOV -> digests differ but the invariant still holds
+    assert out["d3"]["n_oov"] == out["d3"]["n_tok"]
+    assert out["d3"]["decoded_md5"] != out["d3"]["words_md5"]
+
+
+def test_detokenize_partitioning_invariance(spark):
+    from airbyte_spark.operators.tokenize import detokenize_digest
+
+    rows = [(f"d{i}", " ".join(f"w{(i * j) % 11}" for j in range(1, 14)), f"s{i % 3}")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    a = sorted(map(tuple, detokenize_digest(df, vocab_top=8).collect()))
+    b = sorted(map(tuple, detokenize_digest(df.repartition(13), vocab_top=8).collect()))
+    assert a == b
