@@ -465,6 +465,40 @@ class CdcEngine:
                 schema_version=table.snapshot(v).schema_version,
             )
 
+    def apply_schema_changes(
+        self, changes: DataFrame, table_id: str | None = None
+    ) -> int:
+        """Fold decoded Debezium schema-change rows
+        (``sources/schema_change.py``) into the table schema via the same
+        additive evolution path batch shapes take — the engine's analog of
+        the reference replaying its schema-history topic
+        (AirbyteSchemaHistoryStorage.java) before decoding data events.
+
+        ``table_id`` filters multi-table schema topics to this stream's
+        table. The collect is bounded by design: DDL events are
+        metadata-scale (a handful per million DML events) — the same
+        bounded-collect contract as the merge path's touched-bucket sets.
+        Returns the number of change events folded (0 = nothing usable, no
+        commit; evolution itself is also a no-op commit when the derived
+        schema adds nothing new)."""
+        from airbyte_spark.sources.schema_change import changes_to_payload_schema
+
+        if table_id is not None:
+            changes = changes.filter(F.col("table_id") == table_id)
+        rows = [r.asDict(recursive=True) for r in changes.collect()]
+        payload = changes_to_payload_schema(
+            rows, union_type_fallback=self.cfg.union_type_fallback
+        )
+        if payload is None:
+            return 0
+        self._maybe_evolve_schema(payload)
+        log_metric(
+            "schema_changes_applied",
+            events=len(rows),
+            schema_version=self.table.snapshot().schema_version,
+        )
+        return len(rows)
+
     # --------------------------------------------------------------- replay
 
     def _map_records(self, df: DataFrame) -> DataFrame:

@@ -109,7 +109,63 @@ def run(spark, args) -> dict:
     )
     if not LakeTable.exists(eng.table_root):
         eng.create_table(_table_schema_from_ddl(args))
-    if args.payload_ddl is not None:
+
+    wire_schema = StructType(
+        [
+            StructField("value", StringType(), True),
+            StructField("key", StringType(), True),
+            StructField("partition", LongType(), True),
+        ]
+    )
+    streaming = getattr(args, "streaming", False)
+    if streaming:
+        if not args.ss_checkpoint:
+            raise SystemExit("--streaming requires --ss-checkpoint")
+        wire = spark.readStream.schema(wire_schema).json(args.wire)
+    else:
+        wire = spark.read.schema(wire_schema).json(args.wire)
+
+    # In-stream DDL: Debezium schema-change envelopes (tableChanges) evolve
+    # the table BEFORE the data decode, so the DML from_json uses the final
+    # (widest) payload schema — additive evolution makes early-apply sound
+    # (pre-DDL envelopes parse to NULL for the new column; widened columns
+    # parse old narrower values exactly). Streaming uses a bounded batch
+    # pre-pass over the same dump for the (metadata-scale) DDL side and
+    # filters those lines out of the stream.
+    n_ddl = 0
+    if args.connector in ("postgres", "mysql"):
+        from airbyte_spark.sources.schema_change import (
+            decode_schema_changes,
+            split_schema_changes,
+        )
+
+        if streaming:
+            sc_lines, _ = split_schema_changes(
+                spark.read.schema(wire_schema).json(args.wire)
+            )
+            _, wire = split_schema_changes(wire)
+        else:
+            sc_lines, wire = split_schema_changes(wire)
+        changes = decode_schema_changes(sc_lines, connector=args.connector)
+        n_bad_ddl = changes.filter(F.col("change_type").isNull()).count()
+        if n_bad_ddl:
+            from airbyte_spark.lineage import log_metric
+
+            log_metric("ddl_quarantined", rows=n_bad_ddl)
+        n_ddl = eng.apply_schema_changes(
+            changes.filter(F.col("change_type").isNotNull())
+        )
+
+    if n_ddl:
+        # DDL happened: the table snapshot now carries the final shape —
+        # decode with IT, not the (stale) --payload-ddl bootstrap schema.
+        from airbyte_spark import schemas as S
+
+        snap = eng.table.snapshot()
+        payload = StructType(
+            [f for f in S.payload_fields(snap.schema) if f.name != "op"]
+        )
+    elif args.payload_ddl is not None:
         payload = StructType.fromDDL(args.payload_ddl)
     else:
         from airbyte_spark import schemas as S
@@ -127,21 +183,6 @@ def run(spark, args) -> dict:
                 for f in payload.fields
             ]
         )
-
-    wire_schema = StructType(
-        [
-            StructField("value", StringType(), True),
-            StructField("key", StringType(), True),
-            StructField("partition", LongType(), True),
-        ]
-    )
-    streaming = getattr(args, "streaming", False)
-    if streaming:
-        if not args.ss_checkpoint:
-            raise SystemExit("--streaming requires --ss-checkpoint")
-        wire = spark.readStream.schema(wire_schema).json(args.wire)
-    else:
-        wire = spark.read.schema(wire_schema).json(args.wire)
 
     if args.connector == "mongo":
         from airbyte_spark.sources.mongo import decode_mongo
