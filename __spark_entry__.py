@@ -649,6 +649,23 @@ def q_corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source", "repeat_idx")
 
 
+#: rebalance target: a deliberately non-uniform language mix so every group
+#: gets a distinct derived rate (en downsampled hard, zh the limiting group)
+_REBALANCE_TARGETS = {"en": 400, "de": 200, "es": 200, "fr": 100, "zh": 100}
+
+
+def q_corpus_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling to a target language distribution
+    (operators/mixing.py rebalance_sample): per-group keep-rates DERIVED
+    from corpus counts (largest feasible output with the target shares),
+    membership = deterministic md5 bucket. One calibration aggregate +
+    one narrow filter pass; the corpus never shuffles."""
+    from airbyte_spark.operators.mixing import rebalance_sample
+
+    out = rebalance_sample(_docs(spark, sf_dir), _REBALANCE_TARGETS)
+    return out.select("doc_id", "lang", "source")
+
+
 def q_corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: the 25 smallest-md5 documents per
     (lang, source) — the standard per-group eval/ablation draw. Same
@@ -1842,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_word_bigrams": q_docs_word_bigrams,
         "docs_lm_rarity": q_docs_lm_rarity,
         "corpus_mix_sample": q_corpus_mix_sample,
+        "corpus_rebalance": q_corpus_rebalance,
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "corpus_token_budget": q_corpus_token_budget,
         "corpus_shuffle": q_corpus_shuffle,
@@ -2591,6 +2609,9 @@ FROM b GROUP BY source_partition, bin
         "corpus_mix_sample": _mixing.mixture_oracle_sql(
             "documents", _MIX_WEIGHTS, group_col="lang",
             select_cols="doc_id, lang, source",
+        ),
+        "corpus_rebalance": _mixing.rebalance_oracle_sql(
+            "documents", _REBALANCE_TARGETS
         ),
         "corpus_stratified_sample": _mixing.stratified_oracle_sql(
             "documents", 25,

@@ -339,3 +339,101 @@ def stratified_oracle_sql(
           FROM {table_expr})
         WHERE sample_rank <= {int(k)}
     """
+
+
+def rebalance_sample(
+    df: DataFrame,
+    targets_milli: dict[str, int],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Importance resampling to a TARGET distribution: keep the largest
+    corpus subset whose group shares match ``targets_milli`` (milli-shares
+    summing to 1000) exactly in expectation — the "rebalance the language /
+    domain mix" stage of corpus curation, with the per-group rates DERIVED
+    from the corpus instead of hand-set (contrast mixture_sample, where the
+    caller supplies the weights; rebalance is the downsample-only dual).
+
+    Math (all BIGINT-exact, shared with the DuckDB oracle): with n_g docs
+    in group g and target share t_g/1000, the largest feasible output size
+    is M = min_g floor(n_g*1000/t_g); each group then keeps
+    rate_g = (t_g*M) DIV n_g milli — the limiting group keeps (nearly) all
+    its docs, every other group downsamples to match. Membership is the
+    deterministic md5 sampling bucket (pure function of the id), so reruns,
+    any partitioning, and the oracle agree bit-for-bit. Groups absent from
+    ``targets_milli`` are dropped; a target group with NO corpus docs makes
+    the target infeasible (M = 0, empty result) rather than silently
+    skewing the mix.
+
+    Scale: one count-only calibration aggregate (map-side partials; output
+    = |groups| rows), rates broadcast back, then a narrow filter pass —
+    the corpus never shuffles.
+    """
+    if sum(targets_milli.values()) != MILLI:
+        raise ValueError(f"targets_milli must sum to {MILLI}: {targets_milli!r}")
+    if any(t <= 0 for t in targets_milli.values()):
+        raise ValueError(f"every target share must be positive: {targets_milli!r}")
+    spark = df.sparkSession
+    targets = spark.createDataFrame(
+        [(g, int(t)) for g, t in sorted(targets_milli.items())],
+        f"{group_col} string, _t long",
+    )
+    in_scope = df.filter(F.col(group_col).isin(list(targets_milli)))
+    counts = in_scope.groupBy(group_col).agg(F.count("*").alias("_n"))
+    j = targets.join(counts, group_col, "left").withColumn(
+        "_n", F.coalesce(F.col("_n"), F.lit(0))
+    )
+    m = j.agg(
+        F.min(F.expr(f"_n * {MILLI} DIV _t")).cast("long").alias("_m")
+    )
+    rates = (
+        j.crossJoin(F.broadcast(m))
+        .select(
+            group_col,
+            F.when(F.col("_n") > 0, F.expr("_t * _m DIV _n"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("_rate"),
+        )
+    )
+    bucket = F.expr(X.sample_bucket_sql(X.SPARK, id_col, MILLI))
+    return (
+        in_scope.join(F.broadcast(rates), group_col)
+        .filter(bucket < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
+def rebalance_oracle_sql(
+    table_expr: str,
+    targets_milli: dict[str, int],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    select_cols: str = "doc_id, lang, source",
+) -> str:
+    """DuckDB oracle for rebalance_sample: identical integer derivation of
+    M and per-group rates, identical md5 bucket membership."""
+    d = X.DUCKDB
+    vals = ", ".join(
+        f"('{g}', {int(t)})" for g, t in sorted(targets_milli.items())
+    )
+    bucket = X.sample_bucket_sql(d, id_col, MILLI)
+    return f"""
+WITH targets({group_col}, t) AS (VALUES {vals}),
+counts AS (
+  SELECT {group_col}, CAST(COUNT(*) AS BIGINT) AS n
+  FROM {table_expr}
+  WHERE {group_col} IN (SELECT {group_col} FROM targets)
+  GROUP BY 1),
+caps AS (
+  SELECT t.{group_col}, t.t, COALESCE(c.n, 0) AS n
+  FROM targets t LEFT JOIN counts c USING ({group_col})),
+m AS (SELECT MIN(n * {MILLI} // t) AS m FROM caps),
+rates AS (
+  SELECT {group_col},
+         CASE WHEN n > 0 THEN (t * m.m) // n ELSE 0 END AS rate
+  FROM caps, m)
+SELECT {select_cols}
+FROM {table_expr} d JOIN rates r USING ({group_col})
+WHERE {bucket} < r.rate
+"""

@@ -254,3 +254,73 @@ def test_stratified_sample_repartition_invariant_and_plan(spark):
     plan = _explain(stratified_sample(d, 7))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
     assert "SinglePartition" not in plan
+
+
+# -------------------------------------------------------------- rebalance
+
+
+def _rebalance_ref(rows, targets):
+    """Pure-Python reference: M = min_g floor(n_g*1000/t_g); rate_g =
+    t_g*M // n_g; keep iff md5 bucket < rate."""
+    import hashlib
+
+    by_g = {}
+    for doc_id, g in rows:
+        by_g.setdefault(g, []).append(doc_id)
+    m = min((len(by_g.get(g, [])) * 1000) // t for g, t in targets.items())
+    kept = set()
+    for g, t in targets.items():
+        docs = by_g.get(g, [])
+        if not docs:
+            continue
+        rate = (t * m) // len(docs)
+        for d in docs:
+            b = int(hashlib.md5(d.encode()).hexdigest()[8:14], 16) % 1000
+            if b < rate:
+                kept.add(d)
+    return kept
+
+
+def test_rebalance_matches_reference_and_deterministic(spark):
+    from airbyte_spark.operators.mixing import rebalance_sample
+
+    rows = [(f"doc{i:04d}", ["en", "en", "en", "de", "fr"][i % 5]) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+    targets = {"en": 500, "de": 300, "fr": 200}
+    got = {r["doc_id"] for r in rebalance_sample(df, targets).collect()}
+    assert got == _rebalance_ref(rows, targets)
+    # partitioning invariance
+    got2 = {r["doc_id"] for r in rebalance_sample(df.repartition(17), targets).collect()}
+    assert got2 == got
+    # achieved shares track the target within bucket granularity
+    from collections import Counter
+
+    by_lang = Counter(l for d, l in rows if d in got)
+    n = sum(by_lang.values())
+    for g, t in targets.items():
+        assert abs(by_lang[g] / n - t / 1000) < 0.05, (g, by_lang, n)
+
+
+def test_rebalance_infeasible_and_validation(spark):
+    from airbyte_spark.operators.mixing import rebalance_sample
+    import pytest as _pt
+
+    df = spark.createDataFrame([("d1", "en")], "doc_id string, lang string")
+    # target group with zero docs -> infeasible -> empty, never skewed
+    assert rebalance_sample(df, {"en": 500, "zz": 500}).count() == 0
+    with _pt.raises(ValueError, match="sum"):
+        rebalance_sample(df, {"en": 999})
+    with _pt.raises(ValueError, match="positive"):
+        rebalance_sample(df, {"en": 1100, "de": -100})
+
+
+def test_rebalance_drops_untargeted_groups(spark):
+    from airbyte_spark.operators.mixing import rebalance_sample
+
+    rows = [(f"d{i}", "en" if i % 2 else "xx") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+    out = rebalance_sample(df, {"en": 1000})
+    langs = {r["lang"] for r in out.collect()}
+    assert langs == {"en"}
+    # single-group target keeps the whole group (rate == 1000)
+    assert out.count() == 50
