@@ -35,7 +35,12 @@ class StreamConfig:
     # a catalog (a documented simplification of the reference's
     # (namespace, name) key — sync()/changelog routing key on name).
     namespace: str | None = None
-    primary_key: str = "doc_id"
+    # Primary key: one column name, or a tuple of columns for a COMPOSITE
+    # key (the protocol's source_defined_primary_key list). Composite keys
+    # are normalized by CdcEngine to ONE synthesized md5(to_json(struct))
+    # column (schemas.COL_COMPOSITE_PK) injected at ingest, so bucketing /
+    # dedup / merge / purge / lookup all key on a single column.
+    primary_key: str | tuple[str, ...] = "doc_id"
     cursor_field: str = "lsn"
     sync_mode: str = SYNC_APPEND_DEDUP
     # Connection-level mappers (Airbyte "mappings": hash/mask/encrypt/

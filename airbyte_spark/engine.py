@@ -21,6 +21,7 @@ for the next sync.
 
 from __future__ import annotations
 
+import dataclasses
 import hashlib
 import os
 import time
@@ -104,6 +105,26 @@ class CdcEngine:
         self.root = root
         self.stream = stream or StreamConfig()
         self.cfg = cfg or EngineConfig()
+        # Composite primary key (the protocol's list-of-paths PK,
+        # airbyte-protocol.md source_defined_primary_key): normalize to ONE
+        # synthesized key column so every downstream stage (bucketing, LWW
+        # dedup, merge, purge, lookup, checkpoints) keys on a single 32-char
+        # column instead of N-column comparisons — the same idiom as the
+        # destination's COMPOSITE_KEY_COL. The hash is injected in
+        # _map_records, so every ingest leg (bootstrap seed, snapshot
+        # chunks, replay batches) gets it from the same place.
+        pk = self.stream.primary_key
+        self._pk_source_cols: tuple[str, ...] | None = None
+        if isinstance(pk, (list, tuple)):
+            if len(pk) == 0:
+                raise ValueError("primary_key tuple must not be empty")
+            if len(pk) == 1:
+                self.stream = dataclasses.replace(self.stream, primary_key=pk[0])
+            else:
+                self._pk_source_cols = tuple(pk)
+                self.stream = dataclasses.replace(
+                    self.stream, primary_key=S.COL_COMPOSITE_PK
+                )
         # ``_pinned_generation`` is internal: resync_staged builds the NEXT
         # generation beside the serving one through an engine pinned there.
         self._pinned_gen = _pinned_generation
@@ -171,6 +192,16 @@ class CdcEngine:
 
     def create_table(self, schema: StructType | None = None) -> LakeTable:
         schema = schema or S.tokenseq_schema()
+        if self._pk_source_cols is not None and S.COL_COMPOSITE_PK not in [
+            f.name for f in schema.fields
+        ]:
+            from pyspark.sql.types import StringType, StructField
+
+            # key column first: it is the table's bucket identity
+            schema = StructType(
+                [StructField(S.COL_COMPOSITE_PK, StringType(), False)]
+                + list(schema.fields)
+            )
         self._table = LakeTable.create(
             self.spark,
             self.table_root,
@@ -215,7 +246,7 @@ class CdcEngine:
             df = apply_validation(df, self.cfg.vocab_size)
         else:
             df = df.withColumn(S.COL_META, F.lit(None).cast(S.META_TYPE))
-        df = inject_cdc_metadata(df)
+        df = inject_cdc_metadata(df, key=self.stream.primary_key)
         snap = table.snapshot()
         cols = snap.schema.fieldNames()
         out = df.select(*cols)
@@ -507,9 +538,11 @@ class CdcEngine:
         chain compiles to Catalyst expressions once and fuses into whatever
         the sync plan already does (plans/mappers.py, zero added shuffles).
         Both the bootstrap seed and every replay batch pass through, so the
-        destination only ever stores mapped values."""
+        destination only ever stores mapped values. Composite-PK streams get
+        their synthesized key column injected here too — after the mappers,
+        so the key always hashes the values the table actually stores."""
         if not self.stream.mappers:
-            return df
+            return self._inject_composite_pk(df)
         from airbyte_spark.plans.mappers import apply_mappers
 
         # a mapper targeting a column this leg doesn't carry (e.g. the seed
@@ -535,7 +568,26 @@ class CdcEngine:
                 f"mappers removed or renamed required column(s) {missing}; "
                 "the primary key and cursor must survive the mapper chain"
             )
-        return out
+        return self._inject_composite_pk(out)
+
+    def _inject_composite_pk(self, df: DataFrame) -> DataFrame:
+        """Composite-PK streams: synthesize the single key column
+        (md5(to_json(struct(components))) — null-safe, narrow projection,
+        computed ONCE at ingest). No-op for single-column keys or legs that
+        already carry it (e.g. re-reads of engine output)."""
+        if self._pk_source_cols is None or S.COL_COMPOSITE_PK in df.columns:
+            return df
+        missing = [c for c in self._pk_source_cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"composite primary key components {missing} absent from the "
+                f"input (have: {df.columns}); every leg must carry all of "
+                f"{list(self._pk_source_cols)}"
+            )
+        return df.withColumn(
+            S.COL_COMPOSITE_PK,
+            F.md5(F.to_json(F.struct(*[F.col(c) for c in self._pk_source_cols]))),
+        )
 
     def _open_source(self, changelog: DataFrame | str) -> DataFrame:
         if isinstance(changelog, str):
@@ -836,7 +888,7 @@ class CdcEngine:
             batch = apply_validation(batch, self.cfg.vocab_size)
         else:
             batch = batch.withColumn(S.COL_META, F.lit(None).cast(S.META_TYPE))
-        return inject_cdc_metadata(batch)
+        return inject_cdc_metadata(batch, key=self.stream.primary_key)
 
     def _append_raw(self, enriched: DataFrame, bid: str, lo: int, hi: int) -> None:
         """Destinations-V2 raw/audit layer (BigQuerySqlGenerator.java:717-731;
@@ -971,7 +1023,7 @@ class CdcEngine:
         resolved = resolved.withColumn(
             S.COL_META, F.struct(F.col("_errs").alias("errors"))
         ).drop("_errs")
-        return inject_cdc_metadata(resolved)
+        return inject_cdc_metadata(resolved, key=self.stream.primary_key)
 
     def _drop_scratch(self) -> None:
         for df in self._scratch:
@@ -1160,7 +1212,7 @@ class CdcEngine:
             df = apply_validation(df, self.cfg.vocab_size)
         else:
             df = df.withColumn(S.COL_META, F.lit(None).cast(S.META_TYPE))
-        df = inject_cdc_metadata(df)
+        df = inject_cdc_metadata(df, key=self.stream.primary_key)
         cols = table.snapshot().schema.fieldNames()
         version = table.write_and_commit(
             df.select(*cols),

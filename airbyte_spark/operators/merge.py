@@ -77,11 +77,12 @@ def merge_upsert(
 
     batch = winners.select(*cols, F.col("ts_ms").alias(_TS_TMP))
 
+    pk = snap.spec["bucket_by"]
     affected = affected_buckets
     if affected is None:
         affected = [
             r[0]
-            for r in winners.select(table.bucket_expr("doc_id").alias("b")).distinct().collect()
+            for r in winners.select(table.bucket_expr(pk).alias("b")).distinct().collect()
         ]
     if not affected:
         return None
@@ -96,14 +97,14 @@ def merge_upsert(
     if aligned:
         # Both sides are already one-row-per-key (no skew possible), so the
         # map-side partial combine buys nothing here — instead shuffle ONCE
-        # into hashpartitioning(doc_id, num_buckets): the LWW aggregate
+        # into hashpartitioning(pk, num_buckets): the LWW aggregate
         # reuses that exchange, and because bucket_expr == the
         # hashpartitioning hash, its output is physically bucket-aligned and
         # the write needs no further shuffle or cross-bucket sort.
-        combined = combined.repartition(num_buckets, F.col("doc_id"))
+        combined = combined.repartition(num_buckets, F.col(pk))
     merged = lww_dedup(
         combined,
-        key="doc_id",
+        key=pk,
         strategy=dedup_strategy,
         order_cols=(S.COL_LSN, _TS_TMP),
     ).drop(_TS_TMP)
@@ -163,7 +164,10 @@ def merge_upsert_full(
         spark__sql__adaptive__coalescePartitions__enabled="false",
     ):
         merged = lww_dedup(
-            combined, key="doc_id", strategy="agg", order_cols=(S.COL_LSN, _TS_TMP)
+            combined,
+            key=snap.spec["bucket_by"],
+            strategy="agg",
+            order_cols=(S.COL_LSN, _TS_TMP),
         ).drop(_TS_TMP)
         return table.write_and_commit(
             merged.select(*cols),

@@ -16,18 +16,20 @@ from pyspark.sql import functions as F
 from airbyte_spark import schemas as S
 
 
-def inject_cdc_metadata(df: DataFrame) -> DataFrame:
+def inject_cdc_metadata(df: DataFrame, key: str = "doc_id") -> DataFrame:
     """changelog batch -> batch with engine metadata columns.
 
-    Input: (op, doc_id, lsn, ts_ms, source_partition, <payload...>).
+    Input: (op, <key>, lsn, ts_ms, source_partition, <payload...>).
     Adds: _ab_lsn, _ab_extracted_at, _ab_raw_id, _ab_cdc_deleted_at.
+    ``key`` is the stream's primary-key column (the synthesized composite
+    column for composite-PK streams).
     """
     return (
         df.withColumn(S.COL_LSN, F.col("lsn"))
         .withColumn(S.COL_EXTRACTED_AT, F.timestamp_millis(F.col("ts_ms")))
         .withColumn(
             S.COL_RAW_ID,
-            F.md5(F.concat_ws(":", F.col("doc_id"), F.col("lsn"), F.col("ts_ms"))),
+            F.md5(F.concat_ws(":", F.col(key), F.col("lsn"), F.col("ts_ms"))),
         )
         .withColumn(
             S.COL_DELETED_AT,

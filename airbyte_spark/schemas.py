@@ -35,6 +35,11 @@ COL_EXTRACTED_AT = "_ab_extracted_at"
 COL_RAW_ID = "_ab_raw_id"
 COL_DELETED_AT = "_ab_cdc_deleted_at"
 COL_META = "_ab_meta"
+# Synthesized single-column key for streams with a COMPOSITE primary key
+# (protocol list-of-paths PK): md5(to_json(struct(cols))) — null-safe
+# (to_json keeps NULL components distinct from string lookalikes), computed
+# once at ingest; shared name with the destination's composite-key column.
+COL_COMPOSITE_PK = "_ab_pk"
 
 META_TYPE = StructType([StructField("errors", ArrayType(StringType()), True)])
 
