@@ -1715,6 +1715,34 @@ class CdcEngine:
 
     # -------------------------------------------------- write-audit-publish
 
+    def audit(self, specs: list[dict]) -> list:
+        """Run declarative data-quality audits (airbyte_spark/audits.py)
+        against the STAGED table state, with the published head as the
+        row-delta baseline. Pure read — no publish/abandon decision."""
+        from airbyte_spark.audits import run_audits
+
+        return run_audits(
+            self.read_final(), specs, published=self.read_final_published()
+        )
+
+    def audit_and_publish(self, specs: list[dict]) -> tuple[bool, list]:
+        """The full write-AUDIT-publish gate: evaluate ``specs`` over the
+        staged state; publish atomically when every expectation passes,
+        otherwise abandon (reverting to the published head AND rewinding
+        the checkpoint so the rejected LSN range replays next sync).
+        Returns (published, results)."""
+        results = self.audit(specs)
+        ok = all(r.passed for r in results)
+        if ok:
+            self.publish_staged()
+        else:
+            self.abandon_staged()
+            log_metric(
+                "sync_rejected_by_audit",
+                failed=[r.name for r in results if not r.passed],
+            )
+        return ok, results
+
     def publish_staged(self) -> int:
         """Accept a staged sync: atomically publish every staged commit on
         the final table (and the SCD2 history table when that write mode is
