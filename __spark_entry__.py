@@ -1723,6 +1723,66 @@ def q_cdc_wal2json_txn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txn_stats(_wal2json_decoded(spark, sf_dir))
 
 
+def q_cdc_maxwell_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maxwell (MySQL) envelope decode (sources/maxwell.py): events rendered
+    as Maxwell JSON — full row image in ``data`` for ALL ops (deletes too),
+    epoch-SECONDS ``ts``, 4-row transactions framed in-band (xoffset rows
+    then a commit:true row; the commit row here is a DDL ``table-alter`` so
+    the quarantine path is exercised inside the gate) — then flattened by ONE
+    typed from_json + projection with xid-packed LSNs
+    (MySqlCdcTargetPosition.java:73-99 total-order parity on the xid
+    fallback). The oracle computes the decode's closed form straight off the
+    base table, so the whole JSON round trip is value-hash-gated."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from airbyte_spark.sources.debezium import split_malformed
+    from airbyte_spark.sources.maxwell import decode_maxwell
+
+    payload = StructType(
+        [
+            StructField("doc_id", StringType(), True),
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+        ]
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    r = (F.col("event_id") % 4).cast("int")
+    type_ = F.element_at(
+        F.array(
+            F.lit("insert"), F.lit("update"), F.lit("delete"), F.lit("table-alter")
+        ),
+        r + 1,
+    )
+    env = F.struct(
+        F.lit("app").alias("database"),
+        F.lit("events").alias("table"),
+        type_.alias("type"),
+        F.expr("unix_millis(cast(ts as timestamp)) div 1000").alias("ts"),
+        (F.col("event_id") / 4).cast("long").alias("xid"),
+        # commit row (r==3) has NO xoffset; default to_json drops the null
+        F.when(r < 3, r.cast("long")).alias("xoffset"),
+        F.when(r == 3, F.lit(True)).alias("commit"),
+        F.struct(
+            F.format_string("doc%09d", F.col("event_id")).alias("doc_id"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.col("value"),
+        ).alias("data"),
+    )
+    feed = ev.select(F.to_json(env).alias("value"))
+    good, _bad = split_malformed(decode_maxwell(feed, payload))
+    return good.select(
+        "op", "lsn", "ts_ms", "doc_id", "user_id", "event_type", "value"
+    )
+
+
 def q_stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key skew diagnostics over the change stream: the top-20 busiest
     keys with event counts and integer basis-point share of total — the
@@ -1910,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_mongo_decode": q_cdc_mongo_decode,
         "tokens_bpe_merges": q_tokens_bpe_merges,
         "cdc_wal2json_decode": q_cdc_wal2json_decode,
+        "cdc_maxwell_decode": q_cdc_maxwell_decode,
         "cdc_wal2json_txn_stats": q_cdc_wal2json_txn_stats,
         "corpus_curriculum": q_corpus_curriculum,
         "stats_column_profile": q_stats_column_profile,
@@ -2166,6 +2227,15 @@ SELECT CASE event_id % 4 WHEN 1 THEN 'U' WHEN 2 THEN 'D' ELSE 'I' END AS op,
        CASE WHEN event_id % 4 = 2 THEN NULL ELSE event_type END AS event_type,
        CASE WHEN event_id % 4 = 2 THEN NULL ELSE value END AS value
 FROM g
+""",
+        "cdc_maxwell_decode": """
+SELECT CASE event_id % 4 WHEN 0 THEN 'I' WHEN 1 THEN 'U' ELSE 'D' END AS op,
+       CAST((event_id // 4) * 65536 + (event_id % 4) AS BIGINT) AS lsn,
+       CAST((epoch_ms(ts) // 1000) * 1000 AS BIGINT) AS ts_ms,
+       printf('doc%09d', event_id) AS doc_id,
+       user_id, event_type, value
+FROM events
+WHERE event_id % 4 <> 3
 """,
         "cdc_wal2json_txn_stats": """
 WITH g AS (

@@ -119,15 +119,31 @@ def read_slices_concurrent(
         windows.extend(tracker.gaps(s, e))
     if not windows:
         return
+    failure: BaseException | None = None
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         futures = {pool.submit(read_slice, s, e): (s, e) for s, e in windows}
         pending = set(futures)
         while pending:
             done, pending = wait(pending, return_when=FIRST_COMPLETED)
-            for fut in done:
+            # slice order, not set order: which completions share a wait()
+            # batch is scheduler timing — processing must not depend on it
+            for fut in sorted(done, key=lambda f: futures[f]):
                 s, e = futures[fut]
-                records = fut.result()  # a failed slice raises here: its
-                # interval is NOT added, so resume re-reads exactly it
+                try:
+                    records = fut.result()
+                except BaseException as exc:  # noqa: BLE001 — re-raised below
+                    # a failed slice's interval is NOT added (resume re-reads
+                    # exactly it), but in-flight siblings drain and commit
+                    # first — one poison slice must not discard their work
+                    if failure is None:
+                        failure = exc
+                    log_metric(
+                        "concurrent_slice_failed",
+                        slice_start=s,
+                        slice_end=e,
+                        error=str(exc),
+                    )
+                    continue
                 tracker.add(s, e)
                 log_metric(
                     "concurrent_slice_done",
@@ -137,3 +153,5 @@ def read_slices_concurrent(
                     low_water_mark=tracker.low_water_mark(slicer.start),
                 )
                 yield tracker.to_doc(), records
+    if failure is not None:
+        raise failure

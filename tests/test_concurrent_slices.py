@@ -120,9 +120,10 @@ def test_failed_slice_not_checkpointed():
     with pytest.raises(RuntimeError):
         for state, _ in read_slices_concurrent(read, _slicer(n=4), max_workers=1):
             pass
-    # sequential workers: slices 0,10 committed; 20 failed and is a gap
+    # failure is deferred until in-flight siblings drain: 0,10,30 committed;
+    # exactly the failed slice is the gap, regardless of completion order
     t = IntervalTracker.from_doc(state)
-    assert (20.0, 30.0) in t.gaps(0, 40)
+    assert t.gaps(0, 40) == [(20.0, 30.0)]
     assert not t.covers(20, 30)
 
 

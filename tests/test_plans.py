@@ -377,3 +377,8 @@ def test_wire_decoders_parse_json_exactly_once(spark):
 
     mgo, _ = split_malformed(decode_mongo(feed, payload, key_col="key", emit_patch=True))
     assert n_envelope_parses(mgo) == 1, "mongo: envelope must parse once"
+
+    from airbyte_spark.sources.maxwell import decode_maxwell
+
+    mxw, _ = split_malformed(decode_maxwell(feed, payload))
+    assert n_envelope_parses(mxw) == 1, "maxwell: envelope must parse once"
