@@ -1783,6 +1783,72 @@ def q_cdc_maxwell_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff changelog classification — the pure-DataFrame core of
+    LakeTable.read_changes (lake/table.py:682, the Iceberg changelog-scan /
+    CDC-read analog): two LWW-resolved live states of the same key domain
+    (the stream as of half the LSN range vs all of it), full-outer joined on
+    the key, classified insert / update / delete with side selection BY
+    CHANGE TYPE (a delete carries the before-image; an update whose new
+    value is legitimately NULL must not leak the old value). The update test
+    is null-safe per-column inequality — identical rows are suppressed.
+    One exchange per state (partial-combined max_by) + the diff join; at
+    lake scale read_changes bounds both sides to touched buckets, which this
+    value-gate cannot see but tests/test_changelog_read.py pins."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mx = ev.agg(F.max("event_id").alias("_m"))
+    base = ev.crossJoin(F.broadcast(mx)).select(
+        (F.col("event_id") % 2500).alias("doc_num"),
+        F.when(F.col("event_id") % 5 == 4, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("lsn"),
+        "user_id",
+        "event_type",
+        "value",
+        "_m",
+    )
+    payload = ["op", "user_id", "event_type", "value"]
+
+    def live_state(df):
+        # LWW winner per key via max_by (map-side partial combine — the
+        # same skew-proof aggregate the engine's dedup uses), then drop
+        # keys whose latest event is a tombstone
+        w = df.groupBy("doc_num").agg(
+            F.max_by(F.struct(*payload), F.col("lsn")).alias("_w")
+        )
+        return w.select(
+            "doc_num", *[F.col(f"_w.{c}").alias(c) for c in payload]
+        ).filter(F.col("op") != "D")
+
+    old = live_state(base.filter(F.col("lsn") <= F.expr("_m div 2"))).alias("o")
+    new = live_state(base.filter(F.col("lsn") <= F.col("_m"))).alias("n")
+    joined = old.join(new, F.col("o.doc_num") == F.col("n.doc_num"), "full_outer")
+    differs = (
+        ~F.col("o.user_id").eqNullSafe(F.col("n.user_id"))
+        | ~F.col("o.event_type").eqNullSafe(F.col("n.event_type"))
+        | ~F.col("o.value").eqNullSafe(F.col("n.value"))
+    )
+    change = (
+        F.when(F.col("o.doc_num").isNull(), F.lit("insert"))
+        .when(F.col("n.doc_num").isNull(), F.lit("delete"))
+        .when(differs, F.lit("update"))
+    )
+    is_del = F.col("n.doc_num").isNull()
+    pick = lambda c: F.when(is_del, F.col(f"o.{c}")).otherwise(F.col(f"n.{c}")).alias(c)
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            F.format_string(
+                "doc%09d", F.coalesce(F.col("n.doc_num"), F.col("o.doc_num"))
+            ).alias("doc_id"),
+            F.col("change_type"),
+            pick("user_id"),
+            pick("event_type"),
+            pick("value"),
+        )
+    )
+
+
 def q_stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key skew diagnostics over the change stream: the top-20 busiest
     keys with event counts and integer basis-point share of total — the
@@ -1971,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_bpe_merges": q_tokens_bpe_merges,
         "cdc_wal2json_decode": q_cdc_wal2json_decode,
         "cdc_maxwell_decode": q_cdc_maxwell_decode,
+        "cdc_snapshot_diff": q_cdc_snapshot_diff,
         "cdc_wal2json_txn_stats": q_cdc_wal2json_txn_stats,
         "corpus_curriculum": q_corpus_curriculum,
         "stats_column_profile": q_stats_column_profile,
@@ -2236,6 +2303,38 @@ SELECT CASE event_id % 4 WHEN 0 THEN 'I' WHEN 1 THEN 'U' ELSE 'D' END AS op,
        user_id, event_type, value
 FROM events
 WHERE event_id % 4 <> 3
+""",
+        "cdc_snapshot_diff": """
+WITH b AS (
+  SELECT event_id % 2500 AS doc_num,
+         CASE WHEN event_id % 5 = 4 THEN 'D' ELSE 'U' END AS op,
+         event_id AS lsn, user_id, event_type, value
+  FROM events),
+mx AS (SELECT MAX(event_id) AS m FROM events),
+old_w AS (
+  SELECT doc_num, op, user_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY doc_num ORDER BY lsn DESC) AS rn
+  FROM b, mx WHERE lsn <= m // 2),
+old_live AS (SELECT * FROM old_w WHERE rn = 1 AND op <> 'D'),
+new_w AS (
+  SELECT doc_num, op, user_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY doc_num ORDER BY lsn DESC) AS rn
+  FROM b, mx WHERE lsn <= m),
+new_live AS (SELECT * FROM new_w WHERE rn = 1 AND op <> 'D'),
+diff AS (
+  SELECT printf('doc%09d', COALESCE(n.doc_num, o.doc_num)) AS doc_id,
+         CASE WHEN o.doc_num IS NULL THEN 'insert'
+              WHEN n.doc_num IS NULL THEN 'delete'
+              WHEN (o.user_id IS DISTINCT FROM n.user_id
+                    OR o.event_type IS DISTINCT FROM n.event_type
+                    OR o.value IS DISTINCT FROM n.value) THEN 'update'
+         END AS change_type,
+         CASE WHEN n.doc_num IS NULL THEN o.user_id ELSE n.user_id END AS user_id,
+         CASE WHEN n.doc_num IS NULL THEN o.event_type ELSE n.event_type END
+           AS event_type,
+         CASE WHEN n.doc_num IS NULL THEN o.value ELSE n.value END AS value
+  FROM old_live o FULL OUTER JOIN new_live n ON o.doc_num = n.doc_num)
+SELECT * FROM diff WHERE change_type IS NOT NULL
 """,
         "cdc_wal2json_txn_stats": """
 WITH g AS (

@@ -41,12 +41,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="directory of JSON-lines Kafka-dump files "
                         "({value, key?, partition?} per line)")
     p.add_argument("--connector", required=True,
-                   choices=["postgres", "mysql", "mongo", "wal2json"])
+                   choices=["postgres", "mysql", "mongo", "wal2json", "maxwell"])
     p.add_argument("--lsn-align-bits", type=int, default=None,
                    help="LSN packs (commit_lsn << bits | statement_index) "
-                        "(wal2json: 16): align replay-window bounds to "
-                        "commit boundaries so no source transaction splits "
-                        "across two destination commits")
+                        "(wal2json/maxwell: 16): align replay-window bounds "
+                        "to commit boundaries so no source transaction "
+                        "splits across two destination commits")
+    p.add_argument("--maxwell-use-position", action="store_true",
+                   help="maxwell: order by the binlog position field instead "
+                        "of the xid fallback (requires output_binlog_position "
+                        "on the wire)")
     p.add_argument("--payload-ddl", default=None,
                    help="payload schema as DDL ('name type, ...'); optional "
                         "when the lake table already exists (derived from it)")
@@ -103,7 +107,7 @@ def run(spark, args) -> dict:
             lsn_align_bits=(
                 args.lsn_align_bits
                 if args.lsn_align_bits is not None
-                else (16 if args.connector == "wal2json" else None)
+                else (16 if args.connector in ("wal2json", "maxwell") else None)
             ),
         ),
     )
@@ -203,6 +207,13 @@ def run(spark, args) -> dict:
         decoded = decode_wal2json(
             wire, payload, json_col="value", partition_col="partition"
         ).drop("xid", "txn_seq")
+    elif args.connector == "maxwell":
+        from airbyte_spark.sources.maxwell import decode_maxwell
+
+        decoded = decode_maxwell(
+            wire, payload, json_col="value", partition_col="partition",
+            use_position=args.maxwell_use_position,
+        )
     else:
         decoded = decode_debezium(
             wire, payload, connector=args.connector,

@@ -164,6 +164,71 @@ def test_tail_job_wal2json_wire(spark, workdir):
     assert a == b and len(a) > 0
 
 
+def test_tail_job_maxwell_wire(spark, workdir):
+    """Maxwell dump: row envelopes with in-band txn framing (xoffset rows +
+    commit:true row) decode, replay with the default commit-aligned windows
+    (no txn splits), and land on the same winners as direct replay."""
+    cl = changelog_df(spark, CFG)
+    # 3-statement transactions: xid = lsn div 3; the last statement of each
+    # txn is the commit row (no xoffset), the others carry xoffset 0/1
+    sub = F.col("lsn") % 3
+    env = F.struct(
+        F.lit("app").alias("database"),
+        F.lit("tokenseq").alias("table"),
+        F.when(F.col("op") == "I", "insert")
+        .when(F.col("op") == "U", "update")
+        .otherwise("delete")
+        .alias("type"),
+        F.expr("ts_ms div 1000").alias("ts"),
+        F.expr("lsn div 3").alias("xid"),
+        F.when(sub < 2, sub.cast("long")).alias("xoffset"),
+        F.when(sub == 2, F.lit(True)).alias("commit"),
+        F.struct("doc_id", "tokens", "n_tok", "source").alias("data"),
+    )
+    cl.select(
+        F.to_json(env).alias("value"),
+        F.lit(None).cast("string").alias("key"),
+        F.col("source_partition").cast("long").alias("partition"),
+    ).write.mode("overwrite").json(os.path.join(workdir, "wire"))
+
+    args = _args(workdir, connector="maxwell", batch_events=150)
+    stats = run(spark, args)
+    assert stats["events"] == CFG.n_events
+
+    job_eng = CdcEngine(
+        spark, args.lake, StreamConfig(num_buckets=8), EngineConfig()
+    )
+    # commit-aligned by default for maxwell (lsn_align_bits=16): every merge
+    # boundary sits on a commit row (suborder 0xffff) except the final one
+    merges = [
+        s for s in job_eng.table.history()
+        if s.summary.get("operation", "").startswith("merge")
+    ]
+    assert len(merges) >= 2
+    last_hi = max(int(s.summary["end_lsn"]) for s in merges)
+    for s in merges:
+        hi = int(s.summary["end_lsn"])
+        assert (hi + 1) % (1 << 16) == 0 or hi == last_hi, hi
+
+    ref = CdcEngine(
+        spark,
+        os.path.join(workdir, "lake_ref"),
+        StreamConfig(num_buckets=8),
+        EngineConfig(batch_events=200),
+    )
+    ref.create_table()
+    ref.replay(cl)
+    a = sorted(
+        (r["doc_id"], r["tokens"], r["n_tok"], r["source"])
+        for r in job_eng.read_final().collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["tokens"], r["n_tok"], r["source"])
+        for r in ref.read_final().collect()
+    )
+    assert a == b and len(a) > 0
+
+
 def test_tail_job_mongo_patch_wire(spark, workdir):
     """Mongo change-stream dump without full-document lookup: the job's
     --connector mongo --update-mode patch path folds updateDescription
