@@ -90,6 +90,7 @@ def decode_debezium(
     json_col: str = "value",
     partition_col: str | None = None,
     include_metadata: bool = False,
+    connect_wrapper: bool = False,
 ) -> DataFrame:
     """Decode a DataFrame of Debezium JSON envelope strings to changelog rows.
 
@@ -105,13 +106,30 @@ def decode_debezium(
     ``op IS NULL`` — route them with :func:`split_malformed`; they are never
     silently dropped here.
 
+    ``connect_wrapper=True`` handles topics produced by Kafka Connect's
+    JSONConverter with ``schemas.enable=true`` (the Connect default, and what
+    the reference's Debezium pipeline emits unless value.converter is
+    reconfigured): every message is ``{"schema": {...}, "payload":
+    <envelope>}``. The envelope schema is simply nested one level under
+    ``payload`` in the SAME single typed ``from_json`` — the in-band schema
+    blob is never parsed (the caller's payload_schema is authoritative), so
+    the wrapped decode costs exactly what the bare decode costs.
+
     With ``include_metadata=True`` also emits ``_ab_cdc_updated_at`` /
     ``_ab_cdc_deleted_at`` (DebeziumEventUtils.java:168-188) for standalone
     use; the engine's own metadata injection normally does this downstream.
     """
     if connector not in ("postgres", "mysql"):
         raise ValueError(f"unknown connector {connector!r}")
-    env = F.from_json(F.col(json_col), envelope_schema(payload_schema))
+    schema = envelope_schema(payload_schema)
+    if connect_wrapper:
+        parsed = F.from_json(
+            F.col(json_col),
+            StructType([StructField("payload", schema, True)]),
+        )
+        env = parsed.getField("payload")
+    else:
+        env = F.from_json(F.col(json_col), schema)
     d = df.withColumn("_env", env)
 
     # ONE map lookup, not a CASE chain: a downstream quarantine filter on

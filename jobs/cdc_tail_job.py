@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(wal2json/maxwell: 16): align replay-window bounds "
                         "to commit boundaries so no source transaction "
                         "splits across two destination commits")
+    p.add_argument("--connect-wrapper", action="store_true",
+                   help="postgres/mysql: unwrap Kafka Connect JSONConverter "
+                        "schemas.enable=true messages ({schema, payload}) — "
+                        "same single typed parse, in-band schema blob ignored")
     p.add_argument("--maxwell-use-position", action="store_true",
                    help="maxwell: order by the binlog position field instead "
                         "of the xid fallback (requires output_binlog_position "
@@ -218,6 +222,7 @@ def run(spark, args) -> dict:
         decoded = decode_debezium(
             wire, payload, connector=args.connector,
             json_col="value", partition_col="partition",
+            connect_wrapper=args.connect_wrapper,
         )
     quarantine = args.quarantine or f"{args.lake.rstrip('/')}/_quarantine"
     if streaming:

@@ -203,3 +203,34 @@ def test_debezium_feed_replays_to_identical_table(spark, workdir):
         return final_as_pandas(eng.read_final())
 
     assert_frames_equal(run(decoded, "dbz"), run(native, "native"))
+
+
+def test_connect_wrapper_equals_bare_decode(spark):
+    """Kafka Connect JSONConverter with schemas.enable=true wraps every
+    envelope in {"schema": ..., "payload": ...}; connect_wrapper=True must
+    decode identically to the bare envelopes, ignore the in-band schema
+    blob, and still quarantine malformed lines."""
+    row = {"doc_id": "d1", "tokens": [1, 2], "n_tok": 2, "source": "s"}
+    bare = [
+        _env("c", "d1", after=row, lsn=10),
+        _env("u", "d1", after={**row, "n_tok": 9}, lsn=11),
+        _env("d", "d1", before={"doc_id": "d1"}, lsn=12),
+    ]
+    schema_blob = {"type": "struct", "fields": [{"field": "after", "type": "struct"}]}
+    wrapped = [
+        json.dumps({"schema": schema_blob, "payload": json.loads(e)}) for e in bare
+    ] + ["{broken", json.dumps({"schema": schema_blob, "payload": None})]
+
+    plain = _decode(spark, bare).collect()
+    conv = decode_debezium(
+        spark.createDataFrame([(e,) for e in wrapped], "value string"),
+        PAYLOAD,
+        connect_wrapper=True,
+    )
+    good, bad = split_malformed(conv)
+    assert bad.count() == 2  # broken JSON + null payload both op-IS-NULL
+    assert sorted(map(tuple, good.collect())) == sorted(map(tuple, plain))
+
+    # one-parse contract holds for the wrapped shape too
+    opt = good._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count(", value#") == 1
