@@ -199,6 +199,7 @@ class CatalogEngine:
         changelogs: dict[str, DataFrame | str],
         max_batches: int | None = None,
         concurrency: int = 1,
+        commit_snapshot: bool = True,
     ) -> dict[str, dict]:
         """Per-stream incremental sync. Default is the reference's
         sequential stream loop; ``concurrency > 1`` runs streams in a
@@ -275,9 +276,116 @@ class CatalogEngine:
             )
             err.stream_errors = errors  # typed originals for caller dispatch
             raise err from errors[failed[0]]
-        if selected:
+        if selected and commit_snapshot:
             self._commit_catalog_snapshot("sync")
         return results
+
+    def sync_transaction(
+        self,
+        changelogs: dict[str, DataFrame | str],
+        audits: dict[str, list[dict]] | None = None,
+        max_batches: int | None = None,
+        concurrency: int = 1,
+    ) -> tuple[bool, dict[str, object]]:
+        """Atomic multi-stream sync: multi-table write-audit-publish.
+
+        All selected streams replay as STAGED commits (each engine's WAP
+        path), per-stream ``audits`` specs (airbyte_spark/audits.py) run
+        against every staged state, and then EITHER every stream publishes
+        and ONE catalog snapshot commits — the transaction's visibility
+        point for consistent readers — OR every stream abandons (staged
+        commits reverted, checkpoints rewound so the whole LSN range
+        replays next attempt). A replay failure or an audit failure in ANY
+        stream rejects the WHOLE transaction: strictly stronger than
+        ``sync``'s per-stream isolation, for pipelines where cross-stream
+        consistency matters more than partial progress (the Nessie /
+        Iceberg-REST multi-table-transaction semantic, with the catalog
+        pointer as the commit point).
+
+        Returns ``(published, results)`` — ``results`` holds per-stream
+        replay stats plus, under ``"_audits"``, the per-stream
+        AuditResult lists. Replay ERRORS raise (after the rollback), like
+        ``sync``; audit REJECTION returns ``(False, results)``, like
+        ``CdcEngine.audit_and_publish``.
+
+        Crash safety: staged commits are durable but invisible to
+        published/catalog readers. A crash before the publish loop →
+        re-running the transaction resumes (batch-id idempotence skips
+        applied staged batches). A crash DURING the publish loop →
+        per-table heads flip one at a time, so direct-table readers may
+        briefly see a subset published, but catalog-pinned readers keep
+        the previous coherent view until the final snapshot commits;
+        re-running publishes the remainder idempotently. Pre-existing
+        staged commits on any selected stream raise — the transaction
+        must own the entire staged range it might abandon."""
+        from airbyte_spark.lake.table import LakeTable
+
+        selected = [s.name for s in self.streams if s.name in changelogs]
+        for name in selected:
+            eng = self.engines[name]
+            pre = (
+                eng.table.staged_versions()
+                if LakeTable.exists(eng.table_root)
+                else []
+            )
+            if pre:
+                raise RuntimeError(
+                    f"stream {name!r} already has staged commits {pre}; "
+                    "publish or abandon them before a transaction"
+                )
+        import dataclasses
+
+        # EngineConfig is frozen: swap each engine's config for a staged
+        # twin for the duration of the transaction, restore after
+        originals = {n: self.engines[n].cfg for n in selected}
+        for n in selected:
+            self.engines[n].cfg = dataclasses.replace(
+                originals[n], stage_commits=True
+            )
+        t0 = time.monotonic()
+        try:
+            try:
+                results: dict[str, object] = dict(
+                    self.sync(
+                        {k: changelogs[k] for k in selected},
+                        max_batches=max_batches,
+                        concurrency=concurrency,
+                        commit_snapshot=False,
+                    )
+                )
+            except Exception:
+                for n in selected:  # roll back EVERY stream, not just failed
+                    self.engines[n].abandon_staged()
+                log_metric("catalog_txn_rolled_back", streams=len(selected))
+                raise
+            audit_results: dict[str, list] = {}
+            failed: dict[str, list[str]] = {}
+            for name, specs in (audits or {}).items():
+                if name not in selected:
+                    raise KeyError(f"audits for unselected stream {name!r}")
+                res = self.engines[name].audit(specs)
+                audit_results[name] = res
+                bad = [r.name for r in res if not r.passed]
+                if bad:
+                    failed[name] = bad
+            results["_audits"] = audit_results
+            if failed:
+                for n in selected:
+                    self.engines[n].abandon_staged()
+                log_metric("catalog_txn_rejected_by_audit", failed=failed)
+                return False, results
+            for n in selected:
+                self.engines[n].publish_staged()
+            self._commit_catalog_snapshot("transaction")
+            log_metric(
+                "catalog_txn_committed",
+                streams=len(selected),
+                wall_ms=int((time.monotonic() - t0) * 1000),
+            )
+            return True, results
+        finally:
+            for n, v in originals.items():
+                self.engines[n].cfg = v
 
     # ----------------------------------------------------------------- state
 
