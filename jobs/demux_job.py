@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the shared-WAL multi-table demux job.
+
+One change stream interleaving N tables' changes (the shape a Debezium
+connection actually emits — one binlog/WAL, GLOBAL offset,
+airbyte-protocol.md:491-511), replayed into N lake tables with ONE shared
+offset that advances only after EVERY table durably applied the window:
+
+    python -m zipfile -c /tmp/airbyte_spark.zip airbyte_spark
+    spark-submit --master local[8] --py-files /tmp/airbyte_spark.zip \
+        jobs/demux_job.py --root /data/demux --changelog /data/wal \
+        --stream tokenseq --stream profiles:16:user_id --batch-events 1000000
+
+Each ``--stream`` is ``name[:num_buckets[:primary_key]]``. The WAL window
+is scanned ONCE and persisted; each table's slice is a routing-column
+filter over the cached window, so demux costs N-1 fewer WAL scans than N
+independent syncs (see airbyte_spark/demux.py for the crash/resume
+contract). Prints ONE JSON line with replay stats on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_stream(spec: str):
+    from airbyte_spark.config import StreamConfig
+
+    parts = spec.split(":")
+    if len(parts) == 1:
+        return StreamConfig(name=parts[0])
+    if len(parts) == 2:
+        return StreamConfig(name=parts[0], num_buckets=int(parts[1]))
+    if len(parts) == 3:
+        return StreamConfig(
+            name=parts[0], num_buckets=int(parts[1]), primary_key=parts[2]
+        )
+    raise ValueError(f"bad --stream spec {spec!r} (name[:buckets[:pk]])")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--root", required=True,
+                   help="demux root (per-stream tables + shared offset)")
+    p.add_argument("--changelog", required=True,
+                   help="shared WAL path (parquet) with the routing column")
+    p.add_argument("--stream", action="append", required=True,
+                   dest="streams", metavar="NAME[:BUCKETS[:PK]]",
+                   help="repeatable; one configured destination table per use")
+    p.add_argument("--stream-col", default="_ab_stream",
+                   help="routing column naming each record's table")
+    p.add_argument("--batch-events", type=int, default=1_000_000)
+    p.add_argument("--max-batches", type=int, default=None)
+    p.add_argument("--on-unrouted", default="error", choices=["error", "skip"],
+                   help="records routed to an unconfigured table: fail the "
+                        "window (default) or count+skip them")
+    return p
+
+
+def run(spark, args) -> dict:
+    from airbyte_spark.config import EngineConfig
+    from airbyte_spark.demux import DemuxEngine
+    from airbyte_spark.lake.table import LakeTable
+
+    demux = DemuxEngine(
+        spark,
+        args.root,
+        [parse_stream(s) for s in args.streams],
+        stream_col=args.stream_col,
+        cfg=EngineConfig(batch_events=args.batch_events),
+        on_unrouted=args.on_unrouted,
+    )
+    for eng in demux.engines.values():
+        if not LakeTable.exists(eng.table_root):
+            raise SystemExit(
+                f"table for stream {eng.stream.name!r} does not exist — "
+                "bootstrap the demux catalog first (DemuxEngine.bootstrap)"
+            )
+    return demux.replay(args.changelog, max_batches=args.max_batches)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("cdc-demux").getOrCreate()
+    stats = run(spark, args)
+    print(json.dumps({"job": "demux", **stats}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
