@@ -91,6 +91,7 @@ def decode_debezium(
     partition_col: str | None = None,
     include_metadata: bool = False,
     connect_wrapper: bool = False,
+    include_table: bool = False,
 ) -> DataFrame:
     """Decode a DataFrame of Debezium JSON envelope strings to changelog rows.
 
@@ -105,6 +106,12 @@ def decode_debezium(
     Rows whose JSON fails to parse or whose ``op`` is unrecognized decode to
     ``op IS NULL`` — route them with :func:`split_malformed`; they are never
     silently dropped here.
+
+    ``include_table=True`` appends ``_ab_stream`` — the source table name
+    from the envelope (``source.table``) — which is exactly the routing
+    column ``DemuxEngine`` fans out on: a SINGLE topic carrying every
+    table's changes (Debezium topic-routing SMT / one-connection WAL order)
+    decodes once and demuxes to N lake tables under one shared offset.
 
     ``connect_wrapper=True`` handles topics produced by Kafka Connect's
     JSONConverter with ``schemas.enable=true`` (the Connect default, and what
@@ -164,13 +171,16 @@ def decode_debezium(
     # from_json per payload field (each re-scanning the JSON text), and the
     # quarantine filter (split_malformed) re-derives ``op`` with its own
     # envelope parse per row.
-    carrier = F.struct(
+    fields = [
         op.alias("op"),
         lsn.cast("long").alias("lsn"),
         ts_ms.cast("long").alias("ts_ms"),
         part.alias("source_partition"),
         image.alias("_img"),
-    )
+    ]
+    if include_table:
+        fields.append(F.col("_env.source.table").alias("_tbl"))
+    carrier = F.struct(*fields)
 
     def _out(once: Column) -> list[Column]:
         o = once.getField("op")
@@ -184,6 +194,8 @@ def decode_debezium(
             once.getField("_img").getField(f.name).alias(f.name)
             for f in payload_schema.fields
         ]
+        if include_table:
+            cols.append(once.getField("_tbl").alias("_ab_stream"))
         if include_metadata:
             updated = F.timestamp_millis(t)
             cols += [

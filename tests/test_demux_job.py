@@ -71,3 +71,69 @@ def test_demux_job_requires_bootstrapped_tables(spark, workdir):
     )
     with pytest.raises(SystemExit, match="bootstrap"):
         run(spark, _args(workdir))
+
+
+def test_wire_topic_decodes_and_demuxes(spark, workdir):
+    """ONE Debezium topic carrying two tables' changes: decode with
+    include_table=True surfaces source.table as _ab_stream, and the demux
+    engine fans the decoded stream out to per-table goldens — the
+    single-connection WAL shape a real Debezium deployment emits."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from airbyte_spark.sources.debezium import decode_debezium, split_malformed
+
+    payload_schema = StructType(
+        [
+            StructField("doc_id", StringType(), True),
+            StructField("tokens", ArrayType(IntegerType()), True),
+            StructField("n_tok", IntegerType(), True),
+            StructField("source", StringType(), True),
+        ]
+    )
+    cl = _routed(changelog_df(spark, CFG))
+    payload = F.struct("doc_id", "tokens", "n_tok", "source")
+    pk_only = F.struct(
+        F.col("doc_id"),
+        F.lit(None).cast("array<int>").alias("tokens"),
+        F.lit(None).cast("int").alias("n_tok"),
+        F.lit(None).cast("string").alias("source"),
+    )
+    env = F.struct(
+        F.when(F.col("op") == "D", pk_only).alias("before"),
+        F.when(F.col("op") != "D", payload).alias("after"),
+        F.struct(
+            F.col("ts_ms"),
+            F.col("lsn"),
+            F.lit("app").alias("db"),
+            F.col("_ab_stream").alias("table"),  # routing rides the envelope
+        ).alias("source"),
+        F.when(F.col("op") == "I", F.lit("c"))
+        .when(F.col("op") == "U", F.lit("u"))
+        .otherwise(F.lit("d"))
+        .alias("op"),
+        (F.col("ts_ms") + 5).alias("ts_ms"),
+    )
+    wire = cl.select(
+        F.to_json(env, {"ignoreNullFields": "false"}).alias("value"),
+        F.col("source_partition").alias("part"),
+    )
+    good, bad = split_malformed(
+        decode_debezium(wire, payload_schema, partition_col="part",
+                        include_table=True)
+    )
+    assert bad.count() == 0
+    assert good.columns[-1] == "_ab_stream"
+
+    dx = _mk(spark, workdir)
+    _bootstrap(spark, dx)
+    stats = dx.replay(good)
+    assert stats["events"] == CFG.n_events
+    for name, exp in _goldens(spark).items():
+        assert_frames_equal(final_as_pandas(dx.engine(name).read_final()), exp)
