@@ -201,3 +201,77 @@ def test_lww_replay_integration(spark):
     winners = lww_dedup(good, key="doc_id")
     live = {r["doc_id"]: r for r in winners.filter(F.col("op") != "D").collect()}
     assert set(live) == {"a"} and live["a"]["tokens"] == "t3"
+
+
+# ---------------------------------------------------------------- property
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_TYPES = [
+    "insert", "update", "delete", "bootstrap-insert",  # row types
+    "table-alter", "bootstrap-start",                  # quarantine types
+]
+_OPS = {"insert": "I", "bootstrap-insert": "I", "update": "U", "delete": "D"}
+
+txns = st.lists(
+    st.tuples(
+        st.integers(0, 1000),                               # xid
+        st.lists(st.integers(0, 5), min_size=1, max_size=5),  # type idx/row
+        st.integers(0, 10**6),                              # ts (seconds)
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(txns=txns)
+def test_maxwell_decode_matches_python_model(spark, txns):
+    """For ARBITRARY transaction shapes (any mix of row/framing/DDL types,
+    any txn length, commit row always last) the Spark decode must equal an
+    independently-coded Python model of Maxwell's rules: op mapping,
+    quarantine, lsn = xid<<16 | suborder (commit row = max), ts*1000."""
+    envelopes, expected = [], []
+    for xid, type_idxs, ts in txns:
+        n = len(type_idxs)
+        for j, ti in enumerate(type_idxs):
+            typ = _TYPES[ti]
+            last = j == n - 1
+            e = {"database": "app", "table": "t", "type": typ, "ts": ts, "xid": xid}
+            if last:
+                e["commit"] = True
+            else:
+                e["xoffset"] = j
+            row = None
+            if typ in _OPS:
+                row = {"doc_id": f"d{xid}_{j}", "name": str(ti), "score": float(j)}
+                e["data"] = row
+            envelopes.append(json.dumps(e))
+            op = _OPS.get(typ)
+            if op is None:
+                expected.append((None, None, None, None, None, None))
+            else:
+                sub = (1 << 16) - 1 if last else j
+                expected.append(
+                    (op, (xid << 16) + sub, ts * 1000,
+                     row["doc_id"], row["name"], row["score"])
+                )
+    # quarantined rows decode with op NULL and lsn/ts still computable —
+    # compare only the op/payload contract there (lsn of a framing row is
+    # well-defined but unused): normalize both sides, sort by repr (None
+    # and str do not compare; any consistent total order works for set
+    # equality)
+    got = [
+        t if t[0] is not None else (None,) * 6
+        for t in (
+            (r["op"], r["lsn"], r["ts_ms"], r["doc_id"], r["name"], r["score"])
+            for r in _decode(spark, envelopes).collect()
+        )
+    ]
+    want = [e if e[0] is not None else (None,) * 6 for e in expected]
+    assert sorted(got, key=repr) == sorted(want, key=repr)
