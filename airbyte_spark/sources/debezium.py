@@ -65,6 +65,18 @@ def envelope_schema(payload_schema: StructType) -> StructType:
             StructField("source", _source_schema(), True),
             StructField("op", StringType(), True),
             StructField("ts_ms", LongType(), True),
+            # present when the connector runs with provide.transaction.metadata
+            StructField(
+                "transaction",
+                StructType(
+                    [
+                        StructField("id", StringType(), True),
+                        StructField("total_order", LongType(), True),
+                        StructField("data_collection_order", LongType(), True),
+                    ]
+                ),
+                True,
+            ),
         ]
     )
 
@@ -92,6 +104,7 @@ def decode_debezium(
     include_metadata: bool = False,
     connect_wrapper: bool = False,
     include_table: bool = False,
+    include_txn: bool = False,
 ) -> DataFrame:
     """Decode a DataFrame of Debezium JSON envelope strings to changelog rows.
 
@@ -112,6 +125,14 @@ def decode_debezium(
     column ``DemuxEngine`` fans out on: a SINGLE topic carrying every
     table's changes (Debezium topic-routing SMT / one-connection WAL order)
     decodes once and demuxes to N lake tables under one shared offset.
+
+    ``include_txn=True`` appends ``_txn_id`` / ``_txn_order`` from the
+    envelope's ``transaction`` block (Debezium's
+    ``provide.transaction.metadata``) — feed these with the BEGIN/END
+    marker topic (:func:`decode_transaction_markers`) into
+    :func:`split_complete_transactions` to gate replay on transaction
+    completeness, the out-of-band analog of wal2json/maxwell's in-band
+    commit framing.
 
     ``connect_wrapper=True`` handles topics produced by Kafka Connect's
     JSONConverter with ``schemas.enable=true`` (the Connect default, and what
@@ -180,6 +201,9 @@ def decode_debezium(
     ]
     if include_table:
         fields.append(F.col("_env.source.table").alias("_tbl"))
+    if include_txn:
+        fields.append(F.col("_env.transaction.id").alias("_txid"))
+        fields.append(F.col("_env.transaction.total_order").alias("_txord"))
     carrier = F.struct(*fields)
 
     def _out(once: Column) -> list[Column]:
@@ -196,6 +220,9 @@ def decode_debezium(
         ]
         if include_table:
             cols.append(once.getField("_tbl").alias("_ab_stream"))
+        if include_txn:
+            cols.append(once.getField("_txid").alias("_txn_id"))
+            cols.append(once.getField("_txord").alias("_txn_order"))
         if include_metadata:
             updated = F.timestamp_millis(t)
             cols += [
@@ -215,4 +242,92 @@ def split_malformed(decoded: DataFrame) -> tuple[DataFrame, DataFrame]:
     at lake scale quarantining beats poisoning a 10^10-event replay."""
     return decoded.filter(F.col("op").isNotNull()), decoded.filter(
         F.col("op").isNull()
+    )
+
+
+# --------------------------------------------------- transaction metadata
+
+def transaction_marker_schema() -> StructType:
+    """Typed schema of Debezium's transaction-metadata topic
+    (provide.transaction.metadata): one BEGIN and one END document per
+    source transaction; END carries the total event count."""
+    return StructType(
+        [
+            StructField("status", StringType(), True),  # BEGIN | END
+            StructField("id", StringType(), True),
+            StructField("event_count", LongType(), True),  # END only
+            StructField("ts_ms", LongType(), True),
+        ]
+    )
+
+
+def decode_transaction_markers(df: DataFrame, json_col: str = "value") -> DataFrame:
+    """Decode the transaction-metadata topic to typed marker rows.
+
+    Same quarantine contract as the event decoders: rows that fail parse or
+    carry an unknown ``status`` surface with ``status IS NULL`` (filter
+    before use); they are never silently dropped.
+    """
+    m = F.from_json(F.col(json_col), transaction_marker_schema())
+    status = F.when(
+        m.getField("status").isin("BEGIN", "END"), m.getField("status")
+    )
+    return df.select(
+        status.alias("status"),
+        m.getField("id").alias("_txn_id"),
+        m.getField("event_count").alias("event_count"),
+        m.getField("ts_ms").alias("ts_ms"),
+    )
+
+
+def split_complete_transactions(
+    events: DataFrame, markers: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(complete, pending): gate decoded events on transaction completeness.
+
+    An event's transaction is COMPLETE when the marker topic has its END
+    marker AND the number of events observed for that transaction equals
+    the END marker's ``event_count`` — a truncated topic dump (crash
+    mid-transaction, consumer lag) leaves the transaction PENDING, so a
+    bounded replay of ``complete`` can never apply half a source
+    transaction (the reference's Debezium path gets this from the engine's
+    own commit framing; with a Kafka dump the marker topic is the only
+    boundary signal). Events with no ``_txn_id`` (connector running
+    without transaction metadata) count as complete — there is no framing
+    to violate.
+
+    Scale shape: one partial-combined count per transaction id (bounded by
+    transactions in the window, not events) joined to the END markers,
+    then the verdict broadcast back onto the event stream as an equi-join
+    on ``_txn_id`` — events never shuffle by anything wider than the txn
+    id, and the txn-verdict side is window-bounded metadata.
+    """
+    if "_txn_id" not in events.columns:
+        raise ValueError("events lack _txn_id — decode with include_txn=True")
+    ends = (
+        markers.filter(F.col("status") == "END")
+        .select("_txn_id", "event_count")
+        .dropDuplicates(["_txn_id"])
+    )
+    observed = (
+        events.filter(F.col("_txn_id").isNotNull())
+        .groupBy("_txn_id")
+        .agg(F.count("*").alias("_n_seen"))
+    )
+    complete_ids = (
+        observed.join(ends, "_txn_id")
+        .filter(F.col("_n_seen") == F.col("event_count"))
+        .select("_txn_id")
+    )
+    tagged = events.join(
+        F.broadcast(complete_ids.withColumn("_complete", F.lit(True))),
+        "_txn_id",
+        "left",
+    )
+    untracked = F.col("_txn_id").isNull()
+    ok = untracked | F.col("_complete").isNotNull()
+    cols = events.columns
+    return (
+        tagged.filter(ok).select(*cols),
+        tagged.filter(~ok).select(*cols),
     )

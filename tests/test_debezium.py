@@ -234,3 +234,73 @@ def test_connect_wrapper_equals_bare_decode(spark):
     # one-parse contract holds for the wrapped shape too
     opt = good._jdf.queryExecution().optimizedPlan().toString()
     assert opt.count(", value#") == 1
+
+
+def test_transaction_metadata_gating(spark):
+    """provide.transaction.metadata: events decode their transaction block,
+    and split_complete_transactions releases only transactions whose END
+    marker exists AND whose observed event count matches it — a truncated
+    topic dump can never replay half a source transaction."""
+    from airbyte_spark.sources.debezium import (
+        decode_transaction_markers,
+        split_complete_transactions,
+    )
+
+    def env_txn(lsn, txn_id, order):
+        e = json.loads(_env("c", f"d{lsn}", after={"doc_id": f"d{lsn}"}, lsn=lsn))
+        e["transaction"] = {
+            "id": txn_id, "total_order": order, "data_collection_order": order,
+        }
+        return json.dumps(e)
+
+    events = decode_debezium(
+        spark.createDataFrame(
+            [(e,) for e in [
+                env_txn(1, "txA", 1), env_txn(2, "txA", 2),   # complete
+                env_txn(3, "txB", 1),                          # END missing
+                env_txn(4, "txC", 1),                          # truncated:
+                                                               # END says 2
+                _env("c", "d5", after={"doc_id": "d5"}, lsn=5),  # untracked
+            ]],
+            "value string",
+        ),
+        PAYLOAD,
+        include_txn=True,
+    )
+    assert {"_txn_id", "_txn_order"} <= set(events.columns)
+
+    markers = decode_transaction_markers(
+        spark.createDataFrame(
+            [(m,) for m in [
+                json.dumps({"status": "BEGIN", "id": "txA", "ts_ms": 1}),
+                json.dumps({"status": "END", "id": "txA",
+                            "event_count": 2, "ts_ms": 2}),
+                json.dumps({"status": "BEGIN", "id": "txB", "ts_ms": 3}),
+                json.dumps({"status": "END", "id": "txC",
+                            "event_count": 2, "ts_ms": 4}),
+                "{broken",
+                json.dumps({"status": "ROLLBACK?", "id": "txZ"}),
+            ]],
+            "value string",
+        )
+    )
+    # malformed / unknown-status markers surface as status NULL, not rows
+    assert markers.filter("status IS NULL").count() == 2
+
+    complete, pending = split_complete_transactions(events, markers)
+    got_c = sorted(r["doc_id"] for r in complete.collect())
+    got_p = sorted(r["doc_id"] for r in pending.collect())
+    assert got_c == ["d1", "d2", "d5"]  # txA + the untracked event
+    assert got_p == ["d3", "d4"]        # no END / count mismatch
+
+    # the late remainder arrives: txC's second event completes it
+    events2 = events.unionByName(
+        decode_debezium(
+            spark.createDataFrame([(env_txn(6, "txC", 2),)], "value string"),
+            PAYLOAD,
+            include_txn=True,
+        )
+    )
+    complete2, pending2 = split_complete_transactions(events2, markers)
+    assert sorted(r["doc_id"] for r in pending2.collect()) == ["d3"]
+    assert "d4" in {r["doc_id"] for r in complete2.collect()}
