@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(wal2json/maxwell: 16): align replay-window bounds "
                         "to commit boundaries so no source transaction "
                         "splits across two destination commits")
+    p.add_argument("--txn-markers", default=None,
+                   help="postgres/mysql: JSONL dir of the Debezium "
+                        "transaction-metadata topic (provide.transaction."
+                        "metadata); replay only transactions whose END "
+                        "marker + event count confirm completeness "
+                        "(bounded replay only)")
     p.add_argument("--connect-wrapper", action="store_true",
                    help="postgres/mysql: unwrap Kafka Connect JSONConverter "
                         "schemas.enable=true messages ({schema, payload}) — "
@@ -223,7 +229,31 @@ def run(spark, args) -> dict:
             wire, payload, connector=args.connector,
             json_col="value", partition_col="partition",
             connect_wrapper=args.connect_wrapper,
+            include_txn=args.txn_markers is not None,
         )
+    n_txn_pending = 0
+    if args.txn_markers is not None:
+        if args.connector not in ("postgres", "mysql"):
+            raise SystemExit("--txn-markers requires a Debezium connector")
+        if streaming:
+            raise SystemExit(
+                "--txn-markers needs the bounded replay path (the gate "
+                "aggregates per-transaction counts over the window)"
+            )
+        from airbyte_spark.sources.debezium import (
+            decode_transaction_markers,
+            split_complete_transactions,
+        )
+
+        markers = decode_transaction_markers(
+            spark.read.schema(wire_schema).json(args.txn_markers)
+        ).filter("status IS NOT NULL")
+        complete, txn_pending = split_complete_transactions(decoded, markers)
+        # pending = not-yet-complete source transactions, NOT errors: they
+        # stay in the topic and replay once a fuller dump arrives (batch-id
+        # idempotence absorbs the overlap); only count + log them here
+        n_txn_pending = txn_pending.count()
+        decoded = complete.drop("_txn_id", "_txn_order")
     quarantine = args.quarantine or f"{args.lake.rstrip('/')}/_quarantine"
     if streaming:
         from airbyte_spark.streaming import stream_replay_df
@@ -243,6 +273,8 @@ def run(spark, args) -> dict:
 
     stats = eng.replay(good)
     stats["quarantined"] = n_bad
+    if args.txn_markers is not None:
+        stats["txn_pending"] = n_txn_pending
     stats["final_rows"] = eng.read_final().count()
     return stats
 

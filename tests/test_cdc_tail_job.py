@@ -457,3 +457,77 @@ def test_tail_job_streaming_wire(spark, workdir):
     stats2 = run(spark, args)
     assert stats2["rows_applied"] == 0
     assert job_eng.table.current_version() == v
+
+
+def test_tail_job_txn_markers_gate(spark, workdir):
+    """--txn-markers: only transactions confirmed complete by the metadata
+    topic replay; the tail transaction (END withheld) stays pending and its
+    events never reach the table."""
+    import json as _json
+
+    cl = changelog_df(spark, CFG)
+    txn = F.expr("lsn div 3")
+    op_raw = (
+        F.when(F.col("op") == "I", "c").when(F.col("op") == "U", "u").otherwise("d")
+    )
+    after = F.struct("doc_id", "tokens", "n_tok", "source")
+    pk_only = F.struct(
+        F.col("doc_id"),
+        F.lit(None).cast("array<int>").alias("tokens"),
+        F.lit(None).cast("int").alias("n_tok"),
+        F.lit(None).cast("string").alias("source"),
+    )
+    env = F.struct(
+        F.when(F.col("op") == "D", pk_only).alias("before"),
+        F.when(F.col("op") != "D", after).alias("after"),
+        F.struct(F.col("ts_ms"), F.col("lsn")).alias("source"),
+        op_raw.alias("op"),
+        (F.col("ts_ms") + 5).alias("ts_ms"),
+        F.struct(
+            F.concat(F.lit("tx"), txn).alias("id"),
+            (F.col("lsn") % 3 + 1).alias("total_order"),
+            (F.col("lsn") % 3 + 1).alias("data_collection_order"),
+        ).alias("transaction"),
+    )
+    cl.select(
+        F.to_json(env, {"ignoreNullFields": "false"}).alias("value"),
+        F.lit(None).cast("string").alias("key"),
+        F.col("source_partition").cast("long").alias("partition"),
+    ).write.mode("overwrite").json(os.path.join(workdir, "wire"))
+
+    # marker topic: BEGIN+END per txn, but withhold the LAST txn's END
+    counts = cl.groupBy(txn.alias("t")).count().collect()
+    t_max = max(r["t"] for r in counts)
+    lines = []
+    for r in counts:
+        lines.append(_json.dumps({"status": "BEGIN", "id": f"tx{r['t']}", "ts_ms": 1}))
+        if r["t"] != t_max:
+            lines.append(_json.dumps(
+                {"status": "END", "id": f"tx{r['t']}",
+                 "event_count": r["count"], "ts_ms": 2}))
+    spark.createDataFrame(
+        [(l, None, 0) for l in lines],
+        "value string, key string, partition long",
+    ).write.mode("overwrite").json(os.path.join(workdir, "markers"))
+
+    args = _args(workdir, txn_markers=os.path.join(workdir, "markers"))
+    stats = run(spark, args)
+    n_last = next(r["count"] for r in counts if r["t"] == t_max)
+    assert stats["txn_pending"] == n_last
+    assert stats["events"] == CFG.n_events - n_last
+
+    # equals a direct replay of exactly the complete transactions
+    ref = CdcEngine(
+        spark,
+        os.path.join(workdir, "lake_ref"),
+        StreamConfig(num_buckets=8),
+        EngineConfig(batch_events=200),
+    )
+    ref.create_table()
+    ref.replay(cl.filter(txn != t_max))
+    job_eng = CdcEngine(
+        spark, args.lake, StreamConfig(num_buckets=8), EngineConfig()
+    )
+    a = sorted(map(tuple, job_eng.read_final().drop("_ab_meta").collect()))
+    b = sorted(map(tuple, ref.read_final().drop("_ab_meta").collect()))
+    assert a == b and len(a) > 0
