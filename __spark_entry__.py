@@ -1849,6 +1849,44 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_txn_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-completeness gate (sources/debezium.py
+    split_complete_transactions, Debezium provide.transaction.metadata):
+    events in 5-event transactions, a marker topic where every 7th
+    transaction's END is missing and every 11th lies about its count —
+    only transactions with a matching END and exact observed count pass.
+    One window-bounded count aggregate per txn id joined to the END
+    markers, verdict broadcast back onto the events; exact relational
+    oracle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = F.expr("event_id div 5")
+    events = ev.select(
+        "event_id",
+        "user_id",
+        F.concat(F.lit("tx"), t.cast("string")).alias("_txn_id"),
+        F.lit(0).cast("long").alias("_txn_order"),
+    )
+    counts = ev.groupBy(t.alias("_t")).agg(F.count("*").alias("_n"))
+    markers = (
+        counts.filter(F.col("_t") % 7 != 3)
+        .select(
+            F.lit("END").alias("status"),
+            F.concat(F.lit("tx"), F.col("_t").cast("string")).alias("_txn_id"),
+            (
+                F.col("_n")
+                + F.when(F.col("_t") % 11 == 5, F.lit(1)).otherwise(F.lit(0))
+            ).alias("event_count"),
+            F.lit(0).cast("long").alias("ts_ms"),
+        )
+    )
+    from airbyte_spark.sources.debezium import split_complete_transactions
+
+    complete, _pending = split_complete_transactions(events, markers)
+    return complete.select(
+        "event_id", F.col("_txn_id").alias("txn_id"), "user_id"
+    )
+
+
 def q_stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key skew diagnostics over the change stream: the top-20 busiest
     keys with event counts and integer basis-point share of total — the
@@ -2038,6 +2076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_wal2json_decode": q_cdc_wal2json_decode,
         "cdc_maxwell_decode": q_cdc_maxwell_decode,
         "cdc_snapshot_diff": q_cdc_snapshot_diff,
+        "cdc_txn_complete": q_cdc_txn_complete,
         "cdc_wal2json_txn_stats": q_cdc_wal2json_txn_stats,
         "corpus_curriculum": q_corpus_curriculum,
         "stats_column_profile": q_stats_column_profile,
@@ -2335,6 +2374,15 @@ diff AS (
          CASE WHEN n.doc_num IS NULL THEN o.value ELSE n.value END AS value
   FROM old_live o FULL OUTER JOIN new_live n ON o.doc_num = n.doc_num)
 SELECT * FROM diff WHERE change_type IS NOT NULL
+""",
+        "cdc_txn_complete": """
+WITH e AS (SELECT event_id, user_id, event_id // 5 AS t FROM events),
+c AS (SELECT t, COUNT(*) AS n FROM e GROUP BY t),
+m AS (SELECT t, n + CASE WHEN t % 11 = 5 THEN 1 ELSE 0 END AS event_count
+      FROM c WHERE t % 7 <> 3),
+ok AS (SELECT c.t FROM c JOIN m ON c.t = m.t AND c.n = m.event_count)
+SELECT e.event_id, 'tx' || CAST(e.t AS VARCHAR) AS txn_id, e.user_id
+FROM e JOIN ok ON e.t = ok.t
 """,
         "cdc_wal2json_txn_stats": """
 WITH g AS (

@@ -21,6 +21,9 @@ BOUNDED_SINGLE_PARTITION = {
     # exclusive offsets window over the <=256-row bucket list (two-phase
     # prefix sum — the whole point is that ONLY this tiny list is global)
     "corpus_shuffle",
+    # broadcast max-LSN scalar (1 row, partial-combined max) feeding the
+    # two state cutoffs; the diff itself is exchange-reusing full-outer
+    "cdc_snapshot_diff",
     # broadcast centroid fold: global agg over the n_clusters centroid rows
     "dedup_semantic",
     # ONE output row per table (multi-distinct expand aggregate)
