@@ -320,6 +320,12 @@ class CatalogEngine:
         must own the entire staged range it might abandon."""
         from airbyte_spark.lake.table import LakeTable
 
+        unknown = set(changelogs) - set(self.engines)
+        if unknown:  # same contract as sync(): never silently drop a stream
+            raise KeyError(f"changelog for unconfigured stream(s): {sorted(unknown)}")
+        bad_audits = set(audits or {}) - set(changelogs)
+        if bad_audits:  # validate BEFORE staging anything, not mid-transaction
+            raise KeyError(f"audits for unselected stream(s): {sorted(bad_audits)}")
         selected = [s.name for s in self.streams if s.name in changelogs]
         for name in selected:
             eng = self.engines[name]
@@ -343,6 +349,27 @@ class CatalogEngine:
                 originals[n], stage_commits=True
             )
         t0 = time.monotonic()
+
+        def _abandon_all() -> None:
+            # Roll back EVERY stream, not just failed ones. Per-stream
+            # guard: a rollback of the others must never be skipped (or
+            # the original error masked) because one stream's table is
+            # missing or its abandon throws.
+            for n in selected:
+                eng = self.engines[n]
+                try:
+                    if LakeTable.exists(eng.table_root):
+                        eng.abandon_staged()
+                except Exception as e:  # noqa: BLE001 — logged, not raised
+                    log_metric(
+                        "catalog_txn_abandon_failed", stream=n, error=str(e)
+                    )
+            # abandon rewinds checkpoints — the consolidated GLOBAL state
+            # doc must follow, or a consumer emitting it upstream lets the
+            # source purge WAL for a range that was rolled back
+            self._write_state()
+            log_metric("catalog_txn_rolled_back", streams=len(selected))
+
         try:
             try:
                 results: dict[str, object] = dict(
@@ -353,25 +380,20 @@ class CatalogEngine:
                         commit_snapshot=False,
                     )
                 )
+                audit_results: dict[str, list] = {}
+                failed: dict[str, list[str]] = {}
+                for name, specs in (audits or {}).items():
+                    res = self.engines[name].audit(specs)
+                    audit_results[name] = res
+                    bad = [r.name for r in res if not r.passed]
+                    if bad:
+                        failed[name] = bad
             except Exception:
-                for n in selected:  # roll back EVERY stream, not just failed
-                    self.engines[n].abandon_staged()
-                log_metric("catalog_txn_rolled_back", streams=len(selected))
+                _abandon_all()
                 raise
-            audit_results: dict[str, list] = {}
-            failed: dict[str, list[str]] = {}
-            for name, specs in (audits or {}).items():
-                if name not in selected:
-                    raise KeyError(f"audits for unselected stream {name!r}")
-                res = self.engines[name].audit(specs)
-                audit_results[name] = res
-                bad = [r.name for r in res if not r.passed]
-                if bad:
-                    failed[name] = bad
             results["_audits"] = audit_results
             if failed:
-                for n in selected:
-                    self.engines[n].abandon_staged()
+                _abandon_all()
                 log_metric("catalog_txn_rejected_by_audit", failed=failed)
                 return False, results
             for n in selected:

@@ -95,6 +95,7 @@ def read_slices_concurrent(
     slicer,
     state: dict[str, Any] | None = None,
     max_workers: int = 4,
+    fail_fast: bool = False,
 ) -> Iterator[tuple[dict[str, Any], list[dict]]]:
     """Read a slicer's windows with a worker pool, yielding
     ``(state_doc, records)`` as each slice COMPLETES (out of order). The
@@ -112,6 +113,17 @@ def read_slices_concurrent(
     here — interval state re-reads exact gaps, and late-data re-delivery
     stays the job of the committed low-water mark a caller passes to its
     next SEQUENTIAL sync, matching the reference's split of duties.
+
+    Failure policy: a failed slice's interval is never added (resume
+    re-reads exactly it), and by default every other submitted slice still
+    runs to completion and commits before the FIRST failure is raised —
+    maximal checkpoint coverage when one slice is poisoned. For systemic
+    failures (credentials revoked: every slice will fail) that drains the
+    whole window pointlessly; ``fail_fast=True`` instead cancels the
+    not-yet-started slices after the first failure, draining only the
+    in-flight ones (cancelled slices are ordinary gaps — the next sync
+    re-reads them). Interpreter-control exceptions (KeyboardInterrupt,
+    SystemExit) always cancel and propagate immediately.
     """
     tracker = IntervalTracker.from_doc(state)
     windows: list[tuple[float, float]] = []
@@ -119,7 +131,7 @@ def read_slices_concurrent(
         windows.extend(tracker.gaps(s, e))
     if not windows:
         return
-    failure: BaseException | None = None
+    failure: Exception | None = None
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         futures = {pool.submit(read_slice, s, e): (s, e) for s, e in windows}
         pending = set(futures)
@@ -129,14 +141,18 @@ def read_slices_concurrent(
             # batch is scheduler timing — processing must not depend on it
             for fut in sorted(done, key=lambda f: futures[f]):
                 s, e = futures[fut]
+                if fut.cancelled():
+                    continue  # fail_fast cancellation: an ordinary gap
                 try:
                     records = fut.result()
-                except BaseException as exc:  # noqa: BLE001 — re-raised below
+                except Exception as exc:
                     # a failed slice's interval is NOT added (resume re-reads
-                    # exactly it), but in-flight siblings drain and commit
-                    # first — one poison slice must not discard their work
+                    # exactly it); see the failure policy in the docstring
                     if failure is None:
                         failure = exc
+                        if fail_fast:
+                            for p in pending:
+                                p.cancel()  # queued only; running ones drain
                     log_metric(
                         "concurrent_slice_failed",
                         slice_start=s,
@@ -144,6 +160,11 @@ def read_slices_concurrent(
                         error=str(exc),
                     )
                     continue
+                except BaseException:
+                    # KeyboardInterrupt/SystemExit in a worker: stop now
+                    for p in pending:
+                        p.cancel()
+                    raise
                 tracker.add(s, e)
                 log_metric(
                     "concurrent_slice_done",

@@ -250,12 +250,28 @@ def split_malformed(decoded: DataFrame) -> tuple[DataFrame, DataFrame]:
 def transaction_marker_schema() -> StructType:
     """Typed schema of Debezium's transaction-metadata topic
     (provide.transaction.metadata): one BEGIN and one END document per
-    source transaction; END carries the total event count."""
+    source transaction; END carries the total event count plus the
+    per-table breakdown (``data_collections``) — the per-topic bound a
+    single-table consumer must gate on."""
+    from pyspark.sql.types import ArrayType
+
     return StructType(
         [
             StructField("status", StringType(), True),  # BEGIN | END
             StructField("id", StringType(), True),
             StructField("event_count", LongType(), True),  # END only
+            StructField(
+                "data_collections",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("data_collection", StringType(), True),
+                            StructField("event_count", LongType(), True),
+                        ]
+                    )
+                ),
+                True,
+            ),
             StructField("ts_ms", LongType(), True),
         ]
     )
@@ -276,49 +292,130 @@ def decode_transaction_markers(df: DataFrame, json_col: str = "value") -> DataFr
         status.alias("status"),
         m.getField("id").alias("_txn_id"),
         m.getField("event_count").alias("event_count"),
+        m.getField("data_collections").alias("data_collections"),
         m.getField("ts_ms").alias("ts_ms"),
     )
 
 
 def split_complete_transactions(
-    events: DataFrame, markers: DataFrame
+    events: DataFrame,
+    markers: DataFrame,
+    *,
+    collection: str | None = None,
+    collection_col: str | None = None,
+    cache_verdict: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(complete, pending): gate decoded events on transaction completeness.
 
-    An event's transaction is COMPLETE when the marker topic has its END
-    marker AND the number of events observed for that transaction equals
-    the END marker's ``event_count`` — a truncated topic dump (crash
-    mid-transaction, consumer lag) leaves the transaction PENDING, so a
-    bounded replay of ``complete`` can never apply half a source
-    transaction (the reference's Debezium path gets this from the engine's
-    own commit framing; with a Kafka dump the marker topic is the only
-    boundary signal). Events with no ``_txn_id`` (connector running
-    without transaction metadata) count as complete — there is no framing
-    to violate.
+    ``cache_verdict=True`` materializes the complete-transaction id set
+    eagerly (persisted, txn-id-sized) so callers that re-scan the gated
+    stream many times — a batched replay re-reads ``complete`` once per
+    LSN window — pay the count aggregate and marker join ONCE instead of
+    per scan; the cached ids live until the session drops them.
 
-    Scale shape: one partial-combined count per transaction id (bounded by
-    transactions in the window, not events) joined to the END markers,
-    then the verdict broadcast back onto the event stream as an equi-join
-    on ``_txn_id`` — events never shuffle by anything wider than the txn
-    id, and the txn-verdict side is window-bounded metadata.
+    An event's transaction is COMPLETE when the marker topic has its END
+    marker AND the observed event count equals the expected one — a
+    truncated topic dump (crash mid-transaction, consumer lag) leaves the
+    transaction PENDING, so a bounded replay of ``complete`` can never
+    apply half a source transaction (the reference's Debezium path gets
+    this from the engine's own commit framing; with a Kafka dump the
+    marker topic is the only boundary signal). Events with no ``_txn_id``
+    (connector running without transaction metadata) count as complete —
+    there is no framing to violate.
+
+    Three completeness bounds, because Debezium's END ``event_count``
+    totals events across ALL tables of the transaction:
+
+    - default (both kwargs None): expected = the END's total
+      ``event_count``. Correct when the dump carries the transaction's
+      whole event set (a one-table source, or a demuxed whole-server
+      dump). A single-table topic of a multi-table source would never
+      complete under this bound — use ``collection``.
+    - ``collection="schema.table"``: single-topic-per-table consumer —
+      expected = that table's entry in the END's ``data_collections``
+      breakdown (falls back to the total when the marker carries no
+      breakdown; a breakdown that omits the table leaves it pending).
+    - ``collection_col="_ab_stream"``: multi-table event stream (e.g.
+      ``include_table=True`` feeding ``DemuxEngine``) — per-(txn, table)
+      counts must ALL match their ``data_collections`` entries, and every
+      breakdown entry must be observed; a truncated OR wholly-missing
+      table holds the whole transaction pending (it cannot half-apply).
+      Requires markers with ``data_collections``.
+
+    Scale shape: one partial-combined count per transaction id (or
+    (txn, table) pair — both bounded by the window's transactions, not
+    events) joined to the END markers, then the verdict broadcast back
+    onto the event stream as an equi-join on ``_txn_id`` — events never
+    shuffle by anything wider than the txn id, and the txn-verdict side
+    is window-bounded metadata.
     """
     if "_txn_id" not in events.columns:
         raise ValueError("events lack _txn_id — decode with include_txn=True")
-    ends = (
-        markers.filter(F.col("status") == "END")
-        .select("_txn_id", "event_count")
-        .dropDuplicates(["_txn_id"])
-    )
-    observed = (
-        events.filter(F.col("_txn_id").isNotNull())
-        .groupBy("_txn_id")
-        .agg(F.count("*").alias("_n_seen"))
-    )
-    complete_ids = (
-        observed.join(ends, "_txn_id")
-        .filter(F.col("_n_seen") == F.col("event_count"))
-        .select("_txn_id")
-    )
+    if collection is not None and collection_col is not None:
+        raise ValueError("pass collection OR collection_col, not both")
+    ends = markers.filter(F.col("status") == "END").dropDuplicates(["_txn_id"])
+    tracked = events.filter(F.col("_txn_id").isNotNull())
+    if collection_col is not None:
+        expected = ends.select(
+            "_txn_id", F.explode("data_collections").alias("_dc")
+        ).select(
+            "_txn_id",
+            F.col("_dc.data_collection").alias("_coll"),
+            F.col("_dc.event_count").alias("_expected"),
+        )
+        observed = tracked.groupBy(
+            "_txn_id", F.col(collection_col).alias("_coll")
+        ).agg(F.count("*").alias("_n_seen"))
+        # FULL outer: a breakdown table with zero observed events (the
+        # dump misses a whole table) must pend the transaction just like a
+        # truncated one — and observed events with no breakdown entry
+        # likewise. Filtered single-table consumption belongs to the
+        # ``collection=`` mode, not here.
+        per = observed.join(expected, ["_txn_id", "_coll"], "full_outer")
+        ok = (
+            F.col("_expected").isNotNull()
+            & F.col("_n_seen").isNotNull()
+            & (F.col("_n_seen") == F.col("_expected"))
+        ).cast("int")
+        complete_ids = (
+            per.groupBy("_txn_id")
+            .agg(F.min(ok).alias("_allok"))
+            .filter(F.col("_allok") == 1)
+            .select("_txn_id")
+        )
+    else:
+        if collection is not None:
+            exploded = ends.select(
+                "_txn_id",
+                "event_count",
+                F.explode_outer("data_collections").alias("_dc"),
+            ).filter(
+                F.col("_dc").isNull()
+                | (F.col("_dc.data_collection") == collection)
+            )
+            expected = exploded.select(
+                "_txn_id",
+                F.coalesce(
+                    F.col("_dc.event_count"), F.col("event_count")
+                ).alias("_expected"),
+            ).dropDuplicates(["_txn_id"])
+        else:
+            expected = ends.select(
+                "_txn_id", F.col("event_count").alias("_expected")
+            )
+        observed = tracked.groupBy("_txn_id").agg(
+            F.count("*").alias("_n_seen")
+        )
+        complete_ids = (
+            observed.join(expected, "_txn_id")
+            .filter(F.col("_n_seen") == F.col("_expected"))
+            .select("_txn_id")
+        )
+    if cache_verdict:
+        from pyspark import StorageLevel
+
+        complete_ids = complete_ids.persist(StorageLevel.MEMORY_AND_DISK)
+        complete_ids.count()  # materialize now; batch scans reuse it
     tagged = events.join(
         F.broadcast(complete_ids.withColumn("_complete", F.lit(True))),
         "_txn_id",

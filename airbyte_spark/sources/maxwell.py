@@ -47,8 +47,14 @@ The commit row is the LAST change of its transaction, so its suborder is the
 max (2^seq_bits - 1); explicit ``xoffset`` values must stay below that —
 rows that overflow the budget decode to ``op IS NULL`` for the caller's
 quarantine split (``sources/debezium.py:split_malformed`` contract), as do
-parse failures and non-row types (``bootstrap-start``/``bootstrap-complete``
-framing, DDL events) — never silently dropped.
+parse failures, non-row types (``bootstrap-start``/``bootstrap-complete``
+framing, DDL events), binlog rotation indexes past the
+``2^(63-32-seq_bits)`` packing budget (a wrapped LSN would silently
+misorder), and non-bootstrap rows missing their position source (xid, or
+``position`` under ``use_position``) — never silently dropped. The one
+legitimate missing-source case is ``bootstrap-insert``: Maxwell bootstrap
+rows run outside transactions and carry no xid/position, so they pack at
+base 0 — the initial snapshot ordering before every tailed transaction.
 """
 
 from __future__ import annotations
@@ -99,17 +105,6 @@ def envelope_schema(payload_schema: StructType) -> StructType:
     )
 
 
-def _packed_position(position: Column, seq_bits: int) -> Column:
-    """``"mysql-bin.000042:800911"`` -> ``(idx * 2^32 + offset) << seq_bits``.
-
-    Same file-lexicographic-then-offset total order the reference uses
-    (MySqlCdcTargetPosition.java:73-99), shifted to leave room for the
-    within-transaction suborder.
-    """
-    file_part = F.substring_index(position, ":", 1)
-    off = F.substring_index(position, ":", -1).cast("long")
-    idx = F.regexp_extract(file_part, r"(\d+)$", 1).cast("long")
-    return F.shiftleft(F.shiftleft(idx, 32) + off, seq_bits)
 
 
 def decode_maxwell(
@@ -158,12 +153,42 @@ def decode_maxwell(
     overflow = F.col("_env.xoffset").isNotNull() & (
         F.col("_env.xoffset") >= commit_sub
     )
-    op = F.when(overflow, F.lit(None).cast("string")).otherwise(op)
 
+    # Bootstrap rows run OUTSIDE transactions: real Maxwell bootstrap-insert
+    # envelopes carry no xid (and no position) — they ARE the initial
+    # snapshot, so they order before every tailed transaction (base 0, the
+    # same snapshot-before-tail total order CdcEngine.bootstrap assumes).
+    # Any OTHER row type missing its position source must quarantine, not
+    # decode with a NULL lsn that a replay window predicate would silently
+    # drop.
+    is_bootstrap = F.col("_env.type") == "bootstrap-insert"
+    zero = F.lit(0).cast("long")
     if use_position:
-        base = _packed_position(F.col("_env.position"), seq_bits)
+        pos = F.col("_env.position")
+        file_part = F.substring_index(pos, ":", 1)
+        off = F.substring_index(pos, ":", -1).cast("long")
+        idx = F.regexp_extract(file_part, r"(\d+)$", 1).cast("long")
+        from airbyte_spark.sources.debezium import mysql_packed_lsn
+
+        base = F.when(pos.isNull() & is_bootstrap, zero).otherwise(
+            F.shiftleft(mysql_packed_lsn(file_part, off), seq_bits)
+        )
+        src_missing = pos.isNull() & ~is_bootstrap
+        # file rotation index budget: (idx<<32 | off) << seq_bits must stay
+        # inside signed 64 — past it LSNs would wrap negative and misorder
+        src_overflow = pos.isNotNull() & (
+            idx >= F.lit(1 << (63 - 32 - seq_bits))
+        )
     else:
-        base = F.shiftleft(F.col("_env.xid"), seq_bits)
+        xid = F.col("_env.xid")
+        base = F.when(xid.isNull() & is_bootstrap, zero).otherwise(
+            F.shiftleft(xid, seq_bits)
+        )
+        src_missing = xid.isNull() & ~is_bootstrap
+        src_overflow = F.lit(False)
+    op = F.when(
+        overflow | src_missing | src_overflow, F.lit(None).cast("string")
+    ).otherwise(op)
     lsn = base + sub
 
     ts_ms = F.col("_env.ts") * F.lit(1000)

@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "metadata); replay only transactions whose END "
                         "marker + event count confirm completeness "
                         "(bounded replay only)")
+    p.add_argument("--txn-collection", default=None,
+                   help="with --txn-markers: this topic carries ONE table "
+                        "of multi-table transactions — gate on its "
+                        "data_collections entry instead of the END's "
+                        "cross-table total")
     p.add_argument("--connect-wrapper", action="store_true",
                    help="postgres/mysql: unwrap Kafka Connect JSONConverter "
                         "schemas.enable=true messages ({schema, payload}) — "
@@ -248,7 +253,13 @@ def run(spark, args) -> dict:
         markers = decode_transaction_markers(
             spark.read.schema(wire_schema).json(args.txn_markers)
         ).filter("status IS NOT NULL")
-        complete, txn_pending = split_complete_transactions(decoded, markers)
+        # cache_verdict: the replay re-scans `complete` once per LSN
+        # window — materialize the txn-id verdict once, not per batch
+        complete, txn_pending = split_complete_transactions(
+            decoded, markers,
+            collection=args.txn_collection,
+            cache_verdict=True,
+        )
         # pending = not-yet-complete source transactions, NOT errors: they
         # stay in the topic and replay once a fuller dump arrives (batch-id
         # idempotence absorbs the overlap); only count + log them here

@@ -131,3 +131,28 @@ def test_transaction_concurrency_matches_sequential(spark, workdir):
     assert ok is True
     for name, cfg in (("s_a", CFG_A), ("s_b", CFG_B)):
         assert _max_lsn(cat.read(name)) == cfg.n_events
+
+
+def test_unknown_streams_and_audit_keys_raise_before_staging(spark, workdir):
+    cat, paths = _mk(spark, workdir)
+    with pytest.raises(KeyError, match="unconfigured"):
+        cat.sync_transaction(dict(paths, s_typo=paths["s_a"]))
+    with pytest.raises(KeyError, match="unselected"):
+        cat.sync_transaction(paths, audits={"s_typo": []})
+    # neither attempt staged anything
+    for name in ("s_a", "s_b"):
+        assert cat.engine(name).table.staged_versions() == []
+
+
+def test_rollback_rewinds_consolidated_state(spark, workdir):
+    """After a rejected transaction the GLOBAL state doc must reflect the
+    REWOUND checkpoints — emitting staged progress upstream would let the
+    source purge WAL for a range that still has to replay."""
+    cat, paths = _mk(spark, workdir)
+    impossible = [{"op": "expression", "name": "nope", "sql": "n_tok < 0"}]
+    ok, _ = cat.sync_transaction(paths, audits={"s_a": impossible})
+    assert ok is False
+    doc = cat.state()
+    for entry in doc["global"]["stream_states"]:
+        st = entry["stream_state"]
+        assert (st or {}).get("max_committed_lsn", 0) == 0, entry

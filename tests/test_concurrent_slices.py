@@ -144,3 +144,27 @@ def test_partial_window_gap_subslices():
 
     list(read_slices_concurrent(read, _slicer(n=3), state=t.to_doc(), max_workers=1))
     assert sorted(read_log) == [(15.0, 20.0), (20.0, 30.0)]
+
+
+def test_fail_fast_cancels_queued_and_resume_completes():
+    """fail_fast=True: the first failure cancels not-yet-started slices
+    (ordinary gaps), and a resume with a healthy reader still lands on
+    exactly-once coverage of the whole range."""
+    def read(s, e):
+        if s == 10:
+            raise RuntimeError("boom")
+        return [{"id": s}]
+
+    state = None
+    seen: list = []
+    with pytest.raises(RuntimeError, match="boom"):
+        for state, recs in read_slices_concurrent(
+            read, _slicer(n=6), max_workers=2, fail_fast=True
+        ):
+            seen.extend(r["id"] for r in recs)
+    for state, recs in read_slices_concurrent(
+        lambda s, e: [{"id": s}], _slicer(n=6), state=state, max_workers=2
+    ):
+        seen.extend(r["id"] for r in recs)
+    assert sorted(seen) == [0, 10, 20, 30, 40, 50]  # each exactly once
+    assert IntervalTracker.from_doc(state).intervals == [(0.0, 60.0)]

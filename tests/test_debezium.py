@@ -304,3 +304,83 @@ def test_transaction_metadata_gating(spark):
     complete2, pending2 = split_complete_transactions(events2, markers)
     assert sorted(r["doc_id"] for r in pending2.collect()) == ["d3"]
     assert "d4" in {r["doc_id"] for r in complete2.collect()}
+
+
+def test_transaction_metadata_per_collection(spark):
+    """Debezium's END event_count totals events across ALL tables of the
+    transaction; a single-table topic must gate on its data_collections
+    entry, and a multi-table stream must gate per (txn, table)."""
+    from airbyte_spark.sources.debezium import (
+        decode_transaction_markers,
+        split_complete_transactions,
+    )
+
+    def env_txn(lsn, txn_id, table="a"):
+        e = json.loads(_env("c", f"d{lsn}", after={"doc_id": f"d{lsn}"}, lsn=lsn))
+        e["transaction"] = {"id": txn_id, "total_order": lsn,
+                            "data_collection_order": lsn}
+        e["source"]["table"] = table
+        return json.dumps(e)
+
+    # txn t1 touched tables a (2 events) and b (1 event); this topic dump
+    # carries only table a's events
+    events_a = decode_debezium(
+        spark.createDataFrame(
+            [(env_txn(1, "t1"),), (env_txn(2, "t1"),)], "value string"
+        ),
+        PAYLOAD,
+        include_txn=True,
+    )
+    markers = decode_transaction_markers(
+        spark.createDataFrame(
+            [(json.dumps({
+                "status": "END", "id": "t1", "event_count": 3,
+                "data_collections": [
+                    {"data_collection": "a", "event_count": 2},
+                    {"data_collection": "b", "event_count": 1},
+                ], "ts_ms": 9}),)],
+            "value string",
+        )
+    )
+    # total-count bound: never completes (the documented trap)
+    c0, p0 = split_complete_transactions(events_a, markers)
+    assert c0.count() == 0 and p0.count() == 2
+    # per-collection bound: table a's 2 events match its breakdown entry
+    c1, p1 = split_complete_transactions(events_a, markers, collection="a")
+    assert c1.count() == 2 and p1.count() == 0
+    # a collection absent from the breakdown stays pending
+    c2, _p2 = split_complete_transactions(events_a, markers, collection="zz")
+    assert c2.count() == 0
+    # markers WITHOUT a breakdown fall back to the total bound
+    legacy = decode_transaction_markers(
+        spark.createDataFrame(
+            [(json.dumps({"status": "END", "id": "t1",
+                          "event_count": 2, "ts_ms": 9}),)],
+            "value string",
+        )
+    )
+    c3, _ = split_complete_transactions(events_a, legacy, collection="a")
+    assert c3.count() == 2
+
+    # multi-table stream: both tables present and matching -> complete;
+    # drop table b's event -> the WHOLE txn pends (no half-apply)
+    rows_ab = [env_txn(1, "t1"), env_txn(2, "t1"),
+               env_txn(3, "t1", table="b")]
+    ev_ab = decode_debezium(
+        spark.createDataFrame([(r,) for r in rows_ab], "value string"),
+        PAYLOAD,
+        include_txn=True,
+        include_table=True,
+    )
+    c4, p4 = split_complete_transactions(
+        ev_ab, markers, collection_col="_ab_stream"
+    )
+    assert c4.count() == 3 and p4.count() == 0
+    from pyspark.sql import functions as F
+
+    c5, p5 = split_complete_transactions(
+        ev_ab.filter(F.col("doc_id") != "d3"),  # drop table b's only event
+        markers,
+        collection_col="_ab_stream",
+    )
+    assert c5.count() == 0 and p5.count() == 2

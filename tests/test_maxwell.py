@@ -275,3 +275,47 @@ def test_maxwell_decode_matches_python_model(spark, txns):
     ]
     want = [e if e[0] is not None else (None,) * 6 for e in expected]
     assert sorted(got, key=repr) == sorted(want, key=repr)
+
+
+def test_bootstrap_rows_without_xid_order_first(spark):
+    """Real Maxwell bootstrap-insert rows carry NO xid: they must decode
+    (base-0 LSN, before every transaction), never silently drop through a
+    NULL-lsn replay window."""
+    rows = [
+        json.dumps({"database": "app", "table": "docs",
+                    "type": "bootstrap-insert", "ts": 1,
+                    "data": {"doc_id": "a", "name": "snap", "score": 0.0}}),
+        _env("update", data={"doc_id": "a", "name": "tail", "score": 1.0},
+             xid=1, commit=True),
+        # a non-bootstrap row with no xid has no position source: quarantine
+        json.dumps({"database": "app", "table": "docs", "type": "update",
+                    "ts": 1,
+                    "data": {"doc_id": "b", "name": "x", "score": 0.0}}),
+    ]
+    good, bad = split_malformed(_decode(spark, rows))
+    assert bad.count() == 1
+    out = sorted(good.collect(), key=lambda r: r["lsn"])
+    assert [r["name"] for r in out] == ["snap", "tail"]
+    assert out[0]["lsn"] is not None and out[0]["lsn"] < (1 << 16)
+
+
+def test_position_missing_and_rotation_overflow_quarantine(spark):
+    rows = [
+        _env("insert", data={"doc_id": "a", "name": "ok", "score": 0.0},
+             position="mysql-bin.000001:10", commit=True),
+        # no position under use_position -> quarantine (non-bootstrap)
+        _env("insert", data={"doc_id": "b", "name": "nopos", "score": 0.0},
+             commit=True),
+        # rotation index past the packing budget -> quarantine, not wrap
+        _env("insert", data={"doc_id": "c", "name": "wrap", "score": 0.0},
+             position=f"mysql-bin.{1 << 15}:10", commit=True),
+        # bootstrap without position still decodes at base 0
+        json.dumps({"database": "app", "table": "docs",
+                    "type": "bootstrap-insert", "ts": 1,
+                    "data": {"doc_id": "d", "name": "snap", "score": 0.0}}),
+    ]
+    good, bad = split_malformed(_decode(spark, rows, use_position=True))
+    assert bad.count() == 2
+    names = {r["name"]: r["lsn"] for r in good.collect()}
+    assert set(names) == {"ok", "snap"}
+    assert names["snap"] < names["ok"]
