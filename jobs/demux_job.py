@@ -44,8 +44,26 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--root", required=True,
                    help="demux root (per-stream tables + shared offset)")
-    p.add_argument("--changelog", required=True,
+    p.add_argument("--changelog", default=None,
                    help="shared WAL path (parquet) with the routing column")
+    p.add_argument("--wire", default=None,
+                   help="INSTEAD of --changelog: JSONL dir of a single "
+                        "Debezium topic carrying every table's changes "
+                        "({value, key?, partition?} lines); decoded once "
+                        "with source.table as the routing column")
+    p.add_argument("--payload-ddl", default=None,
+                   help="with --wire: payload schema as DDL (union of all "
+                        "tables' columns; absent fields decode null)")
+    p.add_argument("--connector", default="postgres",
+                   choices=["postgres", "mysql"],
+                   help="with --wire: Debezium position semantics")
+    p.add_argument("--txn-markers", default=None,
+                   help="with --wire: transaction-metadata topic JSONL; "
+                        "gate on per-data_collection completeness so a "
+                        "truncated table pends its whole transaction")
+    p.add_argument("--quarantine", default=None,
+                   help="with --wire: undecodable lines land here "
+                        "(default <root>/_quarantine)")
     p.add_argument("--stream", action="append", required=True,
                    dest="streams", metavar="NAME[:BUCKETS[:PK]]",
                    help="repeatable; one configured destination table per use")
@@ -78,7 +96,73 @@ def run(spark, args) -> dict:
                 f"table for stream {eng.stream.name!r} does not exist — "
                 "bootstrap the demux catalog first (DemuxEngine.bootstrap)"
             )
-    return demux.replay(args.changelog, max_batches=args.max_batches)
+    if (args.changelog is None) == (args.wire is None):
+        raise SystemExit("exactly one of --changelog / --wire is required")
+    if args.changelog is not None:
+        source = args.changelog
+        stats = demux.replay(source, max_batches=args.max_batches)
+        return stats
+
+    # --wire: ONE Debezium topic for every table -> decode once, route by
+    # source.table, optional transaction-completeness gate, then the same
+    # shared-offset windowed replay
+    if args.payload_ddl is None:
+        raise SystemExit("--payload-ddl is required with --wire")
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from airbyte_spark.sources.debezium import decode_debezium, split_malformed
+
+    wire_schema = StructType(
+        [
+            StructField("value", StringType(), True),
+            StructField("key", StringType(), True),
+            StructField("partition", LongType(), True),
+        ]
+    )
+    wire = spark.read.schema(wire_schema).json(args.wire)
+    decoded = decode_debezium(
+        wire,
+        StructType.fromDDL(args.payload_ddl),
+        connector=args.connector,
+        json_col="value",
+        partition_col="partition",
+        include_table=True,
+        include_txn=args.txn_markers is not None,
+    )
+    n_txn_pending = 0
+    if args.txn_markers is not None:
+        from airbyte_spark.sources.debezium import (
+            decode_transaction_markers,
+            split_complete_transactions,
+        )
+
+        markers = decode_transaction_markers(
+            spark.read.schema(wire_schema).json(args.txn_markers)
+        ).filter("status IS NOT NULL")
+        decoded, txn_pending = split_complete_transactions(
+            decoded,
+            markers,
+            collection_col=args.stream_col,
+            cache_verdict=True,
+        )
+        n_txn_pending = txn_pending.count()
+        decoded = decoded.drop("_txn_id", "_txn_order")
+    good, bad = split_malformed(decoded)
+    n_bad = bad.count()
+    if n_bad:
+        bad.write.mode("append").parquet(
+            args.quarantine or f"{args.root.rstrip('/')}/_quarantine"
+        )
+    stats = demux.replay(good, max_batches=args.max_batches)
+    stats["quarantined"] = n_bad
+    if args.txn_markers is not None:
+        stats["txn_pending"] = n_txn_pending
+    return stats
 
 
 def main(argv: list[str] | None = None) -> int:

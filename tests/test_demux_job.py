@@ -137,3 +137,123 @@ def test_wire_topic_decodes_and_demuxes(spark, workdir):
     assert stats["events"] == CFG.n_events
     for name, exp in _goldens(spark).items():
         assert_frames_equal(final_as_pandas(dx.engine(name).read_final()), exp)
+
+
+def _debezium_wire(spark, with_txn=False):
+    """Routed changelog rendered as one Debezium topic; optional
+    transaction blocks (txn = lsn div 3)."""
+    from pyspark.sql import functions as F
+
+    cl = _routed(changelog_df(spark, CFG))
+    payload = F.struct("doc_id", "tokens", "n_tok", "source")
+    pk_only = F.struct(
+        F.col("doc_id"),
+        F.lit(None).cast("array<int>").alias("tokens"),
+        F.lit(None).cast("int").alias("n_tok"),
+        F.lit(None).cast("string").alias("source"),
+    )
+    fields = [
+        F.when(F.col("op") == "D", pk_only).alias("before"),
+        F.when(F.col("op") != "D", payload).alias("after"),
+        F.struct(
+            F.col("ts_ms"), F.col("lsn"),
+            F.lit("app").alias("db"),
+            F.col("_ab_stream").alias("table"),
+        ).alias("source"),
+        F.when(F.col("op") == "I", F.lit("c"))
+        .when(F.col("op") == "U", F.lit("u"))
+        .otherwise(F.lit("d"))
+        .alias("op"),
+        (F.col("ts_ms") + 5).alias("ts_ms"),
+    ]
+    if with_txn:
+        fields.append(
+            F.struct(
+                F.concat(F.lit("tx"), F.expr("lsn div 3")).alias("id"),
+                (F.col("lsn") % 3 + 1).alias("total_order"),
+                (F.col("lsn") % 3 + 1).alias("data_collection_order"),
+            ).alias("transaction")
+        )
+    return cl, cl.select(
+        F.to_json(F.struct(*fields), {"ignoreNullFields": "false"}).alias("value"),
+        F.lit(None).cast("string").alias("key"),
+        F.col("source_partition").cast("long").alias("partition"),
+    )
+
+
+def test_demux_job_wire_mode(spark, workdir):
+    """--wire: the packaged job decodes ONE Debezium topic, routes by
+    source.table and lands every table on its golden."""
+    dx = _mk(spark, workdir)
+    _bootstrap(spark, dx)
+    _cl, wire = _debezium_wire(spark)
+    wire.write.mode("overwrite").json(os.path.join(workdir, "wire"))
+    args = _args(
+        workdir,
+        changelog=None,
+        wire=os.path.join(workdir, "wire"),
+        payload_ddl="doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    stats = run(spark, args)
+    assert stats["events"] == CFG.n_events and stats["quarantined"] == 0
+    for name, exp in _goldens(spark).items():
+        eng = DemuxEngine(
+            spark,
+            os.path.join(workdir, "demux"),
+            [parse_stream("t0:4"), parse_stream("t1:4")],
+        ).engine(name)
+        from tests.util import assert_frames_equal as _afe
+
+        _afe(final_as_pandas(eng.read_final()), exp)
+
+
+def test_demux_job_wire_txn_gate(spark, workdir):
+    """--wire + --txn-markers: per-(txn, table) completeness — withholding
+    the last transaction's END pends exactly its events across BOTH
+    tables."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    dx = _mk(spark, workdir)
+    _bootstrap(spark, dx)
+    cl, wire = _debezium_wire(spark, with_txn=True)
+    wire.write.mode("overwrite").json(os.path.join(workdir, "wire"))
+
+    per = (
+        cl.groupBy(F.expr("lsn div 3").alias("t"), "_ab_stream")
+        .count()
+        .collect()
+    )
+    t_max = max(r["t"] for r in per)
+    by_txn: dict = {}
+    for r in per:
+        by_txn.setdefault(r["t"], []).append((r["_ab_stream"], r["count"]))
+    lines = []
+    for t, colls in by_txn.items():
+        if t == t_max:
+            continue  # withhold the last END
+        lines.append(_json.dumps({
+            "status": "END", "id": f"tx{t}",
+            "event_count": sum(c for _n, c in colls),
+            "data_collections": [
+                {"data_collection": n, "event_count": c} for n, c in colls
+            ],
+            "ts_ms": 1,
+        }))
+    spark.createDataFrame(
+        [(l, None, 0) for l in lines],
+        "value string, key string, partition long",
+    ).write.mode("overwrite").json(os.path.join(workdir, "markers"))
+
+    args = _args(
+        workdir,
+        changelog=None,
+        wire=os.path.join(workdir, "wire"),
+        payload_ddl="doc_id string, tokens array<int>, n_tok int, source string",
+        txn_markers=os.path.join(workdir, "markers"),
+    )
+    stats = run(spark, args)
+    n_last = sum(c for _n, c in by_txn[t_max])
+    assert stats["txn_pending"] == n_last
+    assert stats["events"] == CFG.n_events - n_last
