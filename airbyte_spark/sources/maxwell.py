@@ -62,6 +62,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     LongType,
     StringType,
@@ -238,3 +239,82 @@ def decode_maxwell(
     from airbyte_spark.plans.transforms import project_once
 
     return project_once(d, carrier, _out)
+
+
+# --------------------------------------------------------------- DDL events
+
+#: every Maxwell DDL type starts "table-" (table-create/alter/drop); data
+#: rows carry "insert"/"update"/"delete" — one cheap string filter splits.
+#: Whitespace-tolerant: Maxwell emits compact JSON but re-serialized dumps
+#: commonly carry ": " separators
+DDL_MARKER_RE = r'"type"\s*:\s*"table-'
+
+
+def split_ddl(wire: DataFrame, json_col: str = "value") -> tuple[DataFrame, DataFrame]:
+    """(ddl_lines, other_lines) — Maxwell ``output_ddl`` envelopes split off
+    the data stream with one cheap string filter each way (same contract as
+    ``sources/schema_change.py:split_schema_changes``)."""
+    is_ddl = F.col(json_col).rlike(DDL_MARKER_RE)
+    return wire.filter(is_ddl), wire.filter(~is_ddl | F.col(json_col).isNull())
+
+
+def _ddl_envelope() -> StructType:
+    columns = ArrayType(
+        StructType(
+            [
+                StructField("name", StringType(), True),
+                StructField("type", StringType(), True),
+            ]
+        )
+    )
+    table_def = StructType(
+        [
+            StructField("database", StringType(), True),
+            StructField("table", StringType(), True),
+            StructField("columns", columns, True),
+            StructField("primary-key", ArrayType(StringType()), True),
+        ]
+    )
+    return StructType(
+        [
+            StructField("type", StringType(), True),
+            StructField("database", StringType(), True),
+            StructField("table", StringType(), True),
+            StructField("ts", LongType(), True),
+            StructField("sql", StringType(), True),
+            StructField("def", table_def, True),  # post-change shape
+            StructField("old", table_def, True),
+        ]
+    )
+
+
+def decode_ddl(df: DataFrame, json_col: str = "value") -> DataFrame:
+    """Decode Maxwell ``output_ddl`` envelopes to one row per DDL event in
+    the SAME shape ``schema_change.changes_to_payload_schema`` folds:
+    (lsn, ts_ms, change_type, table_id, ddl, columns[{name, type_name,
+    optional}]). Maxwell DDL envelopes carry no binlog position, so
+    ordering rides ``ts`` (seconds -> ms; lsn 0) — the fold sorts by
+    (lsn, ts_ms), and Maxwell emits DDL in commit order. ``def.columns``
+    is the full post-change column list (MySQL type names — the shared
+    JDBC type map covers them). Undecodable lines yield ``change_type IS
+    NULL`` for the caller to quarantine."""
+    env = F.from_json(F.col(json_col), _ddl_envelope())
+    d = df.withColumn("_env", env)
+    return d.select(
+        F.lit(0).cast("long").alias("lsn"),
+        (F.col("_env.ts") * 1000).cast("long").alias("ts_ms"),
+        F.when(
+            F.col("_env.type").startswith("table-"), F.col("_env.type")
+        ).alias("change_type"),
+        F.concat_ws(
+            ".",
+            F.coalesce(F.col("_env.def.database"), F.col("_env.database")),
+            F.coalesce(F.col("_env.def.table"), F.col("_env.table")),
+        ).alias("table_id"),
+        F.col("_env.sql").alias("ddl"),
+        F.expr(
+            "transform(_env.def.columns, c -> struct("
+            "c.name AS name, c.type AS type_name, "
+            "CAST(NULL AS BOOLEAN) AS optional))"
+        ).alias("columns"),
+    )

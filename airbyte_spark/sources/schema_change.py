@@ -75,6 +75,7 @@ _TYPE_MAP: dict[str, DataType] = {
     "uuid": StringType(), "enum": StringType(),
     "date": DateType(),
     "timestamp": TimestampType(), "timestamptz": TimestampType(),
+    "datetime": TimestampType(),  # MySQL/Maxwell name
     "timestamp with time zone": TimestampType(),
     "timestamp without time zone": TimestampType(),
 }

@@ -174,6 +174,28 @@ def run(spark, args) -> dict:
         n_ddl = eng.apply_schema_changes(
             changes.filter(F.col("change_type").isNotNull())
         )
+    elif args.connector == "maxwell":
+        # Maxwell output_ddl: table-create/alter envelopes carry the full
+        # post-change column list under def.columns — same fold, same
+        # early-apply soundness argument as the Debezium branch
+        from airbyte_spark.sources.maxwell import decode_ddl, split_ddl
+
+        if streaming:
+            ddl_lines, _ = split_ddl(
+                spark.read.schema(wire_schema).json(args.wire)
+            )
+            _, wire = split_ddl(wire)
+        else:
+            ddl_lines, wire = split_ddl(wire)
+        changes = decode_ddl(ddl_lines)
+        n_bad_ddl = changes.filter(F.col("change_type").isNull()).count()
+        if n_bad_ddl:
+            from airbyte_spark.lineage import log_metric
+
+            log_metric("ddl_quarantined", rows=n_bad_ddl)
+        n_ddl = eng.apply_schema_changes(
+            changes.filter(F.col("change_type").isNotNull())
+        )
 
     if n_ddl:
         # DDL happened: the table snapshot now carries the final shape —

@@ -252,3 +252,67 @@ def test_split_marker(spark):
     sc, other = split_schema_changes(df)
     assert sc.count() == 1 and other.count() == 1
     assert "tableChanges" in sc.first()["value"]
+
+
+# ------------------------------------------------------------ maxwell DDL
+
+
+def _mxw_dml(xid, doc_id, type_="insert", extra=None, tokens=(1, 2, 3)):
+    img = {"doc_id": doc_id, "tokens": list(tokens), "n_tok": len(tokens),
+           "source": "s0"}
+    if extra:
+        img.update(extra)
+    return json.dumps({
+        "value": json.dumps({
+            "database": "app", "table": "tokenseq", "type": type_,
+            "ts": 100 + xid, "xid": xid, "commit": True, "data": img,
+        }),
+        "partition": 0,
+    })
+
+
+def _mxw_ddl(xid, sql, cols):
+    return json.dumps({
+        "value": json.dumps({
+            "type": "table-alter", "database": "app", "table": "tokenseq",
+            "ts": 100 + xid, "sql": sql,
+            "def": {"database": "app", "table": "tokenseq",
+                    "columns": [{"name": n, "type": t} for n, t in cols],
+                    "primary-key": ["doc_id"]},
+        }),
+        "partition": 0,
+    })
+
+
+MXW_COLS = [("doc_id", "varchar(64)"), ("tokens", "int[]"),
+            ("n_tok", "int"), ("source", "text")]
+
+
+def test_tail_job_maxwell_ddl_mid_stream(spark, workdir):
+    """Maxwell output_ddl: a table-alter envelope mid-dump evolves the
+    table through the same fold as the Debezium branch — post-DDL rows
+    carry the new column, pre-DDL rows read NULL."""
+    lines = [
+        _mxw_dml(1, "doc1"),
+        _mxw_dml(2, "doc2"),
+        _mxw_ddl(3, "alter table tokenseq add column quality int",
+                 MXW_COLS + [("quality", "int")]),
+        _mxw_dml(4, "doc3", extra={"quality": 77}),
+        _mxw_dml(5, "doc1", type_="update", extra={"quality": 42},
+                 tokens=(9, 9)),
+    ]
+    _write_lines(os.path.join(workdir, "wire"), lines)
+    stats = run(spark, _args(workdir, connector="maxwell"))
+    assert stats["quarantined"] == 0
+    assert stats["events"] == 4  # the DDL line is not a data event
+
+    from airbyte_spark.engine import CdcEngine
+    from airbyte_spark.config import EngineConfig, StreamConfig
+
+    eng = CdcEngine(spark, os.path.join(workdir, "lake"),
+                    StreamConfig(num_buckets=4), EngineConfig())
+    final = {r["doc_id"]: r for r in eng.read_final().collect()}
+    assert "quality" in eng.read_final().columns
+    assert final["doc1"]["quality"] == 42 and list(final["doc1"]["tokens"]) == [9, 9]
+    assert final["doc2"]["quality"] is None
+    assert final["doc3"]["quality"] == 77
