@@ -1783,6 +1783,84 @@ def q_cdc_maxwell_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_canal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canal flatMessage decode (sources/canal.py): events rendered as
+    BATCHED canal envelopes — 3-row ``data`` arrays with every scalar
+    string-serialized (canal's wire convention), envelope-level batch id /
+    es timestamp, every 4th envelope a DDL (``isDdl: true``) so the
+    quarantine path is exercised inside the gate — then flattened by ONE
+    typed from_json + posexplode + per-column cast, LSN packed as
+    ``batch_id << 16 | row_index`` (MySqlCdcTargetPosition.java:73-99
+    total-order parity on canal's batch counter). The oracle computes the
+    decode's closed form straight off the base table, so the whole JSON
+    round trip — including the string->typed cast inversion — is
+    value-hash-gated."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from airbyte_spark.sources.canal import decode_canal
+    from airbyte_spark.sources.debezium import split_malformed
+
+    payload = StructType(
+        [
+            StructField("doc_id", StringType(), True),
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+        ]
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    row = F.create_map(
+        F.lit("doc_id"), F.format_string("doc%09d", F.col("event_id")),
+        F.lit("user_id"), F.col("user_id").cast("string"),
+        F.lit("event_type"), F.col("event_type"),
+        F.lit("value"), F.col("value").cast("string"),
+    )
+    g = (
+        ev.select(
+            F.expr("event_id div 3").alias("gid"),
+            (F.col("event_id") % 3).cast("int").alias("idx"),
+            row.alias("row"),
+            F.expr("unix_millis(cast(ts as timestamp))").alias("ms"),
+        )
+        .groupBy("gid")
+        .agg(
+            # comparator lambda: struct carries a map (not orderable), so
+            # sort by the index field alone — array order IS binlog order
+            F.expr(
+                "array_sort(collect_list(struct(idx, row)),"
+                " (l, r) -> l.idx - r.idx)"
+            ).alias("rs"),
+            F.min("ms").alias("es"),
+        )
+    )
+    env = F.struct(
+        F.col("gid").alias("id"),
+        F.lit("app").alias("database"),
+        F.lit("events").alias("table"),
+        (F.col("gid") % 4 == 3).alias("isDdl"),
+        F.element_at(
+            F.array(
+                F.lit("INSERT"), F.lit("UPDATE"), F.lit("DELETE"), F.lit("ALTER")
+            ),
+            (F.col("gid") % 4).cast("int") + 1,
+        ).alias("type"),
+        F.col("es").alias("es"),
+        (F.col("es") + 500).alias("ts"),
+        F.expr("transform(rs, x -> x.row)").alias("data"),
+    )
+    feed = g.select(F.to_json(env).alias("value"))
+    good, _bad = split_malformed(decode_canal(feed, payload))
+    return good.select(
+        "op", "lsn", "ts_ms", "doc_id", "user_id", "event_type", "value"
+    )
+
+
 def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-diff changelog classification — the pure-DataFrame core of
     LakeTable.read_changes (lake/table.py:682, the Iceberg changelog-scan /
@@ -2075,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_bpe_merges": q_tokens_bpe_merges,
         "cdc_wal2json_decode": q_cdc_wal2json_decode,
         "cdc_maxwell_decode": q_cdc_maxwell_decode,
+        "cdc_canal_decode": q_cdc_canal_decode,
         "cdc_snapshot_diff": q_cdc_snapshot_diff,
         "cdc_txn_complete": q_cdc_txn_complete,
         "cdc_wal2json_txn_stats": q_cdc_wal2json_txn_stats,
@@ -2342,6 +2421,19 @@ SELECT CASE event_id % 4 WHEN 0 THEN 'I' WHEN 1 THEN 'U' ELSE 'D' END AS op,
        user_id, event_type, value
 FROM events
 WHERE event_id % 4 <> 3
+""",
+        "cdc_canal_decode": """
+WITH g AS (
+  SELECT event_id // 3 AS gid, MIN(epoch_ms(ts)) AS es
+  FROM events GROUP BY 1)
+SELECT CASE (e.event_id // 3) % 4
+         WHEN 0 THEN 'I' WHEN 1 THEN 'U' ELSE 'D' END AS op,
+       CAST((e.event_id // 3) * 65536 + (e.event_id % 3) AS BIGINT) AS lsn,
+       CAST(g.es AS BIGINT) AS ts_ms,
+       printf('doc%09d', e.event_id) AS doc_id,
+       e.user_id, e.event_type, e.value
+FROM events e JOIN g ON e.event_id // 3 = g.gid
+WHERE (e.event_id // 3) % 4 <> 3
 """,
         "cdc_snapshot_diff": """
 WITH b AS (

@@ -41,10 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="directory of JSON-lines Kafka-dump files "
                         "({value, key?, partition?} per line)")
     p.add_argument("--connector", required=True,
-                   choices=["postgres", "mysql", "mongo", "wal2json", "maxwell"])
+                   choices=["postgres", "mysql", "mongo", "wal2json",
+                            "maxwell", "canal"])
     p.add_argument("--lsn-align-bits", type=int, default=None,
                    help="LSN packs (commit_lsn << bits | statement_index) "
-                        "(wal2json/maxwell: 16): align replay-window bounds "
+                        "(wal2json/maxwell/canal: 16): align replay-window "
+                        "bounds "
                         "to commit boundaries so no source transaction "
                         "splits across two destination commits")
     p.add_argument("--txn-markers", default=None,
@@ -122,7 +124,11 @@ def run(spark, args) -> dict:
             lsn_align_bits=(
                 args.lsn_align_bits
                 if args.lsn_align_bits is not None
-                else (16 if args.connector in ("wal2json", "maxwell") else None)
+                else (
+                    16
+                    if args.connector in ("wal2json", "maxwell", "canal")
+                    else None
+                )
             ),
         ),
     )
@@ -196,6 +202,27 @@ def run(spark, args) -> dict:
         n_ddl = eng.apply_schema_changes(
             changes.filter(F.col("change_type").isNotNull())
         )
+    elif args.connector == "canal":
+        # Canal DDL envelopes carry only the raw SQL text (no structured
+        # post-change column list), so they cannot drive the additive-
+        # evolution fold; split them off the data stream and surface the
+        # count — operators re-discover the schema (or pass --payload-ddl)
+        # after a DDL point. decode_canal would quarantine them anyway;
+        # splitting keeps the malformed count meaningful.
+        from airbyte_spark.sources.canal import split_ddl as _canal_split
+
+        if streaming:
+            ddl_lines, _ = _canal_split(
+                spark.read.schema(wire_schema).json(args.wire)
+            )
+            _, wire = _canal_split(wire)
+        else:
+            ddl_lines, wire = _canal_split(wire)
+        n_canal_ddl = ddl_lines.count()
+        if n_canal_ddl:
+            from airbyte_spark.lineage import log_metric
+
+            log_metric("ddl_requires_rediscover", rows=n_canal_ddl)
 
     if n_ddl:
         # DDL happened: the table snapshot now carries the final shape —
@@ -250,6 +277,12 @@ def run(spark, args) -> dict:
         decoded = decode_maxwell(
             wire, payload, json_col="value", partition_col="partition",
             use_position=args.maxwell_use_position,
+        )
+    elif args.connector == "canal":
+        from airbyte_spark.sources.canal import decode_canal
+
+        decoded = decode_canal(
+            wire, payload, json_col="value", partition_col="partition"
         )
     else:
         decoded = decode_debezium(

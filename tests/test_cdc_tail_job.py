@@ -229,6 +229,74 @@ def test_tail_job_maxwell_wire(spark, workdir):
     assert a == b and len(a) > 0
 
 
+def test_tail_job_canal_wire(spark, workdir):
+    """Canal flatMessage dump: string-serialized row images (one envelope
+    per statement — canal batches rows of ONE statement, so single-row
+    ``data`` arrays are the wire-faithful rendering of independent
+    changelog events; multi-row batching is covered in test_canal.py),
+    an in-band DDL envelope split off (not quarantined), one junk line
+    quarantined, and the replay lands on the same winners as direct
+    replay of the typed changelog."""
+    cl = changelog_df(spark, CFG)
+    row = F.create_map(
+        F.lit("doc_id"), F.col("doc_id"),
+        F.lit("tokens"), F.to_json("tokens"),
+        F.lit("n_tok"), F.col("n_tok").cast("string"),
+        F.lit("source"), F.col("source"),
+    )
+    env = F.struct(
+        F.col("lsn").alias("id"),
+        F.lit("app").alias("database"),
+        F.lit("tokenseq").alias("table"),
+        F.lit(False).alias("isDdl"),
+        F.when(F.col("op") == "I", "INSERT")
+        .when(F.col("op") == "U", "UPDATE")
+        .otherwise("DELETE")
+        .alias("type"),
+        F.col("ts_ms").alias("es"),
+        (F.col("ts_ms") + 5).alias("ts"),
+        F.array(row).alias("data"),
+    )
+    wire_path = os.path.join(workdir, "wire")
+    cl.select(
+        F.to_json(env).alias("value"),
+        F.lit(None).cast("string").alias("key"),
+        F.col("source_partition").cast("long").alias("partition"),
+    ).write.mode("overwrite").json(wire_path)
+    with open(os.path.join(wire_path, "extra.json"), "w") as f:
+        ddl = {"id": 1, "database": "app", "table": "tokenseq",
+               "isDdl": True, "type": "ALTER", "es": 1, "ts": 1,
+               "sql": "ALTER TABLE tokenseq ADD COLUMN x INT"}
+        f.write(json.dumps({"value": json.dumps(ddl), "partition": 0}) + "\n")
+        f.write(json.dumps({"value": "{not an envelope", "partition": 0}) + "\n")
+
+    args = _args(workdir, connector="canal", batch_events=150)
+    stats = run(spark, args)
+    assert stats["events"] == CFG.n_events
+    assert stats["quarantined"] == 1  # the junk line; DDL was split off
+
+    job_eng = CdcEngine(
+        spark, args.lake, StreamConfig(num_buckets=8), EngineConfig()
+    )
+    ref = CdcEngine(
+        spark,
+        os.path.join(workdir, "lake_ref"),
+        StreamConfig(num_buckets=8),
+        EngineConfig(batch_events=200),
+    )
+    ref.create_table()
+    ref.replay(cl)
+    a = sorted(
+        (r["doc_id"], r["tokens"], r["n_tok"], r["source"])
+        for r in job_eng.read_final().collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["tokens"], r["n_tok"], r["source"])
+        for r in ref.read_final().collect()
+    )
+    assert a == b and len(a) > 0
+
+
 def test_tail_job_mongo_patch_wire(spark, workdir):
     """Mongo change-stream dump without full-document lookup: the job's
     --connector mongo --update-mode patch path folds updateDescription

@@ -382,3 +382,8 @@ def test_wire_decoders_parse_json_exactly_once(spark):
 
     mxw, _ = split_malformed(decode_maxwell(feed, payload))
     assert n_envelope_parses(mxw) == 1, "maxwell: envelope must parse once"
+
+    from airbyte_spark.sources.canal import decode_canal
+
+    cnl, _ = split_malformed(decode_canal(feed, payload))
+    assert n_envelope_parses(cnl) == 1, "canal: envelope must parse once"
