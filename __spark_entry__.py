@@ -1861,6 +1861,73 @@ def q_cdc_canal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_dms_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AWS DMS envelope decode (sources/dms.py): events rendered as DMS
+    JSON — TYPED ``data`` payloads (no string casts, unlike canal), ISO
+    microsecond ``metadata.timestamp`` as the only position source (LSN =
+    commit_micros << 12), ``load``→I full-load rows, every 5th row a
+    control record exercising the quarantine inside the gate — then
+    flattened by ONE typed from_json + projection behind the project_once
+    barrier. The oracle computes the closed form (including the
+    micros→ms truncation and the <<12 packing) straight off the base
+    table, value-hash-gating the ISO render→parse round trip."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from airbyte_spark.sources.debezium import split_malformed
+    from airbyte_spark.sources.dms import decode_dms
+
+    payload = StructType(
+        [
+            StructField("doc_id", StringType(), True),
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+        ]
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    r = (F.col("event_id") % 5).cast("int")
+    opname = F.element_at(
+        F.array(
+            F.lit("load"), F.lit("insert"), F.lit("update"),
+            F.lit("delete"), F.lit("drop-table"),
+        ),
+        r + 1,
+    )
+    env = F.struct(
+        F.struct(
+            F.format_string("doc%09d", F.col("event_id")).alias("doc_id"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.col("value"),
+        ).alias("data"),
+        F.struct(
+            F.date_format(
+                F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+            ).alias("timestamp"),
+            F.when(r == 4, F.lit("control")).otherwise(F.lit("data")).alias(
+                "record-type"
+            ),
+            opname.alias("operation"),
+            F.lit("schema-table").alias("partition-key-type"),
+            F.lit("app").alias("schema-name"),
+            F.lit("events").alias("table-name"),
+            F.expr("event_id div 5").alias("transaction-id"),
+        ).alias("metadata"),
+    )
+    feed = ev.select(F.to_json(env).alias("value"))
+    good, _bad = split_malformed(decode_dms(feed, payload))
+    return good.select(
+        "op", "lsn", "ts_ms", "txn_id", "doc_id", "user_id", "event_type",
+        "value",
+    )
+
+
 def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-diff changelog classification — the pure-DataFrame core of
     LakeTable.read_changes (lake/table.py:682, the Iceberg changelog-scan /
@@ -2154,6 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_wal2json_decode": q_cdc_wal2json_decode,
         "cdc_maxwell_decode": q_cdc_maxwell_decode,
         "cdc_canal_decode": q_cdc_canal_decode,
+        "cdc_dms_decode": q_cdc_dms_decode,
         "cdc_snapshot_diff": q_cdc_snapshot_diff,
         "cdc_txn_complete": q_cdc_txn_complete,
         "cdc_wal2json_txn_stats": q_cdc_wal2json_txn_stats,
@@ -2434,6 +2502,16 @@ SELECT CASE (e.event_id // 3) % 4
        e.user_id, e.event_type, e.value
 FROM events e JOIN g ON e.event_id // 3 = g.gid
 WHERE (e.event_id // 3) % 4 <> 3
+""",
+        "cdc_dms_decode": """
+SELECT CASE event_id % 5 WHEN 2 THEN 'U' WHEN 3 THEN 'D' ELSE 'I' END AS op,
+       CAST(epoch_us(ts) * 4096 AS BIGINT) AS lsn,
+       CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+       CAST(event_id // 5 AS BIGINT) AS txn_id,
+       printf('doc%09d', event_id) AS doc_id,
+       user_id, event_type, value
+FROM events
+WHERE event_id % 5 <> 4
 """,
         "cdc_snapshot_diff": """
 WITH b AS (

@@ -42,7 +42,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "({value, key?, partition?} per line)")
     p.add_argument("--connector", required=True,
                    choices=["postgres", "mysql", "mongo", "wal2json",
-                            "maxwell", "canal"])
+                            "maxwell", "canal", "dms"])
     p.add_argument("--lsn-align-bits", type=int, default=None,
                    help="LSN packs (commit_lsn << bits | statement_index) "
                         "(wal2json/maxwell/canal: 16): align replay-window "
@@ -140,6 +140,10 @@ def run(spark, args) -> dict:
             StructField("value", StringType(), True),
             StructField("key", StringType(), True),
             StructField("partition", LongType(), True),
+            # optional wire sequence (e.g. Kinesis sequence number / dump
+            # line number) — DMS needs it to break same-microsecond ties;
+            # absent in the dump -> NULL -> seq 0
+            StructField("seq", LongType(), True),
         ]
     )
     streaming = getattr(args, "streaming", False)
@@ -284,6 +288,13 @@ def run(spark, args) -> dict:
         decoded = decode_canal(
             wire, payload, json_col="value", partition_col="partition"
         )
+    elif args.connector == "dms":
+        from airbyte_spark.sources.dms import decode_dms
+
+        decoded = decode_dms(
+            wire, payload, json_col="value", partition_col="partition",
+            seq_col="seq",
+        ).drop("txn_id")
     else:
         decoded = decode_debezium(
             wire, payload, connector=args.connector,

@@ -297,6 +297,74 @@ def test_tail_job_canal_wire(spark, workdir):
     assert a == b and len(a) > 0
 
 
+def test_tail_job_dms_wire(spark, workdir):
+    """AWS DMS dump: typed data payloads with ISO-microsecond commit-time
+    ordering (timestamp derived from the changelog lsn so the total order
+    survives the render->parse round trip), a control record and a junk
+    line quarantined, and the replay lands on the same winners as direct
+    replay of the typed changelog."""
+    cl = changelog_df(spark, CFG)
+    iso = F.date_format(
+        F.timestamp_micros(F.lit(1_700_000_000_000_000) + F.col("lsn")),
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'",
+    )
+    env = F.struct(
+        F.struct("doc_id", "tokens", "n_tok", "source").alias("data"),
+        F.struct(
+            iso.alias("timestamp"),
+            F.lit("data").alias("record-type"),
+            F.when(F.col("op") == "I", "insert")
+            .when(F.col("op") == "U", "update")
+            .otherwise("delete")
+            .alias("operation"),
+            F.lit("schema-table").alias("partition-key-type"),
+            F.lit("app").alias("schema-name"),
+            F.lit("tokenseq").alias("table-name"),
+            F.col("lsn").alias("transaction-id"),
+        ).alias("metadata"),
+    )
+    wire_path = os.path.join(workdir, "wire")
+    cl.select(
+        F.to_json(env).alias("value"),
+        F.lit(None).cast("string").alias("key"),
+        F.col("source_partition").cast("long").alias("partition"),
+    ).write.mode("overwrite").json(wire_path)
+    with open(os.path.join(wire_path, "extra.json"), "w") as f:
+        ctl = {"data": None,
+               "metadata": {"timestamp": "2024-01-01T00:00:00.000000Z",
+                            "record-type": "control",
+                            "operation": "create-table",
+                            "schema-name": "app", "table-name": "tokenseq"}}
+        f.write(json.dumps({"value": json.dumps(ctl), "partition": 0}) + "\n")
+        f.write(json.dumps({"value": "{not an envelope", "partition": 0}) + "\n")
+
+    args = _args(workdir, connector="dms", batch_events=150)
+    stats = run(spark, args)
+    assert stats["events"] == CFG.n_events
+    assert stats["quarantined"] == 2  # control record + junk line
+
+    job_eng = CdcEngine(
+        spark, args.lake, StreamConfig(num_buckets=8), EngineConfig()
+    )
+    ref = CdcEngine(
+        spark,
+        os.path.join(workdir, "lake_ref"),
+        StreamConfig(num_buckets=8),
+        EngineConfig(batch_events=200),
+    )
+    ref.create_table()
+    ref.replay(cl)
+    a = sorted(
+        (r["doc_id"], r["tokens"], r["n_tok"], r["source"])
+        for r in job_eng.read_final().collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["tokens"], r["n_tok"], r["source"])
+        for r in ref.read_final().collect()
+    )
+    assert a == b and len(a) > 0
+
+
 def test_tail_job_mongo_patch_wire(spark, workdir):
     """Mongo change-stream dump without full-document lookup: the job's
     --connector mongo --update-mode patch path folds updateDescription

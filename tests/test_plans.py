@@ -387,3 +387,8 @@ def test_wire_decoders_parse_json_exactly_once(spark):
 
     cnl, _ = split_malformed(decode_canal(feed, payload))
     assert n_envelope_parses(cnl) == 1, "canal: envelope must parse once"
+
+    from airbyte_spark.sources.dms import decode_dms
+
+    dms, _ = split_malformed(decode_dms(feed, payload))
+    assert n_envelope_parses(dms) == 1, "dms: envelope must parse once"
