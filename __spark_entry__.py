@@ -1861,6 +1861,64 @@ def q_cdc_canal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance law (operators/join_view.py),
+    value-gated cross-engine: two CDC-maintained states (parents keyed by
+    k, children 1:N under it, both LWW with deletes) bootstrap a
+    materialized inner-join view at HALF the LSN range, then ONE
+    touched-key delta cycle (join_view_delta: anti-join the touched keys
+    out, recompute them from the full states) applies the second half.
+    The oracle is the plain one-shot JOIN of the two final states — hash
+    equality proves the delta rule, not just the arithmetic. The durable
+    bucket-scoped commit path is pinned in tests/test_join_view.py."""
+    from airbyte_spark.operators.join_view import join_view_delta
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mx = ev.agg(F.max("event_id").alias("_m"))
+    e = ev.crossJoin(F.broadcast(mx))
+    ae = e.filter(F.col("event_id") % 2 == 0).select(
+        (F.expr("event_id div 2") % 800).alias("k"),
+        F.when(F.col("event_id") % 10 == 8, "D").otherwise("U").alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.col("user_id").alias("a_user"),
+        F.col("event_type").alias("a_type"),
+        F.col("_m"),
+    )
+    be = e.filter(F.col("event_id") % 2 == 1).select(
+        (F.expr("event_id div 2") % 2400).alias("b_id"),
+        ((F.expr("event_id div 2") % 2400) % 800).alias("k"),
+        F.when(F.col("event_id") % 11 == 7, "D").otherwise("U").alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.col("user_id").alias("b_user"),
+        F.floor(F.col("value") * 100).cast("long").alias("b_cents"),
+        F.col("_m"),
+    )
+
+    def lww(df, key, payload):
+        w = df.groupBy(key).agg(
+            F.max_by(F.struct(*payload, "op"), F.col("lsn")).alias("_w")
+        )
+        return w.select(
+            key, *[F.col(f"_w.{c}").alias(c) for c in payload]
+        ).filter(F.col("_w.op") != "D")
+
+    half = F.col("lsn") <= F.expr("_m div 2")
+    a_half = lww(ae.filter(half), "k", ["a_user", "a_type"])
+    a_full = lww(ae, "k", ["a_user", "a_type"])
+    b_half = lww(be.filter(half), "b_id", ["k", "b_user", "b_cents"])
+    b_full = lww(be, "b_id", ["k", "b_user", "b_cents"])
+
+    out_cols = ["k", "a_user", "a_type", "b_id", "b_user", "b_cents"]
+    view_half = a_half.join(b_half, "k", "inner").select(*out_cols)
+    touched = (
+        ae.filter(~half).select("k")
+        .unionByName(be.filter(~half).select("k"))
+        .distinct()
+    )
+    delta = join_view_delta(a_full, b_full, touched, on="k").select(*out_cols)
+    return view_half.join(touched, "k", "left_anti").unionByName(delta)
+
+
 def q_cdc_dms_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AWS DMS envelope decode (sources/dms.py): events rendered as DMS
     JSON — TYPED ``data`` payloads (no string casts, unlike canal), ISO
@@ -2222,6 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_maxwell_decode": q_cdc_maxwell_decode,
         "cdc_canal_decode": q_cdc_canal_decode,
         "cdc_dms_decode": q_cdc_dms_decode,
+        "cdc_join_view": q_cdc_join_view,
         "cdc_snapshot_diff": q_cdc_snapshot_diff,
         "cdc_txn_complete": q_cdc_txn_complete,
         "cdc_wal2json_txn_stats": q_cdc_wal2json_txn_stats,
@@ -2502,6 +2561,28 @@ SELECT CASE (e.event_id // 3) % 4
        e.user_id, e.event_type, e.value
 FROM events e JOIN g ON e.event_id // 3 = g.gid
 WHERE (e.event_id // 3) % 4 <> 3
+""",
+        "cdc_join_view": """
+WITH ae AS (
+  SELECT (event_id // 2) % 800 AS k,
+         CASE WHEN event_id % 10 = 8 THEN 'D' ELSE 'U' END AS op,
+         event_id AS lsn, user_id AS a_user, event_type AS a_type
+  FROM events WHERE event_id % 2 = 0),
+a_w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY lsn DESC) AS rn
+        FROM ae),
+a_full AS (SELECT k, a_user, a_type FROM a_w WHERE rn = 1 AND op <> 'D'),
+be AS (
+  SELECT (event_id // 2) % 2400 AS b_id,
+         ((event_id // 2) % 2400) % 800 AS k,
+         CASE WHEN event_id % 11 = 7 THEN 'D' ELSE 'U' END AS op,
+         event_id AS lsn, user_id AS b_user,
+         CAST(FLOOR(value * 100) AS BIGINT) AS b_cents
+  FROM events WHERE event_id % 2 = 1),
+b_w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY lsn DESC) AS rn
+        FROM be),
+b_full AS (SELECT b_id, k, b_user, b_cents FROM b_w WHERE rn = 1 AND op <> 'D')
+SELECT a.k, a.a_user, a.a_type, b.b_id, b.b_user, b.b_cents
+FROM a_full a JOIN b_full b ON a.k = b.k
 """,
         "cdc_dms_decode": """
 SELECT CASE event_id % 5 WHEN 2 THEN 'U' WHEN 3 THEN 'D' ELSE 'I' END AS op,

@@ -24,6 +24,9 @@ BOUNDED_SINGLE_PARTITION = {
     # broadcast max-LSN scalar (1 row, partial-combined max) feeding the
     # two state cutoffs; the diff itself is exchange-reusing full-outer
     "cdc_snapshot_diff",
+    # same broadcast max-LSN scalar gating the half/full state cutoffs;
+    # the view maintenance itself is semi-joins + one equi-join
+    "cdc_join_view",
     # broadcast centroid fold: global agg over the n_clusters centroid rows
     "dedup_semantic",
     # ONE output row per table (multi-distinct expand aggregate)
