@@ -1861,6 +1861,45 @@ def q_cdc_canal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_token_append_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-append update semantics (operators/append_fold.py): updates
+    carry ONLY the appended token suffix; final tokens = the last full
+    image (I) concatenated with every later append in LSN order, dead
+    after an un-followed D, orphan appends dropped. The fold runs through
+    the operator's mergeable-summary path (fold + apply against an empty
+    store) and the oracle recomputes the closed form with an ordered
+    flatten(list(...)) — token-array equality gated via md5(to_json)
+    digests so array rendering differences cannot mask value drift. The
+    cross-batch law is hypothesis-fuzzed in tests/test_append_fold.py."""
+    from airbyte_spark.operators.append_fold import (
+        apply_token_appends,
+        fold_token_appends,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    r6 = F.col("event_id") % 6
+    cl = ev.select(
+        F.format_string("doc%09d", F.col("event_id") % 2000).alias("doc_id"),
+        F.when(r6 == 0, "I").when(r6 == 5, "D").otherwise("U").alias("op"),
+        F.col("event_id").alias("lsn"),
+        (F.col("event_id") % 1000).alias("ts_ms"),
+        F.when(r6 == 5, F.lit(None).cast("array<int>")).otherwise(
+            F.expr(
+                "transform(sequence(1, int(event_id % 4) + 1),"
+                " x -> int((event_id + x) % 1000))"
+            )
+        ).alias("tokens"),
+    )
+    folded = fold_token_appends(cl)
+    empty = spark.createDataFrame([], "doc_id string, tokens array<int>")
+    final = apply_token_appends(empty, folded).filter(~F.col("_orphaned"))
+    return final.select(
+        "doc_id",
+        F.md5(F.to_json("tokens")).alias("tok_digest"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+    )
+
+
 def q_cdc_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental JOIN-view maintenance law (operators/join_view.py),
     value-gated cross-engine: two CDC-maintained states (parents keyed by
@@ -2281,6 +2320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_canal_decode": q_cdc_canal_decode,
         "cdc_dms_decode": q_cdc_dms_decode,
         "cdc_join_view": q_cdc_join_view,
+        "cdc_token_append_fold": q_cdc_token_append_fold,
         "cdc_snapshot_diff": q_cdc_snapshot_diff,
         "cdc_txn_complete": q_cdc_txn_complete,
         "cdc_wal2json_txn_stats": q_cdc_wal2json_txn_stats,
@@ -2561,6 +2601,32 @@ SELECT CASE (e.event_id // 3) % 4
        e.user_id, e.event_type, e.value
 FROM events e JOIN g ON e.event_id // 3 = g.gid
 WHERE (e.event_id // 3) % 4 <> 3
+""",
+        "cdc_token_append_fold": """
+WITH e AS (
+  SELECT event_id % 2000 AS doc_num,
+         CASE WHEN event_id % 6 = 0 THEN 'I'
+              WHEN event_id % 6 = 5 THEN 'D' ELSE 'U' END AS op,
+         event_id AS lsn,
+         list_transform(range(1, (CAST(event_id AS INT) % 4) + 2),
+                        x -> CAST((event_id + x) % 1000 AS INT)) AS toks
+  FROM events),
+li AS (SELECT doc_num, MAX(lsn) AS last_i FROM e WHERE op = 'I'
+       GROUP BY doc_num),
+alive AS (
+  SELECT li.doc_num, li.last_i FROM li
+  WHERE NOT EXISTS (SELECT 1 FROM e
+                    WHERE e.doc_num = li.doc_num AND e.op = 'D'
+                      AND e.lsn > li.last_i)),
+seqs AS (
+  SELECT a.doc_num, flatten(list(e.toks ORDER BY e.lsn)) AS toks
+  FROM alive a JOIN e ON e.doc_num = a.doc_num AND e.lsn >= a.last_i
+                     AND e.op IN ('I', 'U')
+  GROUP BY a.doc_num)
+SELECT printf('doc%09d', doc_num) AS doc_id,
+       md5(CAST(to_json(toks) AS VARCHAR)) AS tok_digest,
+       CAST(len(toks) AS BIGINT) AS n_tok
+FROM seqs
 """,
         "cdc_join_view": """
 WITH ae AS (
