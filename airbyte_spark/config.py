@@ -58,7 +58,11 @@ class StreamConfig:
     # array. Patch batches fold column-wise (operators/patch.py) and are
     # resolved to full rows against the touched buckets before commit, so
     # every stored row stays a complete image and scan/merge paths are
-    # unchanged. Only meaningful with sync_mode=append_dedup.
+    # unchanged. "token_append": U events carry ONLY the appended token
+    # suffix (document-growth streams — operators/append_fold.py); I
+    # restarts the epoch, D tombstones, appends concatenate in LSN order
+    # and resolve against touched buckets before commit. Only meaningful
+    # with sync_mode=append_dedup.
     update_mode: str = "full"
     # Lake layout: final table bucketed by hash(primary_key) % num_buckets so
     # MERGE rewrites only affected buckets and dedup shuffles align.

@@ -977,6 +977,8 @@ class CdcEngine:
             return enriched
         if self.stream.update_mode == "patch":
             return self._patch_winners(enriched, table)
+        if self.stream.update_mode == "token_append":
+            return self._append_winners(enriched, table)
         return lww_dedup(
             enriched,
             key=self.stream.primary_key,
@@ -1025,6 +1027,85 @@ class CdcEngine:
         ).drop("_errs")
         return inject_cdc_metadata(resolved, key=self.stream.primary_key)
 
+    def _append_winners(self, enriched: DataFrame, table: LakeTable) -> DataFrame:
+        """Token-append batch -> full-row winners (update_mode=
+        "token_append": U events carry ONLY the appended token suffix —
+        operators/append_fold.py). Fold to one mergeable summary per key,
+        then resolve against the CURRENT state of only the touched buckets
+        (manifest-pruned scan, same pruning as patch mode). Exact
+        redeliveries (same key+lsn) are dropped before the fold — appends
+        are not idempotent, so at-least-once absorption must happen
+        HERE, not in the downstream LWW. A key whose batch events reach at
+        or below the stored high-water LSN raises: concatenation cannot be
+        replayed out of order (unreachable under LSN-windowed batch
+        replay; reachable in hand-fed streaming epochs)."""
+        from airbyte_spark.operators.append_fold import (
+            fold_token_appends,
+            resolve_appends,
+        )
+
+        pk = self.stream.primary_key
+        snap = table.snapshot()
+        payload_cols = [
+            f.name for f in S.payload_fields(snap.schema) if f.name not in (pk, "op")
+        ]
+        if "tokens" not in payload_cols:
+            raise ValueError(
+                "update_mode='token_append' requires a 'tokens' payload column"
+            )
+        carry = tuple(c for c in payload_cols if c not in ("tokens", "n_tok"))
+        fold_in = (
+            enriched.withColumn(
+                "_errs",
+                F.coalesce(F.col(S.COL_META)["errors"], F.expr("array()")),
+            )
+            .drop(*[c for c in S.ENGINE_COLS if c in enriched.columns])
+            .dropDuplicates([pk, "lsn"])
+        )
+        folded = fold_token_appends(
+            fold_in,
+            key=pk,
+            tokens_col="tokens",
+            order_cols=("lsn", "ts_ms"),
+            carry_cols=carry,
+            last_cols=("ts_ms", "source_partition"),
+            errors_col="_errs",
+        ).persist()
+        self._scratch.append(folded)
+        affected = [
+            r[0]
+            for r in folded.select(table.bucket_expr(pk).alias("b"))
+            .where(F.col("b").isNotNull())
+            .distinct()
+            .collect()
+        ]
+        winners, late = resolve_appends(
+            table, folded, affected, key=pk, carry_cols=carry
+        )
+        n_late = late.count()
+        if n_late:
+            raise ValueError(
+                f"token_append: {n_late} key(s) with events at or below the "
+                "stored high-water LSN — appends cannot replay out of order"
+            )
+        n_tok_type = dict(
+            (f.name, f.dataType.simpleString()) for f in snap.schema.fields
+        ).get("n_tok", "int")
+        winners = winners.select(
+            "op",
+            "lsn",
+            F.col("last_ts_ms").alias("ts_ms"),
+            F.coalesce(F.col("last_source_partition"), F.lit(0)).alias(
+                "source_partition"
+            ),
+            pk,
+            "tokens",
+            F.col("n_tok").cast(n_tok_type).alias("n_tok"),
+            *carry,
+            F.struct(F.col("_errs").alias("errors")).alias(S.COL_META),
+        )
+        return inject_cdc_metadata(winners, key=pk)
+
     def _drop_scratch(self) -> None:
         for df in self._scratch:
             df.unpersist()
@@ -1044,10 +1125,11 @@ class CdcEngine:
             frac is None
             or self.stream.sync_mode != SYNC_APPEND_DEDUP
             or self.cfg.dedup_strategy != "agg"
-            # patch batches resolve against touched buckets before commit
-            # (_patch_winners); the bucket-CoW / MoR paths then apply as-is,
-            # and the single-pass whole-table union-fold does not.
-            or self.stream.update_mode == "patch"
+            # patch/append batches resolve against touched buckets before
+            # commit (_patch_winners/_append_winners); the bucket-CoW / MoR
+            # paths then apply as-is, the single-pass whole-table union-fold
+            # does not.
+            or self.stream.update_mode in ("patch", "token_append")
         ):
             return False
         snap = table.snapshot()
@@ -1452,6 +1534,8 @@ class CdcEngine:
                 winners = enriched
             elif self.stream.update_mode == "patch":
                 winners = self._patch_winners(enriched, table).persist()
+            elif self.stream.update_mode == "token_append":
+                winners = self._append_winners(enriched, table).persist()
             else:
                 winners = lww_dedup(
                     enriched,

@@ -58,65 +58,97 @@ def fold_token_appends(
     key: str = "doc_id",
     tokens_col: str = "tokens",
     order_cols: tuple[str, ...] = ("lsn", "ts_ms"),
+    carry_cols: tuple[str, ...] = (),
+    last_cols: tuple[str, ...] = (),
+    errors_col: str | None = None,
 ) -> DataFrame:
     """Fold a batch's changelog into one mergeable summary row per key.
 
     Output: ``key, prefix_deltas array<int>, prefix_delete bool,
     has_epoch bool, state array<int> (nullable), alive bool, n_orphans
-    long, last_lsn long``. Pure Catalyst: collect + array_sort +
-    ``F.aggregate``; within-batch order is (lsn, ts_ms, op) so the fold
-    is partitioning-independent.
+    long, first_lsn long, last_lsn long`` plus, when requested:
+    ``carry_cols`` (payload columns carried from the epoch's LAST full
+    image — appends never change them, NULL before the first I),
+    ``last_<c>`` for ``last_cols`` (taken from the key's final event —
+    envelope metadata like source_partition), and ``_errs`` (flattened
+    ``errors_col`` arrays across the key's events). Pure Catalyst:
+    collect + array_sort + ``F.aggregate``; within-batch order is
+    (lsn, ts_ms, op) so the fold is partitioning-independent.
     """
+    types = {f.name: f.dataType.simpleString() for f in changelog.schema.fields}
     ord_struct = F.struct(
         *[F.col(c) for c in order_cols], F.col("op"),
         F.col(tokens_col).alias("t"),
+        *[F.col(c).alias(f"c_{c}") for c in carry_cols],
+        *[F.col(c).alias(f"l_{c}") for c in last_cols],
     )
-    g = changelog.groupBy(key).agg(
+    aggs = [
         F.array_sort(F.collect_list(ord_struct)).alias("_evs"),
+        F.min(order_cols[0]).alias("first_lsn"),
         F.max(order_cols[0]).alias("last_lsn"),
-    )
-    # accumulator: (pre, pre_del, has_epoch, state, alive, orphans)
-    zero = (
-        f"named_struct('pre', {EMPTY}, 'pre_del', false, 'has_epoch', false,"
-        f" 'state', {NULL_ARR}, 'alive', false, 'orphans', 0L)"
-    )
+    ]
+    if errors_col is not None:
+        aggs.append(F.flatten(F.collect_list(errors_col)).alias("_errs"))
+    g = changelog.groupBy(key).agg(*aggs)
+
+    def ns(**over) -> str:
+        fields = {
+            "pre": over.get("pre", "acc.pre"),
+            "pre_del": over.get("pre_del", "acc.pre_del"),
+            "has_epoch": over.get("has_epoch", "acc.has_epoch"),
+            "state": over.get("state", "acc.state"),
+            "alive": over.get("alive", "acc.alive"),
+            "orphans": over.get("orphans", "acc.orphans"),
+        }
+        for c in carry_cols:
+            fields[f"c_{c}"] = over.get(f"c_{c}", f"acc.c_{c}")
+        return "named_struct(" + ", ".join(
+            f"'{k}', {v}" for k, v in fields.items()
+        ) + ")"
+
+    zero_over = {
+        "pre": EMPTY, "pre_del": "false", "has_epoch": "false",
+        "state": NULL_ARR, "alive": "false", "orphans": "0L",
+    }
+    for c in carry_cols:
+        zero_over[f"c_{c}"] = f"CAST(NULL AS {types[c]})"
+    zero = ns(**{k: v for k, v in zero_over.items()}).replace("acc.", "")
+    i_over = {"has_epoch": "true", "state": f"coalesce(e.t, {EMPTY})",
+              "alive": "true"}
+    for c in carry_cols:
+        i_over[f"c_{c}"] = f"e.c_{c}"
     step = f"""
     (acc, e) -> CASE
-      WHEN e.op = 'I' THEN named_struct(
-        'pre', acc.pre, 'pre_del', acc.pre_del, 'has_epoch', true,
-        'state', coalesce(e.t, {EMPTY}), 'alive', true, 'orphans', acc.orphans)
-      WHEN e.op = 'D' AND acc.has_epoch THEN named_struct(
-        'pre', acc.pre, 'pre_del', acc.pre_del, 'has_epoch', true,
-        'state', {NULL_ARR}, 'alive', false, 'orphans', acc.orphans)
-      WHEN e.op = 'D' THEN named_struct(
-        'pre', {EMPTY}, 'pre_del', true, 'has_epoch', false,
-        'state', {NULL_ARR}, 'alive', false, 'orphans', acc.orphans)
-      WHEN e.op = 'U' AND acc.has_epoch AND acc.alive THEN named_struct(
-        'pre', acc.pre, 'pre_del', acc.pre_del, 'has_epoch', true,
-        'state', concat(acc.state, coalesce(e.t, {EMPTY})), 'alive', true,
-        'orphans', acc.orphans)
-      WHEN e.op = 'U' AND NOT acc.has_epoch AND NOT acc.pre_del THEN
-        named_struct(
-        'pre', concat(acc.pre, coalesce(e.t, {EMPTY})), 'pre_del', false,
-        'has_epoch', false, 'state', acc.state, 'alive', false,
-        'orphans', acc.orphans)
-      WHEN e.op = 'U' THEN named_struct(
-        'pre', acc.pre, 'pre_del', acc.pre_del, 'has_epoch', acc.has_epoch,
-        'state', acc.state, 'alive', acc.alive, 'orphans', acc.orphans + 1L)
+      WHEN e.op = 'I' THEN {ns(**i_over)}
+      WHEN e.op = 'D' AND acc.has_epoch THEN {ns(state=NULL_ARR, alive="false")}
+      WHEN e.op = 'D' THEN {ns(pre=EMPTY, pre_del="true", state=NULL_ARR,
+                               alive="false")}
+      WHEN e.op = 'U' AND acc.has_epoch AND acc.alive THEN {ns(
+          state=f"concat(acc.state, coalesce(e.t, {EMPTY}))")}
+      WHEN e.op = 'U' AND NOT acc.has_epoch AND NOT acc.pre_del THEN {ns(
+          pre=f"concat(acc.pre, coalesce(e.t, {EMPTY}))")}
+      WHEN e.op = 'U' THEN {ns(orphans="acc.orphans + 1L")}
       ELSE acc
     END
     """
     folded = F.expr(f"aggregate(_evs, {zero}, {step})")
-    return g.select(
-        key,
+    last_ev = F.element_at(F.col("_evs"), -1)
+    out = [
+        F.col(key),
         folded.getField("pre").alias("prefix_deltas"),
         folded.getField("pre_del").alias("prefix_delete"),
         folded.getField("has_epoch").alias("has_epoch"),
         folded.getField("state").alias("state"),
         folded.getField("alive").alias("alive"),
         folded.getField("orphans").alias("n_orphans"),
-        "last_lsn",
-    )
+        F.col("first_lsn"),
+        F.col("last_lsn"),
+    ]
+    out += [folded.getField(f"c_{c}").alias(c) for c in carry_cols]
+    out += [last_ev.getField(f"l_{c}").alias(f"last_{c}") for c in last_cols]
+    if errors_col is not None:
+        out.append(F.col("_errs"))
+    return g.select(*out)
 
 
 def apply_token_appends(
@@ -165,3 +197,90 @@ def apply_token_appends(
         .filter(F.col(tokens_col).isNotNull() | F.col("_orphaned"))
         .withColumn("n_tok", F.size(F.col(tokens_col)))
     )
+
+def resolve_appends(
+    table,
+    folded: DataFrame,
+    affected_buckets: list[int],
+    key: str = "doc_id",
+    tokens_col: str = "tokens",
+    carry_cols: tuple[str, ...] = (),
+) -> tuple[DataFrame, DataFrame]:
+    """Turn per-key batch summaries into FULL winner rows against the
+    table's current state: read ONLY the touched buckets (manifest-pruned,
+    delta-resolved scan), left-join on the key, and apply the append
+    algebra. Returns ``(winners, late)``:
+
+    - winners — rows for the engine's standard merge paths: ``op`` (I when
+      the batch's own epoch produced the row, U when it extended a stored
+      sequence, D for tombstones), ``lsn`` = the key's last batch lsn (so
+      whole-row LWW in the downstream merge supersedes the stored row),
+      ``tokens``/``n_tok`` resolved, ``carry_cols`` from the epoch image
+      (falling back to the stored value when the batch had no epoch).
+      Orphan appends (nothing stored, no epoch) are dropped here — the
+      fold already counted within-batch orphans; cross-batch ones
+      surface via the returned row-count delta.
+    - late — summary rows whose ``first_lsn`` is at or below the stored
+      row's ``_ab_lsn``: appends cannot be replayed out of order
+      (concatenation is not idempotent), so the caller enforces its late
+      policy (strict raise / divert) instead of silently double-appending.
+      Impossible under the engine's LSN-windowed batch replay (windows
+      partition the LSN axis); reachable in streaming epochs.
+
+    Append to a TOMBSTONED doc is suppressed like patch mode (the scan
+    below is live-rows-only, so the stored side is NULL and the append is
+    an orphan) — a tombstone is positive knowledge of deletion, and a
+    suffix cannot reconstruct the row it extends.
+    """
+    import airbyte_spark.schemas as S
+
+    cur = (
+        table.scan(buckets=affected_buckets)
+        .filter(F.col(S.COL_DELETED_AT).isNull())
+        .select(
+            F.col(key).alias("_t_key"),
+            F.col(S.COL_LSN).alias("_t_lsn"),
+            F.col(tokens_col).alias("_t_tokens"),
+            *[F.col(c).alias(f"_t_{c}") for c in carry_cols],
+        )
+    )
+    j = folded.join(cur, folded[key] == cur["_t_key"], "left")
+    is_late = F.col("_t_lsn").isNotNull() & (
+        F.col("first_lsn") <= F.col("_t_lsn")
+    )
+    late = j.filter(is_late).select(key, "first_lsn", "last_lsn",
+                                    F.col("_t_lsn").alias("stored_lsn"))
+    ok = j.filter(~is_late)
+    has = F.col("has_epoch")
+    dead = (has & ~F.col("alive")) | (~has & F.col("prefix_delete"))
+    extended = ~has & ~F.col("prefix_delete") & F.col("_t_tokens").isNotNull()
+    tokens = (
+        F.when(has & F.col("alive"), F.col("state"))
+        .when(extended, F.concat(F.col("_t_tokens"), F.col("prefix_deltas")))
+    )
+    op = (
+        F.when(dead, F.lit(S.OP_DELETE))
+        .when(has, F.lit(S.OP_INSERT))
+        .otherwise(F.lit(S.OP_UPDATE))
+    )
+    out = ok.filter(dead | has | extended).select(
+        op.alias("op"),
+        F.col("last_lsn").alias("lsn"),
+        F.col(key),
+        tokens.alias(tokens_col),
+        F.when(~dead, F.size(tokens)).alias("n_tok"),
+        *[
+            F.when(dead, F.lit(None).cast(dict(folded.dtypes)[c]))
+            .when(has, folded[c])
+            .otherwise(F.col(f"_t_{c}"))
+            .alias(c)
+            for c in carry_cols
+        ],
+        *[
+            folded[c]
+            for c in folded.columns
+            if c.startswith("last_") and c != "last_lsn"
+        ],
+        *([folded["_errs"]] if "_errs" in folded.columns else []),
+    )
+    return out, late
