@@ -90,6 +90,15 @@ _WIDENINGS = {  # keys are DataType.simpleString() pairs (current -> incoming)
     ("float", "double"): True,
     ("int", "double"): True,
 }
+# Array ELEMENT widening (Iceberg list-element type promotion): the same
+# scalar promotions lift pointwise into array columns — tokens
+# array<int> -> array<bigint> is the on-axis case (vocabularies past
+# 2^31). Metadata-only like every widening: stored narrower files upcast
+# in the scan's cast to the current schema, incoming narrower batches
+# upcast at align; element ordering and nullability are untouched.
+_WIDENINGS.update(
+    {(f"array<{a}>", f"array<{b}>"): True for (a, b) in list(_WIDENINGS)}
+)
 
 
 class CdcEngine:

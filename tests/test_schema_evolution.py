@@ -279,3 +279,52 @@ def test_string_column_conflict_raises_without_fallback(spark, workdir):
     ).write.parquet(p)
     with pytest.raises(SchemaEvolutionError):
         eng.replay(p)
+
+
+def test_widen_token_array_elements_mid_replay(spark, workdir):
+    """array<int> -> array<bigint> element promotion (Iceberg list-element
+    widening): the tokens column itself widens mid-replay as a
+    metadata-only commit; pre-evolution rows upcast transparently and
+    post-evolution batches carry 64-bit token ids. Validation is off so
+    the >2^31 token survives to storage (the vocab-range repair would
+    remap it — orthogonal to the widening under test)."""
+    eng = CdcEngine(
+        spark,
+        os.path.join(workdir, "lake"),
+        StreamConfig(num_buckets=4),
+        EngineConfig(batch_events=500, validate_tokens=False),
+    )
+    eng.create_table()
+    eng.bootstrap(seed_df(spark, ChangelogConfig(n_events=0, n_seed_docs=20)))
+    p1 = os.path.join(workdir, "cl1")
+    spark.createDataFrame(
+        [("U", "doc000000001", 1, 1000, 0, [5], 1, "web")], _schema()
+    ).write.parquet(p1)
+    eng.replay(p1)
+    assert dict(eng.read_final().dtypes)["tokens"] == "array<int>"
+
+    wide = StructType(
+        [
+            f if f.name != "tokens"
+            else StructField("tokens", ArrayType(LongType()), True)
+            for f in _schema().fields
+        ]
+    )
+    big = 3_000_000_000  # > 2^31: only representable after the widening
+    p2 = os.path.join(workdir, "cl2")
+    spark.createDataFrame(
+        [("U", "doc000000003", 2, 2000, 0, [big, 7], 2, "web")], wide
+    ).write.parquet(p2)
+    files_before = len(eng.table.snapshot().files)
+    eng.replay(p2)
+
+    fin = eng.read_final()
+    assert dict(fin.dtypes)["tokens"] == "array<bigint>"
+    assert fin.filter(F.col("doc_id") == "doc000000001").first().tokens == [5]
+    assert fin.filter(F.col("doc_id") == "doc000000003").first().tokens == [big, 7]
+    assert eng.table.snapshot().schema_version == 2
+    # the widening commit itself added no data files (metadata-only)
+    evolve = [s for s in eng.table.history()
+              if s.summary.get("operation") == "evolve-schema"]
+    assert len(evolve) == 1
+    assert len(evolve[0].files) == files_before
