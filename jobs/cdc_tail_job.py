@@ -75,7 +75,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mongo-id-field", default="_id",
                    help="mongo document id field in the payload schema; "
                         "renamed to --pk for the engine when they differ")
-    p.add_argument("--update-mode", default="full", choices=["full", "patch"],
+    p.add_argument("--update-mode", default="full", choices=["full", "patch", "token_append"],
                    help="patch: mongo updateDescription-only updates fold "
                         "column-wise (StreamConfig.update_mode)")
     p.add_argument("--quarantine", default=None,

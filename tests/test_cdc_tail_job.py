@@ -667,3 +667,59 @@ def test_tail_job_txn_markers_gate(spark, workdir):
     a = sorted(map(tuple, job_eng.read_final().drop("_ab_meta").collect()))
     b = sorted(map(tuple, ref.read_final().drop("_ab_meta").collect()))
     assert a == b and len(a) > 0
+
+
+def test_tail_job_token_append_mode(spark, workdir):
+    """--update-mode token_append over a Maxwell-shaped doc-growth wire:
+    I rows carry the full image, U rows carry only the appended token
+    suffix; the job lands on the reference fold of the same events."""
+    rows = []
+    lsn = 1
+    for d in range(12):
+        doc = f"doc{d:03d}"
+        rows.append(("insert", doc, lsn, [d, d + 1], "web")); lsn += 1
+        for j in range(d % 3 + 1):
+            rows.append(("update", doc, lsn, [50 + j], None)); lsn += 1
+        if d % 5 == 4:
+            rows.append(("delete", doc, lsn, None, None)); lsn += 1
+    wire_path = os.path.join(workdir, "wire")
+    os.makedirs(wire_path, exist_ok=True)
+    with open(os.path.join(wire_path, "w.json"), "w") as f:
+        for typ, doc, lsn_, toks, src in rows:
+            data = {"doc_id": doc}
+            if toks is not None:
+                data["tokens"] = toks
+                data["n_tok"] = len(toks)
+            if src is not None:
+                data["source"] = src
+            env = {"database": "app", "table": "tokenseq", "type": typ,
+                   "ts": 100 + lsn_, "xid": lsn_, "commit": True,
+                   "data": data}
+            f.write(json.dumps({"value": json.dumps(env), "partition": 0})
+                    + "\n")
+
+    args = _args(workdir, connector="maxwell", batch_events=10,
+                 update_mode="token_append")
+    stats = run(spark, args)
+    assert stats["events"] == len(rows)
+
+    # reference fold
+    state = {}
+    for typ, doc, _, toks, src in rows:
+        if typ == "insert":
+            state[doc] = {"tokens": list(toks), "source": src}
+        elif typ == "delete":
+            state[doc] = None
+        elif state.get(doc) is not None:
+            state[doc]["tokens"] += toks
+    ref = {k: (tuple(v["tokens"]), v["source"])
+           for k, v in state.items() if v is not None}
+
+    job_eng = CdcEngine(
+        spark, args.lake,
+        StreamConfig(num_buckets=8, update_mode="token_append"),
+        EngineConfig(),
+    )
+    got = {r["doc_id"]: (tuple(r["tokens"]), r["source"])
+           for r in job_eng.read_final().collect()}
+    assert got == ref and len(got) > 0
