@@ -144,3 +144,44 @@ def test_append_to_tombstoned_doc_suppressed(spark, workdir):
         [("U", "a", 3, 1002, 0, [2], None, None)], SCHEMA
     ))
     assert _final(eng2) == {}
+
+
+def test_append_streaming_epochs_match_batch(spark, workdir):
+    """Structured Streaming drain (availableNow, multiple epochs) of an
+    append-mode changelog lands on the same final table as batch replay —
+    epoch boundaries are just another batching, and the mergeable-summary
+    algebra makes batching invisible."""
+    from airbyte_spark.streaming import stream_replay
+
+    rows = _events()
+    # land the changelog as sequential files (ascending mtime) the way a
+    # real tail dump arrives — FileStreamSource orders epochs by file
+    # modification time, and append-mode epochs MUST be in order (a
+    # parallel unordered write correctly raises the late-event guard)
+    import time as _time
+
+    clpath = os.path.join(workdir, "cl")
+    n = len(rows)
+    for i in range(4):
+        part = rows[i * n // 4:(i + 1) * n // 4]
+        spark.createDataFrame(part, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(clpath)
+        _time.sleep(1.1)
+
+    eng = CdcEngine(
+        spark,
+        os.path.join(workdir, "stream"),
+        StreamConfig(num_buckets=8, update_mode="token_append"),
+        EngineConfig(batch_events=10_000, validate_tokens=False),
+    )
+    eng.create_table()
+    ckpt = os.path.join(workdir, "ss_ckpt")
+    stats = stream_replay(eng, clpath, ckpt, max_files_per_trigger=1)
+    assert stats["epochs"] >= 2
+    assert _final(eng) == _reference(rows)
+
+    # redelivered drain: no new files -> nothing applied
+    before = eng.table.current_version()
+    stream_replay(eng, clpath, ckpt)
+    assert eng.table.current_version() == before
