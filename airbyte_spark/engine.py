@@ -1368,6 +1368,87 @@ class CdcEngine:
         stats["generation"] = new_gen
         return stats
 
+    def migrate_vocab(self, mapping, unk_id: int, size: int | None = None) -> dict:
+        """Tokenizer-swap migration (vocab v1 -> v2): rebuild the table in
+        generation k+1 with every stored token id rewritten through the
+        mapping, then atomically swap the generation pointer — the same
+        no-serving-gap discipline as :meth:`resync_staged`, but a PURE
+        PROJECTION of current state (no source replay): the checkpoint
+        carries over verbatim, so v2-id events resume exactly where v1
+        left off. The remap is an Arrow-vectorized broadcast lookup
+        (functions/remap.py — one np.take inside the scan-project stage,
+        zero shuffle, zero per-row Python); unmapped ids rewrite to
+        ``unk_id`` and are counted, never dropped. Tombstones (NULL
+        tokens) pass through, so out-of-order suppression keeps working
+        across the migration. The ``_raw`` delivery log intentionally
+        stays in v1 ids (it is the audit trail of what was delivered).
+        A crash mid-rebuild leaves the pointer on k — readers unaffected,
+        and a re-run rebuilds the staged generation from scratch."""
+        import json as _json
+
+        import numpy as np
+
+        from airbyte_spark.functions.remap import make_token_remapper, mapping_table
+
+        lut = mapping if isinstance(mapping, np.ndarray) else mapping_table(mapping, size)
+        new_gen = self.generation() + 1
+        staged = CdcEngine(
+            self.spark, self.root, self.stream, self.cfg,
+            _pinned_generation=new_gen,
+        )
+        if not LakeTable.exists(staged.table_root):
+            staged.create_table(self.table.snapshot().schema)
+        cur = self.table.scan()
+        remap = make_token_remapper(lut, unk_id)
+        with_r = cur.withColumn("_r", remap(F.col("tokens"))).persist()
+        try:
+            totals = with_r.agg(
+                F.count("*").alias("rows"),
+                F.sum("_r.n_remapped").alias("ids_remapped"),
+                F.sum("_r.n_unk").alias("ids_unk"),
+            ).first()
+            cols = staged.table.snapshot().schema.fieldNames()
+            projected = with_r.withColumn("tokens", F.col("_r.tokens")).drop("_r")
+            version = staged.table.write_and_commit(
+                projected.select(*cols),
+                replace_buckets=range(staged.table.snapshot().spec["num_buckets"]),
+                summary={
+                    "operation": "vocab-migration",
+                    "ids_remapped": int(totals["ids_remapped"] or 0),
+                    "ids_unk": int(totals["ids_unk"] or 0),
+                },
+                write_partitions=self.cfg.write_partitions,
+                drop_deltas=True,
+            )
+        finally:
+            with_r.unpersist()
+        ckpt = load_checkpoint(self.checkpoint_path)
+        if ckpt is not None:
+            ckpt.table_schema_version = staged.table.snapshot(version).schema_version
+            save_checkpoint(staged.checkpoint_path, ckpt)
+        ptr = os.path.join(self.root, "generation.json")
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump({"generation": new_gen}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, ptr)
+        self._table = None
+        log_metric(
+            "vocab_migrated",
+            generation=new_gen,
+            rows=int(totals["rows"]),
+            ids_remapped=int(totals["ids_remapped"] or 0),
+            ids_unk=int(totals["ids_unk"] or 0),
+        )
+        return {
+            "generation": new_gen,
+            "rows": int(totals["rows"]),
+            "ids_remapped": int(totals["ids_remapped"] or 0),
+            "ids_unk": int(totals["ids_unk"] or 0),
+            "snapshot": version,
+        }
+
     def drop_old_generations(self) -> list[int]:
         """Delete superseded generations' tables + checkpoints (run after
         downstream readers have moved past time-traveling into them)."""
