@@ -1861,6 +1861,31 @@ def q_cdc_canal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokens_vocab_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-migration remap (functions/remap.py): synthetic token
+    arrays rewritten through a dense lookup table inside the Arrow UDF
+    (ids <500 map to (7id)%1000, the rest are unmapped -> unk 1000), with
+    per-row remapped/unk counts. The oracle recomputes the closed form
+    with list_transform, so the whole Arrow buffer path — offsets reuse,
+    flat-buffer np.take, reduceat row counts — is value-hash-gated
+    (token arrays via md5(to_json) digests)."""
+    from airbyte_spark.functions.remap import make_token_remapper, mapping_table
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    toks = F.expr(
+        "transform(sequence(1, int(event_id % 5) + 1),"
+        " x -> int((event_id * 3 + x * 11) % 1000))"
+    )
+    lut = mapping_table([(i, (i * 7) % 1000) for i in range(500)], size=1000)
+    r = make_token_remapper(lut, unk_id=1000)(toks)
+    return ev.withColumn("_r", r).select(
+        F.format_string("doc%09d", F.col("event_id")).alias("doc_id"),
+        F.md5(F.to_json(F.col("_r.tokens"))).alias("tok_digest"),
+        F.col("_r.n_remapped").cast("long").alias("n_remapped"),
+        F.col("_r.n_unk").cast("long").alias("n_unk"),
+    )
+
+
 def q_cdc_token_append_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-append update semantics (operators/append_fold.py): updates
     carry ONLY the appended token suffix; final tokens = the last full
@@ -2321,6 +2346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dms_decode": q_cdc_dms_decode,
         "cdc_join_view": q_cdc_join_view,
         "cdc_token_append_fold": q_cdc_token_append_fold,
+        "tokens_vocab_remap": q_tokens_vocab_remap,
         "cdc_snapshot_diff": q_cdc_snapshot_diff,
         "cdc_txn_complete": q_cdc_txn_complete,
         "cdc_wal2json_txn_stats": q_cdc_wal2json_txn_stats,
@@ -2601,6 +2627,22 @@ SELECT CASE (e.event_id // 3) % 4
        e.user_id, e.event_type, e.value
 FROM events e JOIN g ON e.event_id // 3 = g.gid
 WHERE (e.event_id // 3) % 4 <> 3
+""",
+        "tokens_vocab_remap": """
+WITH e AS (
+  SELECT event_id,
+         list_transform(range(1, (CAST(event_id AS INT) % 5) + 2),
+                        x -> CAST((event_id * 3 + x * 11) % 1000 AS INT))
+           AS toks
+  FROM events)
+SELECT printf('doc%09d', event_id) AS doc_id,
+       md5(CAST(to_json(list_transform(toks,
+           x -> CAST(CASE WHEN x < 500 THEN (x * 7) % 1000
+                          ELSE 1000 END AS INT))) AS VARCHAR)) AS tok_digest,
+       CAST(len(list_filter(toks,
+           x -> x < 500 AND (x * 7) % 1000 <> x)) AS BIGINT) AS n_remapped,
+       CAST(len(list_filter(toks, x -> x >= 500)) AS BIGINT) AS n_unk
+FROM e
 """,
         "cdc_token_append_fold": """
 WITH e AS (
