@@ -147,9 +147,19 @@ class DemuxEngine:
         per_stream = {n: 0 for n in known}
         unrouted_total = 0
         n_windows = 0
+        # window bounds via the engine's dense/sparse-aware splitter: a
+        # sparse LSN encoding (Postgres byte offsets, canal/wal2json
+        # commit<<bits packings) would turn the arithmetic lo+batch_events
+        # loop into millions of empty windows — the same fix the
+        # single-engine replay carries (CdcEngine._lsn_windows: event-count
+        # quantile boundaries past cfg.max_arithmetic_windows). Any
+        # ascending bounds ending at target are correct; resume recomputes
+        # over remaining events only.
+        bounds, _ = next(iter(self.engines.values()))._lsn_windows(
+            source, last, target, batch_events
+        )
         lo = last
-        while lo < target:
-            hi = min(lo + batch_events, target)
+        for hi in bounds:
             window = source.filter(
                 (F.col("lsn") > lo) & (F.col("lsn") <= hi)
             ).persist()

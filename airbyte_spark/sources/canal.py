@@ -125,9 +125,10 @@ def decode_canal(
     element at this row's index). ``include_metadata=True`` appends
     ``_ab_cdc_updated_at`` / ``_ab_cdc_deleted_at``
     (DebeziumEventUtils.java:168-188 parity). ``include_table=True``
-    appends ``_ab_source_table`` (``database.table``) for single-topic
-    multi-table demux routing (DemuxEngine contract, same as the Debezium
-    decoder's ``include_table``).
+    appends ``_ab_stream`` (the bare source table name — the Debezium
+    decoder's include_table contract, which DemuxEngine routes on; a
+    canal instance routes MANY tables to one topic by default, so this is
+    the normal canal deployment shape).
 
     An envelope with more than ``2**seq_bits`` rows cannot be totally
     ordered inside the packed LSN; its overflow rows decode to ``op IS
@@ -197,11 +198,7 @@ def decode_canal(
             F.when(op == "D", updated).alias("_ab_cdc_deleted_at"),
         ]
     if include_table:
-        cols.append(
-            F.concat_ws(
-                ".", F.col("_env.database"), F.col("_env.table")
-            ).alias("_ab_source_table")
-        )
+        cols.append(F.col("_env.table").alias("_ab_stream"))
     return d.select(*cols)
 
 

@@ -111,8 +111,9 @@ def decode_dms(
 
     ``include_metadata=True`` appends ``_ab_cdc_updated_at`` /
     ``_ab_cdc_deleted_at`` (DebeziumEventUtils.java:168-188 parity).
-    ``include_table=True`` appends ``_ab_source_table``
-    (``schema-name.table-name``) for multi-table demux routing.
+    ``include_table=True`` appends ``_ab_stream``
+    (the bare ``table-name`` — the Debezium decoder's include_table
+    contract, which DemuxEngine routes on).
 
     Commit-time packing budget: epoch micros need 51 bits for current
     dates (2^51 us = year 2041), so the default ``seq_bits=12`` (4096
@@ -171,11 +172,8 @@ def decode_dms(
     ]
     if include_table:
         fields.append(
-            F.concat_ws(
-                ".",
-                F.col("_env").getField("metadata").getField("schema-name"),
-                F.col("_env").getField("metadata").getField("table-name"),
-            ).alias("_tbl")
+            F.col("_env").getField("metadata").getField("table-name")
+            .alias("_tbl")
         )
     carrier = F.struct(*fields)
 
@@ -199,7 +197,7 @@ def decode_dms(
                 F.when(o == "D", updated).alias("_ab_cdc_deleted_at"),
             ]
         if include_table:
-            cols.append(once.getField("_tbl").alias("_ab_source_table"))
+            cols.append(once.getField("_tbl").alias("_ab_stream"))
         return cols
 
     from airbyte_spark.plans.transforms import project_once

@@ -55,8 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --wire: payload schema as DDL (union of all "
                         "tables' columns; absent fields decode null)")
     p.add_argument("--connector", default="postgres",
-                   choices=["postgres", "mysql"],
-                   help="with --wire: Debezium position semantics")
+                   choices=["postgres", "mysql", "canal"],
+                   help="with --wire: Debezium position semantics, or "
+                        "canal flatMessage (a canal instance routes MANY "
+                        "tables to one topic by default — database.table "
+                        "becomes the routing column)")
     p.add_argument("--txn-markers", default=None,
                    help="with --wire: transaction-metadata topic JSONL; "
                         "gate on per-data_collection completeness so a "
@@ -117,6 +120,11 @@ def run(spark, args) -> dict:
 
     from airbyte_spark.sources.debezium import decode_debezium, split_malformed
 
+    if args.connector == "canal" and args.txn_markers is not None:
+        raise SystemExit(
+            "--txn-markers is Debezium transaction metadata; canal "
+            "envelopes carry no marker topic"
+        )
     wire_schema = StructType(
         [
             StructField("value", StringType(), True),
@@ -125,15 +133,26 @@ def run(spark, args) -> dict:
         ]
     )
     wire = spark.read.schema(wire_schema).json(args.wire)
-    decoded = decode_debezium(
-        wire,
-        StructType.fromDDL(args.payload_ddl),
-        connector=args.connector,
-        json_col="value",
-        partition_col="partition",
-        include_table=True,
-        include_txn=args.txn_markers is not None,
-    )
+    if args.connector == "canal":
+        from airbyte_spark.sources.canal import decode_canal
+
+        decoded = decode_canal(
+            wire,
+            StructType.fromDDL(args.payload_ddl),
+            json_col="value",
+            partition_col="partition",
+            include_table=True,
+        )
+    else:
+        decoded = decode_debezium(
+            wire,
+            StructType.fromDDL(args.payload_ddl),
+            connector=args.connector,
+            json_col="value",
+            partition_col="partition",
+            include_table=True,
+            include_txn=args.txn_markers is not None,
+        )
     n_txn_pending = 0
     if args.txn_markers is not None:
         from airbyte_spark.sources.debezium import (

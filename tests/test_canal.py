@@ -184,8 +184,8 @@ def test_include_table_and_metadata(spark):
         x.asDict() for x in _decode(
             spark, rows, include_table=True, include_metadata=True
         ).collect())}
-    assert out["a"]["_ab_source_table"] == "app.t1"
-    assert out["b"]["_ab_source_table"] == "app.t2"
+    assert out["a"]["_ab_stream"] == "t1"
+    assert out["b"]["_ab_stream"] == "t2"
     assert out["a"]["_ab_cdc_deleted_at"] is not None
     assert out["b"]["_ab_cdc_deleted_at"] is None
 

@@ -257,3 +257,64 @@ def test_demux_job_wire_txn_gate(spark, workdir):
     n_last = sum(c for _n, c in by_txn[t_max])
     assert stats["txn_pending"] == n_last
     assert stats["events"] == CFG.n_events - n_last
+
+
+def test_demux_job_canal_wire_mode(spark, workdir):
+    """--wire --connector canal: one canal topic carrying two tables'
+    changes (the DEFAULT canal deployment: one instance, many tables, one
+    topic) decodes once, routes by the envelope's table, and lands every
+    table on its golden."""
+    from pyspark.sql import functions as F
+
+    dx = _mk(spark, workdir)
+    _bootstrap(spark, dx)
+    cl = _routed(changelog_df(spark, CFG))
+    row = F.create_map(
+        F.lit("doc_id"), F.col("doc_id"),
+        F.lit("tokens"), F.to_json("tokens"),
+        F.lit("n_tok"), F.col("n_tok").cast("string"),
+        F.lit("source"), F.col("source"),
+    )
+    env = F.struct(
+        F.col("lsn").alias("id"),
+        F.lit("app").alias("database"),
+        F.col("_ab_stream").alias("table"),
+        F.lit(False).alias("isDdl"),
+        F.when(F.col("op") == "I", "INSERT")
+        .when(F.col("op") == "U", "UPDATE")
+        .otherwise("DELETE")
+        .alias("type"),
+        F.col("ts_ms").alias("es"),
+        (F.col("ts_ms") + 5).alias("ts"),
+        F.array(row).alias("data"),
+    )
+    cl.select(
+        F.to_json(env).alias("value"),
+        F.lit(None).cast("string").alias("key"),
+        F.col("source_partition").cast("long").alias("partition"),
+    ).write.mode("overwrite").json(os.path.join(workdir, "wire"))
+
+    args = _args(
+        workdir,
+        changelog=None,
+        wire=os.path.join(workdir, "wire"),
+        connector="canal",
+        payload_ddl="doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    stats = run(spark, args)
+    assert stats["events"] == CFG.n_events and stats["quarantined"] == 0
+    for name, exp in _goldens(spark).items():
+        eng = DemuxEngine(
+            spark,
+            os.path.join(workdir, "demux"),
+            [parse_stream("t0:4"), parse_stream("t1:4")],
+        ).engine(name)
+        got = final_as_pandas(eng.read_final())
+        # canal LSNs are id<<16 remaps of the original; winners' payloads
+        # match the golden (which carries original lsns) on payload cols
+        import pandas as pd
+
+        keep = [c for c in exp.columns if not c.startswith("_ab")]
+        a = got[keep].sort_values("doc_id").reset_index(drop=True)
+        b = exp[keep].sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)

@@ -120,7 +120,7 @@ def test_delete_key_only_image_and_routing(spark):
             spark, rows, include_table=True, include_metadata=True
         ).collect())}
     assert out["a"]["op"] == "D" and out["a"]["name"] is None
-    assert out["a"]["_ab_source_table"] == "app.t1"
+    assert out["a"]["_ab_stream"] == "t1"
     assert out["a"]["_ab_cdc_deleted_at"] is not None
-    assert out["b"]["_ab_source_table"] == "app.t2"
+    assert out["b"]["_ab_stream"] == "t2"
     assert out["b"]["_ab_cdc_deleted_at"] is None
