@@ -131,7 +131,19 @@ class DemuxEngine:
         shared = load_checkpoint(self.state_path) or Checkpoint()
         last = shared.max_committed_lsn
         mn, target = source.agg(F.min("lsn"), F.max("lsn")).first()
-        if last > 0 and mn is not None and mn > last + 1:
+        # Offset-loss detection must be encoding-aware: packed LSNs
+        # (canal id<<16, wal2json commit<<16) are SPARSE, so the oldest
+        # retained event after normal retention sits at (commit+1)<<bits —
+        # far above last+1 with nothing lost. With lsn_align_bits set the
+        # comparison runs on commit components; dense encodings keep the
+        # strict last+1 rule.
+        bits = next(iter(self.engines.values())).cfg.lsn_align_bits or 0
+        lost = (
+            last > 0
+            and mn is not None
+            and ((mn >> bits) > (last >> bits) + 1 if bits else mn > last + 1)
+        )
+        if lost:
             log_metric("demux_offset_lost", last_committed_lsn=last, min_lsn=mn)
             raise OffsetLossError(
                 f"shared offset {last} predates oldest retained event {mn}"

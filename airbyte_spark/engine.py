@@ -1396,8 +1396,32 @@ class CdcEngine:
             self.spark, self.root, self.stream, self.cfg,
             _pinned_generation=new_gen,
         )
+        # a v2 id domain past 2^31 (or an unk past it) needs array<bigint>
+        # tokens: the staged generation is created WIDENED (the same
+        # promotion _WIDENINGS allows mid-replay), so the remap can never
+        # silently wrap in int32
+        wide = bool(lut.size and int(lut.max()) > (1 << 31) - 1) or unk_id > (
+            1 << 31
+        ) - 1
+        from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+        schema = self.table.snapshot().schema
+        if wide:
+            schema = StructType(
+                [
+                    StructField("tokens", ArrayType(LongType()), f.nullable)
+                    if f.name == "tokens"
+                    else f
+                    for f in schema.fields
+                ]
+            )
         if not LakeTable.exists(staged.table_root):
-            staged.create_table(self.table.snapshot().schema)
+            staged.create_table(schema)
+        tok_t = next(
+            f.dataType.simpleString()
+            for f in staged.table.snapshot().schema.fields
+            if f.name == "tokens"
+        )
         cur = self.table.scan()
         remap = make_token_remapper(lut, unk_id)
         with_r = cur.withColumn("_r", remap(F.col("tokens"))).persist()
@@ -1408,7 +1432,9 @@ class CdcEngine:
                 F.sum("_r.n_unk").alias("ids_unk"),
             ).first()
             cols = staged.table.snapshot().schema.fieldNames()
-            projected = with_r.withColumn("tokens", F.col("_r.tokens")).drop("_r")
+            projected = with_r.withColumn(
+                "tokens", F.col("_r.tokens").cast(tok_t)
+            ).drop("_r")
             version = staged.table.write_and_commit(
                 projected.select(*cols),
                 replace_buckets=range(staged.table.snapshot().spec["num_buckets"]),

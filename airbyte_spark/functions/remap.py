@@ -25,7 +25,9 @@ import pyarrow as pa
 from pyspark.sql import Column
 from pyspark.sql.functions import arrow_udf
 
-_RESULT_TYPE = "struct<tokens: array<int>, n_remapped: int, n_unk: int>"
+_RESULT_32 = "struct<tokens: array<int>, n_remapped: int, n_unk: int>"
+_RESULT_64 = "struct<tokens: array<bigint>, n_remapped: int, n_unk: int>"
+_I32_MAX = (1 << 31) - 1
 
 #: sentinel for "old id has no v2 equivalent" inside the dense table
 NO_MAPPING = -1
@@ -58,8 +60,15 @@ def make_token_remapper(table: np.ndarray, unk_id: int):
     """
     lut = np.ascontiguousarray(table, dtype=np.int64)
     size = lut.shape[0]
+    # output element width follows the TARGET id domain: a v2 vocabulary
+    # past 2^31 (or an unk sentinel past it) must come back as
+    # array<bigint>, never silently wrap in int32 (the array-element
+    # widening exists for exactly this case)
+    wide = bool(size and lut.max() > _I32_MAX) or unk_id > _I32_MAX
+    out_np = np.int64 if wide else np.int32
+    out_pa = pa.int64() if wide else pa.int32()
 
-    @arrow_udf(_RESULT_TYPE)
+    @arrow_udf(_RESULT_64 if wide else _RESULT_32)
     def remap(tokens: pa.Array) -> pa.Array:
         if isinstance(tokens, pa.ChunkedArray):
             tokens = tokens.combine_chunks()
@@ -70,10 +79,14 @@ def make_token_remapper(table: np.ndarray, unk_id: int):
         flat = np.asarray(tokens.values)[off0:offsets[-1]].astype(np.int64)
 
         in_range = (flat >= 0) & (flat < size)
-        mapped = np.where(in_range, lut[np.clip(flat, 0, max(size - 1, 0))],
-                          NO_MAPPING)
+        if size:
+            mapped = np.where(
+                in_range, lut[np.clip(flat, 0, size - 1)], NO_MAPPING
+            )
+        else:  # empty mapping: everything is unmapped -> unk, never IndexError
+            mapped = np.full(flat.shape, NO_MAPPING, dtype=np.int64)
         unk = mapped == NO_MAPPING
-        out_flat = np.where(unk, np.int64(unk_id), mapped).astype(np.int32)
+        out_flat = np.where(unk, np.int64(unk_id), mapped).astype(out_np)
 
         changed = (out_flat != flat) & ~unk
         # per-row counts via reduceat over the flat buffer
@@ -89,7 +102,7 @@ def make_token_remapper(table: np.ndarray, unk_id: int):
 
         out_tokens = pa.ListArray.from_arrays(
             pa.array(offsets - off0, type=pa.int32()),
-            pa.array(out_flat, type=pa.int32()),
+            pa.array(out_flat, type=out_pa),
             mask=pa.array(null_mask),
         )
         return pa.StructArray.from_arrays(

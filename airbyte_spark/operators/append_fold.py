@@ -49,8 +49,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-EMPTY = "CAST(array() AS ARRAY<INT>)"
-NULL_ARR = "CAST(NULL AS ARRAY<INT>)"
+def _empty(tok_type: str) -> str:
+    return f"CAST(array() AS {tok_type})"
+
+
+def _null_arr(tok_type: str) -> str:
+    return f"CAST(NULL AS {tok_type})"
 
 
 def fold_token_appends(
@@ -76,6 +80,8 @@ def fold_token_appends(
     (lsn, ts_ms, op) so the fold is partitioning-independent.
     """
     types = {f.name: f.dataType.simpleString() for f in changelog.schema.fields}
+    tok_t = types[tokens_col]
+    EMPTY, NULL_ARR = _empty(tok_t), _null_arr(tok_t)
     ord_struct = F.struct(
         *[F.col(c) for c in order_cols], F.col("op"),
         F.col(tokens_col).alias("t"),

@@ -62,7 +62,7 @@ def join_view_delta(
     return a.join(b, on=on, how=how)
 
 
-def _touched_keys(changes: DataFrame, key_col: str, on: str) -> DataFrame:
+def _touched_keys(changes: DataFrame, on: str) -> DataFrame:
     """Distinct join-key values a changelog touches. ``read_changes``
     emits before-images for deletes and (with ``update_images=True``)
     both images for updates, so a row whose JOIN KEY moved contributes
@@ -144,6 +144,15 @@ class JoinView:
         # cannot collide on metadata names
         a_cols = [c for c in cols if c != on and c in a_state.columns]
         b_cols = [c for c in cols if c != on and c in b_state.columns]
+        both = sorted(set(a_cols) & set(b_cols))
+        if both:
+            # membership cannot decide ownership — engine tables commonly
+            # share payload column names (e.g. 'source'); force an explicit
+            # projection/rename instead of joining into AMBIGUOUS_REFERENCE
+            raise ValueError(
+                f"view column(s) {both} exist in BOTH side states — project/"
+                "rename one side first (maintain(..., a_select=/b_select=))"
+            )
         missing = [c for c in cols if c != on and c not in a_cols + b_cols]
         if missing:
             raise ValueError(f"view columns on neither side: {missing}")
@@ -180,16 +189,27 @@ class JoinView:
         a: LakeTable,
         b: LakeTable,
         deleted_col: str = "_ab_cdc_deleted_at",
+        a_select=None,
+        b_select=None,
     ) -> int | None:
         """Advance the view to both sides' current versions in one
         idempotent commit, resuming from the durable watermark in the
-        view's own commit summaries (bootstrap: from version 1, i.e. the
-        sides' full initial states diff in as inserts)."""
+        view's own commit summaries.
+
+        Bootstrap (no watermark yet) recomputes EVERY key of both sides'
+        current states — never a version-1 diff, which would break when
+        snapshot retention has expired the sides' early history. A cycle
+        whose changelogs touch no keys (compaction/metadata-only commits
+        on the sides) still advances the watermark with a metadata-only
+        commit, so the consumed version range never re-grows.
+
+        ``a_select``/``b_select``: optional callables (DataFrame ->
+        DataFrame) projecting/renaming each side's state before the join —
+        required when the two sides share payload column names (apply()
+        refuses ambiguous membership).
+        """
         wm = self.watermark()
-        a_from, b_from = wm if wm is not None else (1, 1)
         a_to, b_to = a.current_version(), b.current_version()
-        if a_to <= a_from and b_to <= b_from:
-            return None
         on = self.table.snapshot().spec["bucket_by"]
 
         def _live(df: DataFrame) -> DataFrame:
@@ -199,47 +219,72 @@ class JoinView:
                 return df.filter(F.col(deleted_col).isNull())
             return df
 
-        parts = []
-        if a_to > a_from:
-            parts.append(
-                _touched_keys(
-                    a.read_changes(a_from, a_to, deleted_col=deleted_col,
-                                   update_images=True),
-                    key_col=on, on=on,
-                )
+        a_state = _live(a.scan(version=a_to))
+        b_state = _live(b.scan(version=b_to))
+        if a_select is not None:
+            a_state = a_select(a_state)
+        if b_select is not None:
+            b_state = b_select(b_state)
+
+        if wm is None:
+            # bootstrap: full recompute — touched = every current key
+            a_from = b_from = 0
+            touched = (
+                a_state.select(on).unionByName(b_state.select(on)).distinct()
             )
-        if b_to > b_from:
-            parts.append(
-                _touched_keys(
-                    b.read_changes(b_from, b_to, deleted_col=deleted_col,
-                                   update_images=True),
-                    key_col=on, on=on,
+        else:
+            a_from, b_from = wm
+            if a_to <= a_from and b_to <= b_from:
+                return None
+            parts = []
+            if a_to > a_from:
+                parts.append(
+                    _touched_keys(
+                        a.read_changes(a_from, a_to, deleted_col=deleted_col,
+                                       update_images=True),
+                        on=on,
+                    )
                 )
-            )
-        touched = parts[0]
-        for p in parts[1:]:
-            touched = touched.unionByName(p)
+            if b_to > b_from:
+                parts.append(
+                    _touched_keys(
+                        b.read_changes(b_from, b_to, deleted_col=deleted_col,
+                                       update_images=True),
+                        on=on,
+                    )
+                )
+            touched = parts[0]
+            for p in parts[1:]:
+                touched = touched.unionByName(p)
         bid = f"join-view-{a_from}-{a_to}-{b_from}-{b_to}"
-        return self.apply(
-            _live(a.scan(version=a_to)),
-            _live(b.scan(version=b_to)),
-            touched,
-            batch_id=bid,
-            summary_extra={
-                "a_from": a_from, "a_to": a_to,
-                "b_from": b_from, "b_to": b_to,
-            },
+        wm_summary = {
+            "a_from": a_from, "a_to": a_to,
+            "b_from": b_from, "b_to": b_to,
+        }
+        v = self.apply(
+            a_state, b_state, touched, batch_id=bid, summary_extra=wm_summary
         )
+        if v is None and self.table.find_batch(bid) is None:
+            # zero touched keys but the sides' versions advanced: persist
+            # the watermark anyway (metadata-only) or every later cycle
+            # re-diffs this ever-growing range
+            return self.table.commit_metadata_only(
+                summary=dict(
+                    wm_summary, operation=self.OP, batch_id=bid
+                )
+            )
+        return v
 
     def watermark(self) -> tuple[int, int] | None:
         """(a_version, b_version) consumed through, from the latest
         join-view-merge commit summary."""
         for snap in reversed(self.table.history()):
-            if snap.summary.get("operation") == self.OP:
-                return (
-                    int(snap.summary["a_to"]),
-                    int(snap.summary["b_to"]),
-                )
+            if snap.summary.get("operation") != self.OP:
+                continue
+            a_to, b_to = snap.summary.get("a_to"), snap.summary.get("b_to")
+            if a_to is None or b_to is None:
+                continue  # manual apply() commit without a watermark
+            return (int(a_to), int(b_to))
         return None
 
     def read(self) -> DataFrame:

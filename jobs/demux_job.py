@@ -58,8 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["postgres", "mysql", "canal"],
                    help="with --wire: Debezium position semantics, or "
                         "canal flatMessage (a canal instance routes MANY "
-                        "tables to one topic by default — database.table "
-                        "becomes the routing column)")
+                        "tables to one topic by default). Routing uses the "
+                        "BARE table name (_ab_stream contract) for every "
+                        "connector — same-named tables from different "
+                        "databases need separate demux roots")
     p.add_argument("--txn-markers", default=None,
                    help="with --wire: transaction-metadata topic JSONL; "
                         "gate on per-data_collection completeness so a "
@@ -90,7 +92,13 @@ def run(spark, args) -> dict:
         args.root,
         [parse_stream(s) for s in args.streams],
         stream_col=args.stream_col,
-        cfg=EngineConfig(batch_events=args.batch_events),
+        cfg=EngineConfig(
+            batch_events=args.batch_events,
+            # canal packs lsn = batch_id<<16|row_index: align windows to
+            # envelope boundaries and make the shared-offset loss check
+            # compare commit components (sparse-LSN safe)
+            lsn_align_bits=16 if args.connector == "canal" and args.wire else None,
+        ),
         on_unrouted=args.on_unrouted,
     )
     for eng in demux.engines.values():

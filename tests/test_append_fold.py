@@ -143,3 +143,16 @@ def test_batching_law(spark, ops, data):
     )
     got = _final_rows(_run_batched(spark, events, splits))
     assert got == _reference(events)
+
+
+def test_fold_follows_widened_token_type(spark):
+    """A changelog whose tokens column was widened to array<bigint> must
+    fold without the ARRAY<INT> accumulator mismatch (the widening +
+    token_append combination)."""
+    rows = [("a", 1, 0, "I", [3_000_000_000]), ("a", 2, 0, "U", [1])]
+    df = spark.createDataFrame(
+        rows, "doc_id string, lsn long, ts_ms long, op string, tokens array<bigint>"
+    )
+    s = fold_token_appends(df)
+    got = s.collect()[0]
+    assert got["state"] == [3_000_000_000, 1] and got["alive"]

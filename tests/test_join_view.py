@@ -157,7 +157,7 @@ def test_idempotent_reapply_and_watermark(spark, workdir):
     # re-apply the same range explicitly: batch id dedupes, no new commit
     before = v.table.current_version()
     keys = spark.createDataFrame([("k1",)], "k string")
-    bid = f"join-view-1-{wm[0]}-1-{wm[1]}"
+    bid = f"join-view-0-{wm[0]}-0-{wm[1]}"  # bootstrap cycle's id
     assert v.apply(a.scan(), b.scan(), keys, batch_id=bid) is None
     assert v.table.current_version() == before
 
@@ -190,4 +190,62 @@ def test_untouched_buckets_not_rewritten(spark, workdir):
     assert added and {f.bucket for f in added} == {k7_bucket}
     kept = [f for f in snap.files if f.path in prev_paths]
     assert kept, "untouched buckets' files must survive the commit"
+    assert _rows(v.read()) == _rows(_oneshot(spark, a, b))
+
+
+def test_watermark_advances_on_zero_churn_versions(spark, workdir):
+    """Side versions that advance without touching any key (metadata-only
+    commits) still move the watermark — a metadata-only view commit — so
+    later cycles never re-diff an ever-growing range."""
+    a = _mk_side(spark, os.path.join(workdir, "a"), A_SCHEMA, "k", [
+        ("k1", "p1", 10)])
+    b = _mk_side(spark, os.path.join(workdir, "b"), B_SCHEMA, "b_id", [
+        ("c1", "k1", 1)])
+    v = _mk_view(spark, os.path.join(workdir, "v"))
+    v.maintain(a, b)
+    wm1 = v.watermark()
+    # metadata-only commit on side A: version advances, no key changes
+    a.commit_metadata_only(summary={"operation": "tag"})
+    v.maintain(a, b)
+    wm2 = v.watermark()
+    assert wm2 == (a.current_version(), b.current_version()) and wm2 != wm1
+    # rows unchanged
+    assert _rows(v.read()) == _rows(_oneshot(spark, a, b))
+
+
+def test_ambiguous_side_column_raises_and_select_hook_resolves(spark, workdir):
+    """A view column present in both side states must raise (membership
+    cannot decide ownership); the maintain-time projection hook resolves
+    it."""
+    import pytest as _pytest
+    from pyspark.sql.types import StructType as _ST
+
+    # B side ALSO carries an 'a_name' column
+    b_schema = StructType(list(B_SCHEMA.fields) + [
+        StructField("a_name", StringType(), True)])
+    a = _mk_side(spark, os.path.join(workdir, "a"), A_SCHEMA, "k", [
+        ("k1", "p1", 10)])
+    b = _mk_side(spark, os.path.join(workdir, "b"), b_schema, "b_id", [
+        ("c1", "k1", 1, "shadow")])
+    v = _mk_view(spark, os.path.join(workdir, "v"))
+    with _pytest.raises(ValueError, match="BOTH side states"):
+        v.maintain(a, b)
+    got = v.maintain(a, b, b_select=lambda df: df.drop("a_name"))
+    assert got is not None
+    assert _rows(v.read()) == [("k1", "p1", 10, "c1", 1)]
+
+
+def test_bootstrap_full_recompute_not_v1_diff(spark, workdir):
+    """Bootstrap must recompute every key from the CURRENT states, not
+    diff against snapshot v1 (which retention may have expired)."""
+    a = _mk_side(spark, os.path.join(workdir, "a"), A_SCHEMA, "k", [
+        ("k1", "p1", 10), ("k2", "p2", 20)])
+    b = _mk_side(spark, os.path.join(workdir, "b"), B_SCHEMA, "b_id", [
+        ("c1", "k1", 1), ("c2", "k2", 2)])
+    # advance histories, then expire everything before the current version
+    _set_side(spark, a, A_SCHEMA, [("k1", "p1", 10), ("k2", "p2x", 21)])
+    if hasattr(a, "expire_snapshots"):
+        a.expire_snapshots(keep_last=1)
+    v = _mk_view(spark, os.path.join(workdir, "v"))
+    assert v.maintain(a, b) is not None
     assert _rows(v.read()) == _rows(_oneshot(spark, a, b))

@@ -107,3 +107,43 @@ def test_migration_counts_exclude_tombstones(spark, workdir):
     # the only live ids were deleted; nothing to remap, nothing unk
     assert stats["ids_remapped"] == 0 and stats["ids_unk"] == 0
     assert eng.read_final().count() == 0
+
+
+def test_remap_wide_ids_and_empty_mapping(spark):
+    """v2 ids past 2^31 come back as array<bigint> (never int32 wrap);
+    an empty mapping maps everything to unk instead of crashing."""
+    big = 3_000_000_000
+    lut = mapping_table([(0, big), (1, 1)], size=2)
+    df = spark.createDataFrame([("a", [0, 1, 5])], "doc_id string, tokens array<int>")
+    r = make_token_remapper(lut, unk_id=7)
+    out = df.select(r(F.col("tokens")).alias("r")).select("r.*")
+    assert dict(out.dtypes)["tokens"] == "array<bigint>"
+    row = out.collect()[0]
+    assert row["tokens"] == [big, 1, 7]
+    assert row["n_remapped"] == 1 and row["n_unk"] == 1
+
+    empty = make_token_remapper(mapping_table([]), unk_id=9)
+    row = df.select(empty(F.col("tokens")).alias("r")).select("r.*").collect()[0]
+    assert row["tokens"] == [9, 9, 9] and row["n_unk"] == 3
+
+
+def test_migration_widens_table_for_wide_mapping(spark, workdir):
+    """A mapping into a >2^31 id domain widens the staged generation's
+    tokens column to array<bigint> — the same promotion replay-side
+    widening allows — instead of wrapping."""
+    eng = CdcEngine(
+        spark,
+        os.path.join(workdir, "lake"),
+        StreamConfig(num_buckets=4),
+        EngineConfig(batch_events=100, validate_tokens=False),
+    )
+    eng.create_table()
+    eng.replay(spark.createDataFrame(
+        [("I", "a", 1, 1000, 0, [0, 1], 2, "s")], SCHEMA
+    ))
+    big = 3_000_000_000
+    stats = eng.migrate_vocab([(0, big), (1, 1)], unk_id=9, size=2)
+    assert stats["ids_remapped"] == 1
+    assert dict(eng.read_final().dtypes)["tokens"] == "array<bigint>"
+    fin = {r["doc_id"]: r["tokens"] for r in eng.read_final().collect()}
+    assert fin == {"a": [big, 1]}
