@@ -447,6 +447,22 @@ def q_tokens_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_stats(winners, capacity=2048, shard_cols=["source_partition"])
 
 
+def q_tokens_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-context attention-span map (operators/packing.py
+    pack_spans): for every deduped document its (bin, pos_in_bin,
+    start_off, n_tok) within the packed 2048-token training context — the
+    block-diagonal attention / loss-mask boundary metadata trainers
+    consume alongside the packed token stream. Same one-exchange plan as
+    tokens_pack (the per-bin row_number reuses the shard hash
+    partitioning); oracle = the same running-sum SQL with a per-bin
+    ROW_NUMBER."""
+    from airbyte_spark.operators.packing import pack_spans
+
+    ch = _changelog(spark, sf_dir).drop("tokens")
+    winners = lww_dedup(ch, key="doc_id").filter(F.col("op") != "D")
+    return pack_spans(winners, capacity=2048, shard_cols=["source_partition"])
+
+
 def q_tokens_pack_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental training-shard packing, gated against the ONE-SHOT
     oracle: the LWW winners are split into three order-contiguous ingest
@@ -2301,6 +2317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_classifier": q_docs_quality_classifier,
         "docs_quality_percentiles": q_docs_quality_percentiles,
         "tokens_pack": q_tokens_pack,
+        "tokens_pack_spans": q_tokens_pack_spans,
         "tokens_pack_incremental": q_tokens_pack_incremental,
         "docs_hash_split": q_docs_hash_split,
         "docs_chunk_windows": q_docs_chunk_windows,
@@ -3166,6 +3183,26 @@ c AS (SELECT source_partition, doc_id, n_tok,
 SELECT source_partition, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
        CAST((cum - n_tok) // 2048 AS BIGINT) AS bin
 FROM c
+""",
+        "tokens_pack_spans": _WINNERS
+        + """
+, w AS (SELECT source_partition, doc_id, n_tok FROM ranked
+        WHERE rn = 1 AND op != 'D'),
+c AS (SELECT source_partition, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source_partition ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM w),
+b AS (SELECT source_partition, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+             cum - n_tok AS before_,
+             CAST((cum - n_tok) // 2048 AS BIGINT) AS bin
+      FROM c)
+SELECT source_partition, bin,
+       CAST(ROW_NUMBER() OVER (PARTITION BY source_partition, bin
+                               ORDER BY doc_id) - 1 AS BIGINT) AS pos_in_bin,
+       doc_id,
+       CAST(before_ - bin * 2048 AS BIGINT) AS start_off,
+       n_tok
+FROM b
 """,
         "tokens_pack": _WINNERS
         + """

@@ -62,6 +62,55 @@ def pack_sequences(
     )
 
 
+def pack_spans(
+    df: DataFrame,
+    capacity: int,
+    shard_cols: list[str],
+    order_col: str = "doc_id",
+    size_col: str = "n_tok",
+) -> DataFrame:
+    """Per-document SPAN map of the packed contexts — the attention-reset /
+    loss-mask boundary metadata a pretraining packer ships with each
+    context (block-diagonal attention over packed documents: the model
+    must not attend across document boundaries inside one packed
+    sequence, so the trainer needs each doc's (start offset, length)
+    within its bin). One row per document: shard cols + (bin, pos_in_bin,
+    order_col, start_off, n_tok); a straddling document's span may extend
+    past ``capacity`` (the greedy no-lookahead contract — the trainer
+    truncates or wraps it, both derivable from this map).
+
+    Plan shape: ONE exchange — the running-sum window partitions by the
+    shard, and the per-bin row_number's (shard, bin) clustering is
+    satisfied by the same hash partitioning (subset rule), so only an
+    extra shard-local sort is added. No SinglePartition at any scale.
+    """
+    w = (
+        Window.partitionBy(*shard_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(size_col).over(w)
+    before = (cum - F.col(size_col)).cast("long")
+    base = df.select(
+        *shard_cols,
+        order_col,
+        F.col(size_col).cast("long").alias(size_col),
+        before.alias("_before"),
+        F.floor(before / F.lit(capacity)).cast("long").alias("bin"),
+    )
+    w2 = Window.partitionBy(*shard_cols, "bin").orderBy(order_col)
+    return base.select(
+        *shard_cols,
+        "bin",
+        (F.row_number().over(w2) - 1).cast("long").alias("pos_in_bin"),
+        order_col,
+        (F.col("_before") - F.col("bin") * F.lit(capacity))
+        .cast("long")
+        .alias("start_off"),
+        size_col,
+    )
+
+
 def pack_stats(
     df: DataFrame,
     capacity: int,

@@ -90,3 +90,41 @@ def test_chunk_documents_covers_and_reconstructs(spark):
         for c in chunks:
             seg = text[c.chunk_start:c.chunk_start + 4]
             assert c.chunk_md5 == hashlib.md5(seg.encode()).hexdigest()
+
+
+def test_pack_spans_contiguous_and_plan(spark):
+    """Span map invariants: within a bin spans tile contiguously
+    (start[i+1] == start[i] + len[i]); the shard's first span starts at 0;
+    bin assignment matches pack_sequences; and the plan keeps ONE exchange
+    (the per-bin row_number reuses the shard hash partitioning)."""
+    from airbyte_spark.operators.packing import pack_sequences, pack_spans
+
+    rows = [(s, f"d{s}{i:03d}", 700 + (i * 97) % 900)
+            for s in range(3) for i in range(40)]
+    df = spark.createDataFrame(rows, "shard int, doc_id string, n_tok int")
+    spans = pack_spans(df, capacity=2048, shard_cols=["shard"])
+    got = sorted(
+        (r["shard"], r["bin"], r["pos_in_bin"], r["doc_id"],
+         r["start_off"], r["n_tok"])
+        for r in spans.collect()
+    )
+    by_bin: dict = {}
+    for s, b, p, d, off, n in got:
+        by_bin.setdefault((s, b), []).append((p, off, n))
+    for (s, b), lst in by_bin.items():
+        lst.sort()
+        if b == 0:
+            assert lst[0][1] == 0  # shard stream starts at offset 0
+        for (p1, off1, n1), (p2, off2, n2) in zip(lst, lst[1:]):
+            assert p2 == p1 + 1 and off2 == off1 + n1
+    # bin assignment identical to pack_sequences
+    seq = {(r["shard"], r["doc_id"]): r["bin"]
+           for r in pack_sequences(df, 2048, ["shard"]).collect()}
+    assert all(seq[(s, d)] == b for s, b, _, d, _, _ in got)
+    # plan: ONE shuffle total (AQE prints the exchange in both the final
+    # and initial plan sections — count the final section only), and the
+    # per-bin row_number reuses it (no second hashpartitioning appears)
+    plan = spans._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final
+    assert "SinglePartition" not in plan
