@@ -31,6 +31,14 @@ Scale shape: per maintenance cycle the work is f(churn), never f(table) —
 1:N joins are supported (a parent key's rows multiply by its children);
 the view's row identity is the pair of side row keys, but replacement is
 by join key, so no per-row diffing is needed.
+
+Downstream-consumer caveat: the view table is bucketed by the JOIN KEY
+and holds 1:N rows under it, while snapshot-diff consumers
+(``LakeTable.read_changes`` and rollup maintenance over it) require a
+PK-UNIQUE table. Chaining view -> incremental rollup is therefore sound
+exactly when the join is 1:1 per key (tests pin that composition); for
+1:N views, aggregate per key inside the view query or rebuild the
+downstream aggregate from the view's full state per cycle.
 """
 
 from __future__ import annotations

@@ -249,3 +249,67 @@ def test_bootstrap_full_recompute_not_v1_diff(spark, workdir):
     v = _mk_view(spark, os.path.join(workdir, "v"))
     assert v.maintain(a, b) is not None
     assert _rows(v.read()) == _rows(_oneshot(spark, a, b))
+
+
+def test_join_view_feeds_incremental_rollup(spark, workdir):
+    """The two halves of incremental view maintenance COMPOSE: the join
+    view is itself a LakeTable, so the changelog-driven rollup maintains
+    an aggregate over it incrementally — two CDC sides -> incremental
+    join -> incremental SUM, every stage f(churn), end result equal to
+    the direct GROUP BY over the one-shot join. Sound because the join
+    here is 1:1 per key — read_changes requires PK-unique tables (caveat
+    documented in operators/join_view.py)."""
+    from pyspark.sql.types import StructField as _SF, StringType as _Str
+
+    from airbyte_spark.operators.rollup import (
+        create_rollup_table,
+        last_maintained_version,
+        maintain_rollup,
+    )
+
+    a = _mk_side(spark, os.path.join(workdir, "a"), A_SCHEMA, "k", [
+        ("k1", "g1", 10), ("k2", "g2", 20), ("k3", "g1", 30),
+    ])
+    b = _mk_side(spark, os.path.join(workdir, "b"), B_SCHEMA, "b_id", [
+        ("c1", "k1", 1), ("c3", "k2", 3),
+    ])
+    v = _mk_view(spark, os.path.join(workdir, "v"))
+    v.maintain(a, b)
+
+    roll = create_rollup_table(
+        spark, os.path.join(workdir, "roll"),
+        [_SF("a_name", _Str(), True)], {"sum_b": "b_val"},
+    )
+    maintain_rollup(roll, v.table, from_version=1,
+                    group_cols=["a_name"], metrics={"sum_b": "b_val"})
+
+    def expected():
+        return sorted(
+            (r["a_name"], r["n_rows"], r["sum_b"])
+            for r in _oneshot(spark, a, b)
+            .groupBy("a_name")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("b_val").cast("long").alias("sum_b"))
+            .collect()
+        )
+
+    def got():
+        return sorted(
+            (r["a_name"], r["n_rows"], r["sum_b"])
+            for r in roll.scan().select("a_name", "n_rows", "sum_b").collect()
+        )
+
+    assert got() == expected()
+
+    # churn both sides; advance view then rollup from their watermarks
+    _set_side(spark, a, A_SCHEMA, [
+        ("k1", "g1", 10), ("k2", "g1", 21), ("k3", "g1", 30),
+    ])
+    _set_side(spark, b, B_SCHEMA, [
+        ("c1", "k1", 5), ("c3", "k2", 3), ("c4", "k3", 7),
+    ])
+    v.maintain(a, b)
+    maintain_rollup(roll, v.table,
+                    from_version=last_maintained_version(roll),
+                    group_cols=["a_name"], metrics={"sum_b": "b_val"})
+    assert got() == expected()
