@@ -1390,6 +1390,35 @@ def q_docs_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deterministic markdown dressing for docs_markdown_strip — exercises every
+#: strip rule (heading, bold, fence, bullet, quote, link) on every doc
+_MD_PRE = "\n\n- **lead** item\n\n```\nx = 1\n```\n\n> quoted\n\nSee [ref](http://example.com/"
+_MD_POST = ").\n\n"
+
+
+def q_docs_markdown_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown → plain text (functions/markdown.py): the projection between
+    the unstructured-document front door (sources/unstructured.py, reference
+    unstructured_parser.py record shape) and the prose-consuming curation
+    operators. Each doc is dressed in deterministic markdown covering every
+    strip rule, then stripped. Pure regexp_replace chain — whole-stage
+    codegen, narrow plan, zero shuffles; oracle is the SAME rule chain
+    rendered for DuckDB (functions/markdown.py strip_markdown_sql)."""
+    from airbyte_spark.functions.markdown import strip_markdown
+
+    d = _docs(spark, sf_dir)
+    md = F.concat(
+        F.lit("# Doc "), F.col("doc_id"), F.lit(_MD_PRE), F.col("doc_id"),
+        F.lit(_MD_POST), F.col("text"),
+    )
+    out = strip_markdown(md)
+    return d.select(
+        "doc_id",
+        F.md5(out).alias("strip_md5"),
+        F.length(out).cast("long").alias("strip_len"),
+    )
+
+
 def q_docs_embed_lanes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic embedder (operators/embedder.py, vector_db_based
     embedder.py parity): the integer md5 lanes each document's unit vector
@@ -2352,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_demux_streams": q_cdc_demux_streams,
         "docs_url_dedup": q_docs_url_dedup,
         "docs_unicode_clean": q_docs_unicode_clean,
+        "docs_markdown_strip": q_docs_markdown_strip,
         "docs_embed_lanes": q_docs_embed_lanes,
         "cdc_patch_fold": q_cdc_patch_fold,
         "tokens_heavy_hitters": q_tokens_heavy_hitters,
@@ -2472,6 +2502,23 @@ def _unicode_clean_oracle() -> str:
 SELECT doc_id,
        md5({clean_sql(dirty)}) AS clean_md5,
        CAST(length({clean_sql(dirty)}) AS BIGINT) AS clean_len
+FROM documents
+"""
+
+
+def _markdown_strip_oracle() -> str:
+    from airbyte_spark.functions.markdown import strip_markdown_sql
+
+    def _lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    # real newlines embed legally in a regular SQL literal
+    md = f"('# Doc ' || doc_id || {_lit(_MD_PRE)} || doc_id || {_lit(_MD_POST)} || text)"
+    stripped = strip_markdown_sql(md)
+    return f"""
+SELECT doc_id,
+       md5({stripped}) AS strip_md5,
+       CAST(length({stripped}) AS BIGINT) AS strip_len
 FROM documents
 """
 
@@ -3575,5 +3622,6 @@ GROUP BY 1
 """,
         "docs_url_dedup": _url_dedup_oracle(),
         "docs_unicode_clean": _unicode_clean_oracle(),
+        "docs_markdown_strip": _markdown_strip_oracle(),
         "docs_embed_lanes": _embed_lanes_oracle(),
     }

@@ -33,7 +33,12 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input", required=True, help="documents parquet (doc_id, text, ...)")
+    p.add_argument("--input", required=True, help="documents parquet (doc_id, text, ...) "
+                   "or, with --input-format docs-dir, a directory of raw document files")
+    p.add_argument("--input-format", choices=("parquet", "docs-dir"), default="parquet",
+                   help="docs-dir: parse md/html/txt (pdf/docx where a codec exists) "
+                        "via sources/unstructured.py; parse-error files are counted "
+                        "and dropped, doc_id = file uri, text = markdown content")
     p.add_argument("--output", required=True, help="curated output directory")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
@@ -59,8 +64,19 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="corpus-curate")
     ic, tc = args.id_col, args.text_col
-    docs = spark.read.parquet(args.input)
-    report: dict = {"input_docs": docs.count()}
+    report: dict = {}
+    if args.input_format == "docs-dir":
+        from airbyte_spark.functions.markdown import strip_markdown
+        from airbyte_spark.sources.unstructured import documents_as_corpus, read_documents
+
+        parsed = read_documents(spark, args.input).persist()
+        n_err = parsed.filter(F.col("_ab_source_file_parse_error").isNotNull()).count()
+        report["parse_errors"] = n_err
+        ic, tc = "doc_id", "text"
+        docs = documents_as_corpus(parsed).withColumn(tc, strip_markdown(F.col(tc)))
+    else:
+        docs = spark.read.parquet(args.input)
+    report["input_docs"] = docs.count()
 
     def _stage(df):
         """Persist each stage boundary: every reported counter and the next
