@@ -76,10 +76,61 @@ def test_merges_match_reference(spark, docs):
     assert len(merges) > 3  # the corpus genuinely trains several merges
 
 
+def test_distributed_path_matches_reference(spark, docs):
+    # driver_max_words=0 forces the batched distributed loop
+    merges, seg = train_bpe(docs, n_merges=12, driver_max_words=0)
+    ref_merges, ref_words = _ref_bpe([t for _, t in CORPUS], 12)
+    assert merges == ref_merges
+    got = {r["word"]: tuple(r["syms"]) for r in seg.collect()}
+    assert got == ref_words
+
+
+def test_both_paths_match_on_fuzz_corpora(spark):
+    # adversarial small alphabets maximize merge interaction — the case
+    # where naive batching diverges from the sequential order
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        texts = [
+            " ".join(
+                "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(3, 12))
+            )
+            for _ in range(8)
+        ]
+        d = spark.createDataFrame(
+            [(f"d{i}", t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        ref_merges, _ = _ref_bpe(texts, 10, min_pair_count=1)
+        m_drv, _ = train_bpe(d, n_merges=10, min_pair_count=1)
+        m_dist, _ = train_bpe(d, n_merges=10, min_pair_count=1, driver_max_words=0)
+        assert m_drv == ref_merges, f"driver path diverged (trial {trial})"
+        assert m_dist == ref_merges, f"distributed path diverged (trial {trial})"
+
+
 def test_merges_partitioning_invariant(spark, docs):
     m1, _ = train_bpe(docs.repartition(1), n_merges=8)
     m7, _ = train_bpe(docs.repartition(7), n_merges=8)
     assert m1 == m7
+    d1, _ = train_bpe(docs.repartition(1), n_merges=8, driver_max_words=0)
+    d7, _ = train_bpe(docs.repartition(7), n_merges=8, driver_max_words=0)
+    assert d1 == d7 == m1
+
+
+def test_driver_path_job_count_sublinear(spark, docs):
+    # the r4 scale fix: n_merges must NOT cost O(n_merges) Spark jobs.
+    # 200 merges on the driver path = corpus aggregate + bounded collect —
+    # a handful of jobs total, independent of n_merges.
+    sc = spark.sparkContext
+    sc.setJobGroup("bpe-budget", "job-count gate")
+    try:
+        merges, _ = train_bpe(docs, n_merges=200, min_pair_count=1)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("bpe-budget")
+    assert len(merges) > 20  # min_pair_count=1 trains deep into the corpus
+    assert len(jobs) <= 10, f"{len(jobs)} Spark jobs for {len(merges)} merges"
 
 
 def test_greedy_overlap_semantics(spark):
