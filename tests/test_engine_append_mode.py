@@ -185,3 +185,62 @@ def test_append_streaming_epochs_match_batch(spark, workdir):
     before = eng.table.current_version()
     stream_replay(eng, clpath, ckpt)
     assert eng.table.current_version() == before
+
+
+def test_orphan_appends_counted_not_silent(spark, workdir, capfd):
+    """Module policy 'counted and dropped, never silently applied':
+    within-batch orphans (append after delete) and cross-batch orphans
+    (append to a never-created key) both surface via the
+    append_orphans_dropped metric."""
+    import json
+
+    rows = [
+        ("I", "a", 1, 1001, 0, [1], 1, "s"),
+        ("I", "b", 2, 1002, 0, [5], 1, "s"),
+        ("D", "b", 3, 1003, 0, None, None, None),
+        ("U", "b", 4, 1004, 0, [6], None, None),   # within-batch orphan
+        ("U", "zz", 5, 1005, 0, [9], None, None),  # cross-batch orphan
+        ("U", "a", 6, 1006, 0, [2], None, None),
+    ]
+    capfd.readouterr()
+    eng = _replay(spark, os.path.join(workdir, "orph"), rows, 10_000)
+    err = capfd.readouterr().err
+    lines = [l for l in err.splitlines() if "append_orphans_dropped" in l]
+    assert lines, err[-2000:]
+    m = json.loads(lines[-1])
+    assert m["within_batch"] == 1 and m["cross_batch"] == 1
+    fin = _final(eng)
+    assert fin["a"] == ((1, 2), 2, "s")
+    assert "b" not in fin and "zz" not in fin
+
+
+def test_same_lsn_distinct_payloads_surfaced(spark, workdir, capfd):
+    """Two DIFFERENT payloads sharing (key, lsn) — the tie-blind LSN
+    packing hazard (decode_dms without seq_col) — emit an
+    append_lsn_conflicts_dropped metric instead of silently losing one;
+    exact redeliveries (same payload) stay metric-free."""
+    import json
+
+    rows = [
+        ("I", "a", 1, 1001, 0, [1], 1, "s"),
+        ("U", "a", 2, 1002, 0, [2], None, None),
+        ("U", "a", 2, 1002, 0, [3], None, None),  # distinct payload, same lsn
+    ]
+    capfd.readouterr()
+    _replay(spark, os.path.join(workdir, "conf"), rows, 10_000)
+    err = capfd.readouterr().err
+    lines = [l for l in err.splitlines() if "append_lsn_conflicts_dropped" in l]
+    assert lines, err[-2000:]
+    assert json.loads(lines[-1])["n"] == 1
+
+    # exact redelivery: no conflict metric
+    rows2 = [
+        ("I", "a", 1, 1001, 0, [1], 1, "s"),
+        ("U", "a", 2, 1002, 0, [2], None, None),
+        ("U", "a", 2, 1002, 0, [2], None, None),
+    ]
+    capfd.readouterr()
+    eng = _replay(spark, os.path.join(workdir, "redeliv"), rows2, 10_000)
+    err = capfd.readouterr().err
+    assert "append_lsn_conflicts_dropped" not in err
+    assert _final(eng)["a"] == ((1, 2), 2, "s")

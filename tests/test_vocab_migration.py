@@ -147,3 +147,36 @@ def test_migration_widens_table_for_wide_mapping(spark, workdir):
     assert dict(eng.read_final().dtypes)["tokens"] == "array<bigint>"
     fin = {r["doc_id"]: r["tokens"] for r in eng.read_final().collect()}
     assert fin == {"a": [big, 1]}
+
+
+def test_migration_widens_leftover_staged_generation(spark, workdir):
+    """A leftover staged generation with a narrow (array<int>) tokens
+    schema — a crashed resync_staged or prior narrow-mapping run — must
+    not make a wide migration overflow at the cast: the required type
+    wins and schema evolution widens the stale staged table."""
+    root = os.path.join(workdir, "lake")
+    eng = CdcEngine(
+        spark,
+        root,
+        StreamConfig(num_buckets=4),
+        EngineConfig(batch_events=100, validate_tokens=False),
+    )
+    eng.create_table()
+    eng.replay(spark.createDataFrame(
+        [("I", "a", 1, 1000, 0, [0, 1], 2, "s")], SCHEMA
+    ))
+    # simulate the leftover: generation 1 pre-exists with int tokens
+    leftover = CdcEngine(
+        spark,
+        root,
+        StreamConfig(num_buckets=4),
+        EngineConfig(batch_events=100, validate_tokens=False),
+        _pinned_generation=1,
+    )
+    leftover.create_table()
+    big = 3_000_000_000
+    stats = eng.migrate_vocab([(0, big), (1, 1)], unk_id=9, size=2)
+    assert stats["generation"] == 1 and stats["ids_remapped"] == 1
+    assert dict(eng.read_final().dtypes)["tokens"] == "array<bigint>"
+    fin = {r["doc_id"]: r["tokens"] for r in eng.read_final().collect()}
+    assert fin == {"a": [big, 1]}
