@@ -131,3 +131,101 @@ class OAuth2Auth:
         if not self._token_valid():
             self._refresh()
         return {"Authorization": f"Bearer {self._access_token}"}
+
+
+@dataclass
+class SessionTokenAuth:
+    """SessionTokenProvider (declarative/auth/token_provider.py:32-64): the
+    token comes from a LOGIN REQUEST (the older-SaaS pattern), cached until
+    ``expiration_duration_s`` elapses, then re-derived by logging in again.
+    ``auth_header()`` is evaluated per request, so a token expiring
+    mid-pagination re-logins transparently and the read completes.
+
+    Reference parity notes: the token is extracted from the login response
+    at ``token_path`` (dpath semantics, here a key tuple); with NO
+    expiration duration the reference refreshes on EVERY get_token call
+    (`_refresh_if_necessary`: `_next_expiration_time is None` -> refresh) —
+    mirrored here, and worth knowing before omitting the duration. A null
+    login response or missing path raises (ReadException analog).
+    ``auth_method=""`` injects the raw token (the declarative
+    RequestOption/ApiKey form, e.g. ``header="X-Session-Token"``).
+    """
+
+    transport: Transport
+    login_url: str
+    token_path: tuple[str, ...] = ("session_token",)
+    login_method: str = "POST"
+    login_body: dict | None = None
+    login_headers: dict | None = None
+    expiration_duration_s: float | None = None
+    auth_method: str = "Bearer"
+    header: str = "Authorization"
+    clock: Callable[[], float] = time.time  # injectable for tests
+
+    _token: str | None = field(default=None, repr=False)
+    _expires_at: float | None = field(default=None, repr=False)
+
+    def _login(self) -> None:
+        status, resp = self.transport(
+            self.login_method,
+            self.login_url,
+            params=dict(self.login_body or {}),
+            headers=dict(self.login_headers or {}),
+        )
+        if status >= 400 or resp is None:
+            raise RuntimeError(f"session login failed: HTTP {status}")
+        tok: Any = resp
+        for k in self.token_path:
+            try:
+                tok = tok[k]
+            except (KeyError, IndexError, TypeError):
+                raise RuntimeError(
+                    f"session token path {list(self.token_path)} not found "
+                    "in login response"
+                ) from None
+        if tok is None:
+            raise RuntimeError("session login returned a null token")
+        self._token = str(tok)
+        if self.expiration_duration_s is not None:
+            self._expires_at = self.clock() + float(self.expiration_duration_s)
+        log_metric("session_token_refreshed", login_url=self.login_url)
+
+    def invalidate(self) -> None:
+        """Force a re-login on the next request (401 handling hook)."""
+        self._token = None
+        self._expires_at = None
+
+    def auth_header(self) -> dict[str, str]:
+        if (
+            self._token is None
+            or self._expires_at is None  # no duration -> re-login per request
+            or self.clock() >= self._expires_at
+        ):
+            self._login()
+        value = f"{self.auth_method} {self._token}" if self.auth_method else self._token
+        return {self.header: value}
+
+
+def select_authenticator(
+    config: dict, authenticators: dict[str, Any], selection_path: tuple[str, ...]
+):
+    """SelectiveAuthenticator (declarative/auth/selective_authenticator.py:
+    15-43): dispatch to one of several pre-built authenticators on a config
+    value — e.g. ``config["credentials"]["auth_type"]`` choosing between
+    an oauth2 and an api-key block in the same connector spec. Returns the
+    SELECTED authenticator itself (the reference's ``__new__`` trick);
+    missing path or unknown key raises ValueError with the same messages.
+    """
+    node: Any = config
+    for k in selection_path:
+        try:
+            node = node[k]
+        except (KeyError, IndexError, TypeError):
+            raise ValueError(
+                "The path from `authenticator_selection_path` is not found "
+                "in the config."
+            ) from None
+    key = str(node)
+    if key not in authenticators:
+        raise ValueError(f"The authenticator `{key}` is not found.")
+    return authenticators[key]

@@ -42,7 +42,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from airbyte_spark.lineage import log_metric
 from airbyte_spark.plans.transforms import apply_transforms, schema_extract
-from airbyte_spark.sources.auth import BasicHttpAuth, OAuth2Auth, StaticTokenAuth
+from airbyte_spark.sources.auth import (
+    BasicHttpAuth,
+    OAuth2Auth,
+    SessionTokenAuth,
+    StaticTokenAuth,
+    select_authenticator,
+)
 from airbyte_spark.sources.http import (
     DatetimeSlicer,
     ErrorHandler,
@@ -221,10 +227,36 @@ def _build_authenticator(
     spec: dict | None,
     transport: Transport,
     on_refresh_token_update: Callable[[str], None] | None = None,
+    config: dict | None = None,
 ):
     if not spec:
         return None
     kind = spec.get("type", "token")
+    if kind == "selective":
+        # SelectiveAuthenticator (declarative/auth/selective_authenticator
+        # .py:15-43): a config value picks which declared authenticator
+        # this connection actually uses — each candidate builds lazily
+        # through this same factory, so any kind (incl. session_token /
+        # oauth2) can sit behind the dispatch
+        built = {
+            k: _build_authenticator(v, transport, on_refresh_token_update, config)
+            for k, v in spec["authenticators"].items()
+        }
+        return select_authenticator(
+            config or {}, built, tuple(spec["authenticator_selection_path"])
+        )
+    if kind == "session_token":
+        return SessionTokenAuth(
+            transport=transport,
+            login_url=spec["login_url"],
+            token_path=tuple(spec.get("token_path", ("session_token",))),
+            login_method=spec.get("login_method", "POST"),
+            login_body=spec.get("login_body"),
+            login_headers=spec.get("login_headers"),
+            expiration_duration_s=spec.get("expiration_duration_s"),
+            auth_method=spec.get("auth_method", "Bearer"),
+            header=spec.get("header", "Authorization"),
+        )
     if kind == "token":
         return StaticTokenAuth(
             token=spec["token"], auth_method=spec.get("auth_method", "Bearer")
@@ -535,6 +567,7 @@ class ManifestSource:
                         s.get("authenticator"),
                         self.transport,
                         on_refresh_token_update=self._on_token_rotated(s["name"]),
+                        config=config,
                     ),
                     primary_key=s.get("primary_key"),
                     incremental=s.get("incremental"),
