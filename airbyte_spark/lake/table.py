@@ -685,6 +685,7 @@ class LakeTable:
         to_version: int | None = None,
         deleted_col: str = "_ab_cdc_deleted_at",
         update_images: bool = False,
+        row_id_cols: str | list[str] | None = None,
     ) -> DataFrame:
         """Classified changelog between two snapshots — the Iceberg
         changelog-scan / CDC-read analog: one row per key whose LIVE state
@@ -705,6 +706,16 @@ class LakeTable:
         array+explode projection over the same single full-outer join, so
         the plan cost is unchanged.
 
+        ``row_id_cols`` lifts the PK-unique requirement: by default the
+        diff identifies rows by the table's bucket key (one live row per
+        key — every engine-maintained table), but a table holding 1:N rows
+        under its bucket key (a JoinView with fan-out) diffs on the given
+        row-identity column(s) instead — e.g. the pair of side primary
+        keys. The columns must be row-unique and non-null per snapshot;
+        bucket pruning is unaffected (it derives from file-set changes,
+        not key semantics — a row whose identity stays put but whose
+        bucket key MOVES still lands in touched buckets on both sides).
+
         Scale shape: only files ADDED between the two snapshots can contain
         changed rows, so their buckets bound BOTH sides of the diff — the
         old and new states are bucket-pruned manifest scans, the join
@@ -715,7 +726,12 @@ class LakeTable:
         """
         snap_to = self.snapshot(to_version)
         snap_from = self.snapshot(from_version)
-        pk = snap_to.spec["bucket_by"]
+        if row_id_cols is None:
+            rid = [snap_to.spec["bucket_by"]]
+        elif isinstance(row_id_cols, str):
+            rid = [row_id_cols]
+        else:
+            rid = list(row_id_cols)
         cols = snap_to.schema.fieldNames()
         change_field = "_change_type"
 
@@ -757,10 +773,19 @@ class LakeTable:
         old_live = fp(align(live(self.scan(version=snap_from.version, buckets=buckets))))
 
         o, n = old_live.alias("o"), new_live.alias("n")
-        joined = o.join(n, F.col(f"o.{pk}") == F.col(f"n.{pk}"), "full_outer")
+        cond = None
+        for c in rid:
+            eq = F.col(f"o.{c}") == F.col(f"n.{c}")
+            cond = eq if cond is None else (cond & eq)
+        joined = o.join(n, cond, "full_outer")
+        # presence test: the join matched iff every rid col is non-null on
+        # that side (equality never matches nulls; rid cols are required
+        # non-null), so the first one decides
+        o_absent = F.col(f"o.{rid[0]}").isNull()
+        n_absent = F.col(f"n.{rid[0]}").isNull()
         change = (
-            F.when(F.col(f"o.{pk}").isNull(), F.lit("insert"))
-            .when(F.col(f"n.{pk}").isNull(), F.lit("delete"))
+            F.when(o_absent, F.lit("insert"))
+            .when(n_absent, F.lit("delete"))
             .when(F.col("o._fp") != F.col("n._fp"), F.lit("update"))
         )
         # side selection by CHANGE TYPE, not per-column coalesce — an
@@ -768,7 +793,7 @@ class LakeTable:
         # old value into the after-image
         if not update_images:
             picked = [
-                F.when(F.col(f"n.{pk}").isNull(), F.col(f"o.{c}"))
+                F.when(n_absent, F.col(f"o.{c}"))
                 .otherwise(F.col(f"n.{c}"))
                 .alias(c)
                 for c in cols
@@ -791,8 +816,8 @@ class LakeTable:
             img.alias("row"), F.lit(tag).alias(change_field)
         )
         events = (
-            F.when(F.col(f"o.{pk}").isNull(), F.array(tagged(after, "insert")))
-            .when(F.col(f"n.{pk}").isNull(), F.array(tagged(before, "delete")))
+            F.when(o_absent, F.array(tagged(after, "insert")))
+            .when(n_absent, F.array(tagged(before, "delete")))
             .when(
                 F.col("o._fp") != F.col("n._fp"),
                 F.array(

@@ -32,13 +32,12 @@ Scale shape: per maintenance cycle the work is f(churn), never f(table) —
 the view's row identity is the pair of side row keys, but replacement is
 by join key, so no per-row diffing is needed.
 
-Downstream-consumer caveat: the view table is bucketed by the JOIN KEY
-and holds 1:N rows under it, while snapshot-diff consumers
-(``LakeTable.read_changes`` and rollup maintenance over it) require a
-PK-UNIQUE table. Chaining view -> incremental rollup is therefore sound
-exactly when the join is 1:1 per key (tests pin that composition); for
-1:N views, aggregate per key inside the view query or rebuild the
-downstream aggregate from the view's full state per cycle.
+Downstream-consumer composition: the view table is bucketed by the JOIN
+KEY and, for 1:N joins, holds several rows under it. Snapshot-diff
+consumers name the view's ROW IDENTITY — the pair of side row keys — via
+``read_changes(row_id_cols=[...])`` / ``maintain_rollup(row_id_cols=
+[...])``, and view -> incremental rollup composes for 1:1 AND 1:N views
+alike (both pinned in tests/test_join_view.py).
 """
 
 from __future__ import annotations

@@ -167,16 +167,23 @@ def maintain_rollup(
     group_cols: list[str] | None = None,
     metrics: dict[str, str] | None = None,
     deleted_col: str = "_ab_cdc_deleted_at",
+    row_id_cols: str | list[str] | None = None,
 ) -> int | None:
     """Advance the rollup from the source table's ``from_version`` to
     ``to_version`` (default current) in one idempotent commit. The commit
     summary carries the consumed source range, so a scheduled job resumes
-    from ``last_maintained_version(rollup)`` with zero external state."""
+    from ``last_maintained_version(rollup)`` with zero external state.
+
+    ``row_id_cols`` passes through to ``read_changes`` for sources that
+    hold 1:N rows under their bucket key (a fan-out JoinView): name the
+    row-identity columns (e.g. the pair of side PKs) and the rollup
+    maintains correctly over the multi-row diff."""
     to_version = to_version if to_version is not None else source.current_version()
     if to_version <= from_version:
         return None
     changes = source.read_changes(
-        from_version, to_version, deleted_col=deleted_col, update_images=True
+        from_version, to_version, deleted_col=deleted_col, update_images=True,
+        row_id_cols=row_id_cols,
     )
     deltas = rollup_deltas(changes, group_cols or [], metrics or {})
     bid = f"rollup-{source.root.rsplit('/', 1)[-1]}-{from_version}-{to_version}"

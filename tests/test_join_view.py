@@ -256,9 +256,9 @@ def test_join_view_feeds_incremental_rollup(spark, workdir):
     view is itself a LakeTable, so the changelog-driven rollup maintains
     an aggregate over it incrementally — two CDC sides -> incremental
     join -> incremental SUM, every stage f(churn), end result equal to
-    the direct GROUP BY over the one-shot join. Sound because the join
-    here is 1:1 per key — read_changes requires PK-unique tables (caveat
-    documented in operators/join_view.py)."""
+    the direct GROUP BY over the one-shot join. This is the 1:1 case
+    (default row identity = the bucket key); the 1:N case composes via
+    row_id_cols, test below."""
     from pyspark.sql.types import StructField as _SF, StringType as _Str
 
     from airbyte_spark.operators.rollup import (
@@ -312,4 +312,73 @@ def test_join_view_feeds_incremental_rollup(spark, workdir):
     maintain_rollup(roll, v.table,
                     from_version=last_maintained_version(roll),
                     group_cols=["a_name"], metrics={"sum_b": "b_val"})
+    assert got() == expected()
+
+
+def test_join_view_1n_feeds_incremental_rollup(spark, workdir):
+    """The 1:N composition (r4's documented gap, now lifted): the view
+    fans out several B rows per key, and the downstream rollup maintains
+    over its changelog by naming the view's ROW IDENTITY (b_id) via
+    row_id_cols — no PK-unique restriction, every stage still f(churn)."""
+    from pyspark.sql.types import StructField as _SF, StringType as _Str
+
+    from airbyte_spark.operators.rollup import (
+        create_rollup_table,
+        last_maintained_version,
+        maintain_rollup,
+    )
+
+    a = _mk_side(spark, os.path.join(workdir, "a"), A_SCHEMA, "k", [
+        ("k1", "g1", 10), ("k2", "g2", 20),
+    ])
+    b = _mk_side(spark, os.path.join(workdir, "b"), B_SCHEMA, "b_id", [
+        ("c1", "k1", 1), ("c2", "k1", 2), ("c3", "k2", 3),  # k1 fans out
+    ])
+    v = _mk_view(spark, os.path.join(workdir, "v"))
+    v.maintain(a, b)
+
+    roll = create_rollup_table(
+        spark, os.path.join(workdir, "roll"),
+        [_SF("a_name", _Str(), True)], {"sum_b": "b_val"},
+    )
+    kw = dict(group_cols=["a_name"], metrics={"sum_b": "b_val"},
+              row_id_cols="b_id")
+    maintain_rollup(roll, v.table, from_version=1, **kw)
+
+    def expected():
+        return sorted(
+            (r["a_name"], r["n_rows"], r["sum_b"])
+            for r in _oneshot(spark, a, b)
+            .groupBy("a_name")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("b_val").cast("long").alias("sum_b"))
+            .collect()
+        )
+
+    def got():
+        return sorted(
+            (r["a_name"], r["n_rows"], r["sum_b"])
+            for r in roll.scan().select("a_name", "n_rows", "sum_b").collect()
+        )
+
+    assert got() == expected()
+    assert _oneshot(spark, a, b).count() == 3  # genuinely 1:N
+
+    # churn: child value update, child delete, child insert, child MOVES
+    # key (c2: k1 -> k2) — the move must subtract from g1 and add to g2
+    _set_side(spark, b, B_SCHEMA, [
+        ("c1", "k1", 5), ("c2", "k2", 2), ("c4", "k2", 7),
+    ])
+    v.maintain(a, b)
+    maintain_rollup(roll, v.table,
+                    from_version=last_maintained_version(roll), **kw)
+    assert got() == expected()
+
+    # second churn wave on the A side too (group rename fans to children)
+    _set_side(spark, a, A_SCHEMA, [
+        ("k1", "g9", 10), ("k2", "g2", 20),
+    ])
+    v.maintain(a, b)
+    maintain_rollup(roll, v.table,
+                    from_version=last_maintained_version(roll), **kw)
     assert got() == expected()
