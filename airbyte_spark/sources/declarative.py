@@ -50,6 +50,7 @@ from airbyte_spark.sources.auth import (
     select_authenticator,
 )
 from airbyte_spark.sources.http import (
+    CachingTransport,
     DatetimeSlicer,
     ErrorHandler,
     HttpStreamSource,
@@ -554,11 +555,21 @@ class ManifestSource:
         out = []
         for raw in self.manifest["streams"]:
             s = interpolate(raw, config)
+            # use_cache (HttpStream.use_cache analog): memoize this
+            # stream's page responses for the sync, so every child
+            # substream's partitions() re-read of a parent is served from
+            # the memo — one live round-trip per parent page. The
+            # authenticator keeps the RAW transport (login/token endpoints
+            # must never cache).
+            transport: Transport = (
+                CachingTransport(self.transport) if s.get("use_cache")
+                else self.transport
+            )
             out.append(
                 DeclarativeStream(
                     name=s["name"],
                     url=s["url"],
-                    transport=self.transport,
+                    transport=transport,
                     params=s.get("params", {}),
                     headers=s.get("headers", {}),
                     records_field=s.get("records_field", "data"),

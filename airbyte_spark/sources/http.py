@@ -165,6 +165,54 @@ class ErrorHandler:
         return self.backoff_base_s * (2**attempt)
 
 
+class CachingTransport:
+    """Request memo for re-read-heavy streams — the reference's
+    ``HttpStream.use_cache`` (sources/streams/http/http.py:34-90,
+    requests-cache-backed session) re-expressed as a transport wrapper:
+    ``(method, url, params, body) -> response`` memoized for the wrapper's
+    lifetime (one sync), so a parent stream re-read by every child
+    substream costs ONE live round-trip per page.
+
+    Headers are excluded from the key (requests-cache default) so auth
+    refresh/rotation never fragments the cache; only 2xx responses are
+    memoized (errors and retryable statuses always go live). Thread-safe
+    for the prefetch pool; ``hits``/``live_calls`` are observable for
+    tests and metrics.
+    """
+
+    def __init__(self, transport: Transport):
+        self.transport = transport
+        self.live_calls = 0
+        self.hits = 0
+        self._memo: dict[tuple, Any] = {}
+        self._lock = threading.Lock()
+
+    @staticmethod
+    def _key(method: str, url: str, params: Any, body: Any) -> tuple:
+        return (
+            method,
+            url,
+            json.dumps(params or {}, sort_keys=True, default=str),
+            json.dumps(body or {}, sort_keys=True, default=str),
+        )
+
+    def __call__(self, method, url, params=None, headers=None, body=None):
+        key = self._key(method, url, params, body)
+        with self._lock:
+            if key in self._memo:
+                self.hits += 1
+                return self._memo[key]
+        kw: dict[str, Any] = {"params": params, "headers": headers}
+        if body is not None:
+            kw["body"] = body
+        resp = self.transport(method, url, **kw)
+        with self._lock:
+            self.live_calls += 1
+            if resp[0] < 300:
+                self._memo[key] = resp
+        return resp
+
+
 @dataclass
 class HttpStreamSource:
     transport: Transport

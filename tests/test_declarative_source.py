@@ -380,3 +380,56 @@ def test_substream_unknown_parent_is_a_manifest_error():
            }]}
     with pytest.raises(ValueError, match="not declared"):
         ManifestSource(bad, _transport()).streams({})
+
+
+def test_use_cache_parent_read_once_across_children(spark):
+    """HttpStream.use_cache analog: a parent stream marked use_cache is
+    fetched live ONCE per page even though it is read three times in the
+    sync (as its own stream + by TWO child substream routers). The
+    scripted transport holds a single boards response, so any uncached
+    re-fetch would fail loudly."""
+    manifest = {
+        "spec": {"required": [], "properties": {}},
+        "streams": [
+            {
+                "name": "boards",
+                "url": "https://api.test/v1/boards",
+                "primary_key": "id",
+                "records_field": "data",
+                "use_cache": True,
+                "paginator": {"kind": "offset", "param": "offset", "page_size": 10},
+                "schema": {"id": "bigint", "title": "string"},
+            },
+            *[
+                {
+                    "name": child,
+                    "url": "https://api.test/v1/boards/"
+                           "{{ stream_partition.board_id }}/" + child,
+                    "records_field": "data",
+                    "paginator": {"kind": "offset", "param": "offset",
+                                  "page_size": 10},
+                    "partition_router": {
+                        "type": "substream",
+                        "parent_stream": "boards",
+                        "parent_key": "id",
+                        "partition_field": "board_id",
+                    },
+                    "schema": {"x": "bigint", "board_id": "bigint"},
+                }
+                for child in ("cards", "labels")
+            ],
+        ],
+    }
+    t = RoutedTransport({
+        "https://api.test/v1/boards": [_boards_page()],  # ONE live page only
+        "https://api.test/v1/boards/1/cards": [(200, {"data": [{"x": 1}]})],
+        "https://api.test/v1/boards/2/cards": [(200, {"data": [{"x": 2}]})],
+        "https://api.test/v1/boards/1/labels": [(200, {"data": [{"x": 3}]})],
+        "https://api.test/v1/boards/2/labels": [(200, {"data": [{"x": 4}]})],
+    })
+    out = ManifestSource(manifest, t).read(spark, {})
+    assert out["boards"][0].count() == 3  # raw records (incl. the dup row)
+    assert sorted(r.x for r in out["cards"][0].collect()) == [1, 2]
+    assert sorted(r.x for r in out["labels"][0].collect()) == [3, 4]
+    boards_calls = [c for c in t.calls if c["url"].endswith("/v1/boards")]
+    assert len(boards_calls) == 1  # memo served the other two reads
