@@ -281,6 +281,99 @@ def read_documents(
     return files.mapInPandas(parse, schema=DOCUMENT_SCHEMA)
 
 
+class UnstructuredSource:
+    """Incremental document-directory sync: the same per-file history
+    cursor as the tabular file formats (`files.FileHistoryCursor`,
+    reference `default_file_based_cursor.py:15-132`) over document files —
+    sync N+1 parses only NEW or MODIFIED files, in (mtime, uri) order,
+    resumable per slice. The natural feed for a continuously-curated
+    corpus: each slice lands as (content, document_key, parse_error)
+    records keyed by file uri, which the downstream exact-dedup /
+    LWW-by-key stages absorb on at-least-once replays."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        skip_unprocessable_files: bool = True,
+    ):
+        self.spark = spark
+        self.path = path
+        self.skip_unprocessable_files = skip_unprocessable_files
+
+    def list_files(self):
+        """Driver-side (uri, mtime) listing of document files — metadata
+        only, same discipline as FileSource.list_files."""
+        import os
+        from datetime import datetime
+
+        from airbyte_spark.sources.files import RemoteFile, _TS_FMT
+
+        out = []
+        for root, _dirs, names in os.walk(self.path):
+            for n in names:
+                if n.startswith((".", "_")) or not n.lower().endswith(DOCUMENT_EXTS):
+                    continue
+                p = os.path.join(root, n)
+                ts = datetime.utcfromtimestamp(os.stat(p).st_mtime).strftime(_TS_FMT)
+                out.append(RemoteFile(last_modified=ts, uri=p))
+        return sorted(out)
+
+    def read_files(self, uris: list[str]) -> DataFrame:
+        """Parse an explicit file list (the incremental path): binaryFile
+        over the selected uris, one parsed record per file."""
+        files = (
+            self.spark.read.format("binaryFile")
+            .load(uris)
+            .select("path", "content")
+        )
+        skip = self.skip_unprocessable_files  # closure must not capture self
+
+        def parse(batches):
+            import pandas as pd
+
+            for b in batches:
+                rows = []
+                for uri, content in zip(b["path"], b["content"]):
+                    try:
+                        rows.append((parse_file(uri, bytes(content)), uri, None))
+                    except ParseError as e:
+                        if not skip:
+                            raise
+                        rows.append((None, uri, str(e)))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["content", "document_key", "_ab_source_file_parse_error"],
+                )
+
+        return files.mapInPandas(parse, schema=DOCUMENT_SCHEMA)
+
+    def incremental_slices(self, state: dict | None = None, files_per_slice: int = 1000):
+        """Resumable incremental sync: yields (df, files, new_state) per
+        slice of <= files_per_slice new/changed files — commit new_state
+        AFTER durably writing the slice (FileSource.incremental_slices
+        contract; a kill mid-sync resumes at the first uncommitted slice)."""
+        from airbyte_spark.sources.files import FileHistoryCursor
+
+        cur = FileHistoryCursor(state)
+        todo = cur.files_to_sync(self.list_files())
+        for i in range(0, len(todo), files_per_slice):
+            chunk = todo[i : i + files_per_slice]
+            df = self.read_files([f.uri for f in chunk])
+            for f in chunk:
+                cur.add_file(f)
+            yield df, chunk, cur.get_state()
+
+    def incremental(self, state: dict | None = None):
+        """One-shot incremental read: (df-or-None, new_state)."""
+        from airbyte_spark.sources.files import FileHistoryCursor
+
+        df, new_state = None, dict(state or FileHistoryCursor(None).get_state())
+        for d, _files, st in self.incremental_slices(state, files_per_slice=1 << 30):
+            df, new_state = d, st
+        return df, new_state
+
+
 def documents_as_corpus(parsed: DataFrame) -> DataFrame:
     """Parsed records → the (doc_id, text) shape the §2.9b curation
     operators consume; error records are excluded (count them upstream —

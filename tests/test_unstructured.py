@@ -145,3 +145,49 @@ def test_curate_job_from_docs_dir(spark, tmp_path, capsys):
     texts = {r["text"] for r in cur.select("text").collect()}
     # markdown syntax stripped before curation
     assert not any("#" in t or "<" in t for t in texts)
+
+
+def test_incremental_document_sync_new_and_modified_only(spark, tmp_path):
+    """FileHistoryCursor over a documents directory: sync 2 reads only the
+    new file and the modified file; unchanged files never re-parse; state
+    round-trips through plain dicts (checkpoint-carriable)."""
+    import os
+    import time
+
+    from airbyte_spark.sources.unstructured import UnstructuredSource
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.md").write_text("# A")
+    (d / "b.txt").write_text("bee")
+    src = UnstructuredSource(spark, str(d))
+
+    df, state = src.incremental(None)
+    keys = {r["document_key"].rsplit("/", 1)[-1] for r in df.collect()}
+    assert keys == {"a.md", "b.txt"}
+
+    # nothing changed -> nothing to sync
+    df2, state2 = src.incremental(state)
+    assert df2 is None and state2["history"] == state["history"]
+
+    # one new file + one modified file (mtime strictly newer)
+    (d / "c.html").write_text("<h1>C</h1>")
+    time.sleep(0.02)
+    (d / "a.md").write_text("# A v2")
+    future = time.time() + 2
+    os.utime(d / "a.md", (future, future))
+    df3, state3 = src.incremental(state)
+    keys3 = {r["document_key"].rsplit("/", 1)[-1]: r["content"] for r in df3.collect()}
+    assert set(keys3) == {"a.md", "c.html"}
+    assert keys3["a.md"] == "# A v2" and keys3["c.html"] == "# C"
+
+    # kill/resume at slice granularity: two files per slice of one —
+    # committing only slice 1's state resumes at slice 2 exactly
+    (d / "d.txt").write_text("dee")
+    (d / "e.txt").write_text("eee")
+    slices = list(src.incremental_slices(state3, files_per_slice=1))
+    assert len(slices) == 2
+    _df, files1, mid_state = slices[0]
+    resumed = list(src.incremental_slices(mid_state, files_per_slice=1))
+    assert len(resumed) == 1
+    assert resumed[0][1][0].uri != files1[0].uri  # the uncommitted file
