@@ -795,9 +795,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: sign-bit LSH buckets + integer cosine>=0.8,
-    over the dup-injected embeddings table."""
-    return embedding_neardup_pairs(_dup_embeddings(spark, sf_dir), cos_pct=80)
+    """Embedding near-dup pairs: banded sign-bit LSH (4 bands x 12 bits —
+    the sf1 growth audit's fix: candidates ~ B*n^2/2^bits, so 12 bits
+    bounds bucket occupancy where the old single 8-bit table went
+    quadratic, and 4 disjoint-bit bands buy the recall back) + integer
+    cosine>=0.8, over the dup-injected embeddings table. Candidate
+    generation ships ids only; vectors join back once per side."""
+    return embedding_neardup_pairs(
+        _dup_embeddings(spark, sf_dir), cos_pct=80, n_bits=12, n_bands=4
+    )
 
 
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3339,18 +3345,25 @@ FROM s GROUP BY simhash
 """,
         "dedup_embedding_neardup": f"""
 WITH {_DUP_EMB},
-q AS (SELECT vec_id, {X.quantize_sql(_D, "embedding")} AS e FROM dup_emb),
-qq AS (SELECT vec_id, e, {X.signbit_bucket_sql(_D, "e", 8)} AS bkt,
-              {X.norm2_sql(_D, "e", 64)} AS n2 FROM q),
-p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-             {X.dot_sql(_D, "a.e", "b.e", 64)} AS dot,
-             a.n2 AS na2, b.n2 AS nb2
-      FROM qq a JOIN qq b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
+q0 AS (SELECT vec_id, {X.quantize_sql(_D, "embedding")} AS e FROM dup_emb),
+q AS (SELECT vec_id, e, {X.norm2_sql(_D, "e", 64)} AS n2 FROM q0),
+qb AS ({" UNION ALL ".join(
+    f"SELECT vec_id, {j} AS band, "
+    + X.signbit_bucket_sql(_D, "e", 12, offset=j * 12)
+    + " AS bkt FROM q"
+    for j in range(4)
+)}),
+cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         FROM qb a JOIN qb b
+           ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+p AS (SELECT a_id, b_id, {X.dot_sql(_D, "qa.e", "qb2.e", 64)} AS dot,
+             qa.n2 AS na2, qb2.n2 AS nb2
+      FROM cand JOIN q qa ON qa.vec_id = a_id JOIN q qb2 ON qb2.vec_id = b_id)
 SELECT a_id, b_id, dot, na2, nb2
 FROM p WHERE dot > 0 AND 10000 * dot * dot >= 6400 * na2 * nb2
 """,
         "dedup_semantic": _semantic_dedup.semantic_dedup_oracle_sql(
-            "dup_emb", n_clusters=16, cos_pct=80, extra_ctes=_DUP_EMB.strip(),
+            "dup_emb", n_clusters="auto", cos_pct=80, extra_ctes=_DUP_EMB.strip(),
         ),
         "tokens_encode": _tokenize.tokenize_oracle_sql("documents", vocab_top=512),
         "tokens_decode": _tokenize.detokenize_oracle_sql("documents", vocab_top=512),

@@ -81,12 +81,24 @@ def _assigned(
     )
 
 
+def auto_clusters(n: int) -> int:
+    """The IVF-flat balance point: k = max(16, isqrt(n)) makes BOTH stages
+    O(n^1.5) — assignment costs n*k distance folds, within-cluster pairing
+    ~n^2/k dot products. A FIXED k goes quadratic as the corpus grows (the
+    sf1 growth audit measured 135x on 10x data with k=16); k ∝ sqrt(n) is
+    the classic coarse-quantizer scaling (SemDeDup itself scales its
+    cluster count with corpus size)."""
+    import math
+
+    return max(16, math.isqrt(max(n, 0)))
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_clusters: int = 16,
+    n_clusters: int | str = "auto",
     cos_pct: int = 80,
     cache_assigned: bool = True,
 ) -> DataFrame:
@@ -96,9 +108,16 @@ def semantic_dedup(
     dot > 0 AND 10000*dot^2 >= cos_pct^2 * |a|^2 * |b|^2, and witness is
     the smallest such mate (NULL when kept).
 
+    ``n_clusters="auto"`` (default) sizes the quantizer as
+    ``auto_clusters(count)`` — one bounded count job, then both stages
+    scale O(n^1.5) instead of the fixed-k quadratic cliff. Pass an int to
+    pin it (the oracle template accepts the same spelling of either).
+
     ``cache_assigned`` persists the assigned table — both halves of the
     within-cluster self-join consume it, and the argmin assignment is
     the dominant CPU (same trade as embedding_neardup_pairs)."""
+    if n_clusters == "auto":
+        n_clusters = auto_clusters(df.count())
     a = _assigned(df, id_col, vec_col, dim, n_clusters)
     if cache_assigned:
         a = a.persist()
@@ -140,14 +159,25 @@ def semantic_dedup_oracle_sql(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_clusters: int = 16,
+    n_clusters: int | str = "auto",
     cos_pct: int = 80,
     extra_ctes: str = "",
 ) -> str:
     """DuckDB oracle: identical integer math, argmin via row_number over
     (d2 ASC, cid ASC). ``extra_ctes`` (e.g. a dup-injection CTE the
-    ``table_expr`` refers to) is spliced in before the operator CTEs."""
+    ``table_expr`` refers to) is spliced in before the operator CTEs.
+    ``n_clusters="auto"`` renders the same max(16, floor(sqrt(n))) rule as
+    a scalar subquery over ``table_expr`` — exact parity with the Spark
+    side's count-then-isqrt (isqrt == floor(sqrt) for any table that fits
+    a double's 2^53 integer range)."""
     d = X.DUCKDB
+    if n_clusters == "auto":
+        k_expr = (
+            f"(SELECT GREATEST(16, CAST(floor(sqrt(count(*))) AS BIGINT)) "
+            f"FROM {table_expr})"
+        )
+    else:
+        k_expr = str(int(n_clusters))
     q = X.quantize_sql(d, vec_col)
     l2 = X.l2_sql(d, "e", "cvec", dim)
     dot = X.dot_sql(d, "a_e", "b_e", dim)
@@ -157,7 +187,7 @@ def semantic_dedup_oracle_sql(
 WITH {pre} q AS (
   SELECT {id_col} AS vec_id, {q} AS e FROM {table_expr}
 ), cent AS (
-  SELECT vec_id AS cid, e AS cvec FROM q WHERE vec_id < {n_clusters}
+  SELECT vec_id AS cid, e AS cvec FROM q WHERE vec_id < {k_expr}
 ), assigned AS (
   SELECT vec_id, e, {n2} AS n2, cid AS cluster_id
   FROM (

@@ -331,12 +331,19 @@ def l2_sql(d: str, a: str, b: str, dim: int) -> str:
     return ASUM(d, prods)
 
 
-def signbit_bucket_sql(d: str, qvec: str, n_bits: int = 8) -> str:
-    """LSH bucket id from the sign bits of the first n_bits quantized dims —
-    an axis-aligned random-hyperplane sketch (deterministic across engines)."""
+def signbit_bucket_sql(d: str, qvec: str, n_bits: int = 8, offset: int = 0) -> str:
+    """LSH bucket id from the sign bits of quantized dims
+    [offset, offset + n_bits) — an axis-aligned random-hyperplane sketch
+    (deterministic across engines). ``offset`` slices disjoint bit ranges
+    so multiple independent LSH BANDS come from one sketch
+    (embedding_neardup_pairs n_bands)."""
     _chk(d)
-    bit = f"CASE WHEN {IDX(d, qvec, 'b + 1')} >= 0 THEN {SHL(d, 1, 'b')} ELSE 0 END"
-    return f"CAST({ASUM(d, f'{T(d)}({SEQ(d, 0, n_bits - 1)}, b -> {bit})')} AS BIGINT)"
+    bit = (
+        f"CASE WHEN {IDX(d, qvec, 'b + 1')} >= 0 "
+        f"THEN {SHL(d, 1, f'b - {offset}')} ELSE 0 END"
+    )
+    rng = SEQ(d, offset, offset + n_bits - 1)
+    return f"CAST({ASUM(d, f'{T(d)}({rng}, b -> {bit})')} AS BIGINT)"
 
 
 def bloom_pos_sql(d: str, expr: str, i: int, m: int) -> str:

@@ -180,3 +180,53 @@ def test_dedup_components_by_priority(spark):
     assert out[1]["group_size"] == 3
     # doc 11 has NO priority row -> loses to the scored doc 10
     assert out[10]["keep_doc_id"] == 10 and out[10]["keep_priority"] == 7
+
+
+def test_embedding_neardup_banding(spark):
+    """Banded sign-bit LSH: a near-dup pair whose FIRST band disagrees is
+    still found through a later band (disjoint bit slices); duplicate
+    collisions across bands yield ONE pair; invalid band geometry raises."""
+    import pytest
+
+    from airbyte_spark.operators.fuzzy_dedup import embedding_neardup_pairs
+
+    base = [0.125] * 64  # unit-ish norm: the integer test must not overflow
+    flip0 = list(base)
+    flip0[0] = -0.125  # band 0 (bits 0-11) differs; bands 1-3 agree
+    rows = [(0, base), (1, base), (2, flip0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # single 12-bit table misses (0,2)/(1,2): sign bit 0 differs
+    one = embedding_neardup_pairs(df, cos_pct=80, n_bits=12, n_bands=1,
+                                  cache_quantized=False)
+    assert {(r.a_id, r.b_id) for r in one.collect()} == {(0, 1)}
+
+    # 4 bands recover them via bands 1-3 (cosine of flip0 vs base is
+    # 62/64 = 0.968 >= 0.8); identical vectors collide in EVERY band but
+    # emit one pair each
+    four = embedding_neardup_pairs(df, cos_pct=80, n_bits=12, n_bands=4,
+                                   cache_quantized=False)
+    got = sorted((r.a_id, r.b_id) for r in four.collect())
+    assert got == [(0, 1), (0, 2), (1, 2)]
+
+    with pytest.raises(ValueError, match="n_bands"):
+        embedding_neardup_pairs(df, n_bits=16, n_bands=5)
+
+
+def test_semantic_dedup_auto_clusters(spark):
+    """auto_clusters = max(16, isqrt(n)); semantic_dedup('auto') equals an
+    explicit k of the same value (pure function of the corpus)."""
+    from airbyte_spark.operators.semantic_dedup import auto_clusters, semantic_dedup
+
+    assert auto_clusters(0) == 16
+    assert auto_clusters(255) == 16
+    assert auto_clusters(400) == 20
+    assert auto_clusters(1_000_000) == 1000
+
+    rows = [(i, [float((i * 7 + j) % 5 - 2) for j in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    auto = semantic_dedup(df, dim=8, n_clusters="auto").toPandas()
+    pinned = semantic_dedup(df, dim=8, n_clusters=16).toPandas()  # isqrt(40)=6 -> 16
+    a = auto.sort_values("vec_id").reset_index(drop=True)
+    p = pinned.sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(p)
