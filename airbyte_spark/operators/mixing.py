@@ -171,10 +171,25 @@ def training_order(
         "_bkt", F.expr(f"_k DIV {_BUCKET_DIV}")
     )
     counts = base.groupBy("_bkt").agg(F.count("*").alias("_n"))
-    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_bkt",
-        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).cast("long").alias("_off"),
+    # exclusive prefix sums over the <=256-row bucket aggregate via a
+    # pack-sort-fold (bounded single-row aggregate; O(k^2) on k<=256 is
+    # trivial) instead of a no-partition running-sum window — same
+    # offsets, no WindowExec single-partition warning in operator logs
+    packed = counts.agg(
+        F.array_sort(F.collect_list(F.struct("_bkt", "_n"))).alias("_a")
+    )
+    offsets = (
+        packed.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(_a) - 1), i -> struct("
+                    "element_at(_a, i + 1)._bkt AS _bkt, "
+                    "aggregate(slice(_a, 1, i), CAST(0 AS BIGINT), "
+                    "(s, x) -> s + x._n) AS _off))"
+                )
+            ).alias("_s")
+        )
+        .select(F.col("_s._bkt").alias("_bkt"), F.col("_s._off").alias("_off"))
     )
     w_local = Window.partitionBy("_bkt").orderBy(
         F.col("_k").asc(), F.col(id_col).asc()

@@ -42,8 +42,6 @@ def build_vocab(df: DataFrame, text_col: str = "text", vocab_top: int = 512) -> 
     identical ids. TakeOrdered bounds the sort at N rows per partition;
     the ranking window runs over the already-truncated (tiny) survivor
     set only."""
-    from pyspark.sql.window import Window
-
     top = (
         df.select(F.explode(F.expr(X.words_sql(S, text_col))).alias("w"))
         .groupBy("w")
@@ -51,8 +49,17 @@ def build_vocab(df: DataFrame, text_col: str = "text", vocab_top: int = 512) -> 
         .orderBy(F.col("tf").desc(), F.col("w").asc())
         .limit(vocab_top)
     )
-    w = Window.orderBy(F.col("tf").desc(), F.col("w").asc())
-    return top.select("w", (F.row_number().over(w) - 1).cast("int").alias("tid"))
+    # rank the <=vocab_top survivors via pack-sort-posexplode (bounded
+    # single-row aggregate) instead of a no-partition rank window — same
+    # ids, no WindowExec single-partition warning in operator logs
+    packed = top.agg(
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("tf")).alias("_neg"), F.col("w").alias("w")))
+        ).alias("_a")
+    )
+    return packed.select(F.posexplode("_a").alias("_pos", "_s")).select(
+        F.col("_s.w").alias("w"), F.col("_pos").cast("int").alias("tid")
+    )
 
 
 def tokenize_corpus(
