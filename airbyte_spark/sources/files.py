@@ -229,8 +229,32 @@ class CsvFormat:
         return opts
 
 
+#: reference schema-validation policies (file_based/schema_validation_
+#: policies/default_schema_validation_policies.py:13-41) -> Spark reader
+#: parse modes. emit_record = keep every record, nonconforming values null
+#: out (PERMISSIVE); skip_record = drop records that do not conform
+#: (DROPMALFORMED); wait_for_discover = stop the sync on the first
+#: nonconforming record (FAILFAST — the StopSyncPerValidationPolicy analog).
+VALIDATION_POLICIES = {
+    "emit_record": "PERMISSIVE",
+    "skip_record": "DROPMALFORMED",
+    "wait_for_discover": "FAILFAST",
+}
+
+
 class FileSource:
-    """A bounded file-based changelog source with a declared schema."""
+    """A bounded file-based changelog source with a declared schema.
+
+    ``validation_policy`` carries the reference's schema-validation
+    policies (see VALIDATION_POLICIES): for the text formats (csv/jsonl)
+    it maps ONTO Spark's native parse modes — conformance checking is
+    JVM-side, zero extra passes; the dialect tiers that read all-strings
+    (multi-token value maps / preamble skipping) enforce the same policy
+    on the typed-cast projection instead. Parquet/avro files are
+    self-describing (the schema travels with the data), so nonconformance
+    there is a schema-evolution event, not a per-record one — the engine's
+    evolution path owns it, exactly like the reference's parquet parser
+    never consults the policy per record."""
 
     def __init__(
         self,
@@ -239,14 +263,21 @@ class FileSource:
         fmt: str = "parquet",
         schema: StructType | None = None,
         csv_format: CsvFormat | None = None,
+        validation_policy: str = "emit_record",
     ):
         if fmt not in FORMATS:
             raise ValueError(f"format {fmt!r} not in {FORMATS}")
+        if validation_policy not in VALIDATION_POLICIES:
+            raise ValueError(
+                f"validation_policy {validation_policy!r} not in "
+                f"{sorted(VALIDATION_POLICIES)}"
+            )
         self.spark = spark
         self.path = path
         self.fmt = fmt
         self.schema = schema or S.changelog_schema()
         self.csv_format = csv_format or CsvFormat()
+        self.validation_policy = validation_policy
 
     def read(self) -> DataFrame:
         if self.fmt == "parquet":
@@ -254,10 +285,19 @@ class FileSource:
             # columns in later files (SURVEY.md §7.2 step 6)
             return self.spark.read.option("mergeSchema", "true").parquet(self.path)
         if self.fmt == "jsonl":
-            return self.spark.read.schema(self.schema).json(self.path)
+            return self._read_jsonl([self.path])
         if self.fmt == "csv":
             return self._read_csv([self.path])
         return self._read_avro([self.path])
+
+    def _read_jsonl(self, paths: list[str]) -> DataFrame:
+        """Typed JSONL read with the validation policy as the native parse
+        mode (conformance checked inside the JVM scan, no extra pass)."""
+        return (
+            self.spark.read.schema(self.schema)
+            .option("mode", VALIDATION_POLICIES[self.validation_policy])
+            .json(paths)
+        )
 
     def _read_csv(self, paths: list[str]) -> DataFrame:
         """Dialect-aware CSV read (see CsvFormat for the tier strategy).
@@ -280,6 +320,7 @@ class FileSource:
         else:
             read_schema = flat_schema
             string_pass = False
+        mode = VALIDATION_POLICIES[self.validation_policy]
         if fmt.needs_per_file_parse():
             flat = _csv_per_file_parse(self.spark, paths, fmt, read_schema)
         else:
@@ -287,10 +328,19 @@ class FileSource:
             if string_pass:
                 # null/bool token mapping happens in the typed projection;
                 # the read itself must hand every token through verbatim
+                # (the all-strings read cannot fail a cast, so the policy
+                # is enforced on the typed projection below instead)
                 opts.pop("nullValue", None)
+            else:
+                # tier 1: the policy IS the native parse mode
+                opts["mode"] = mode
             flat = self.spark.read.options(**opts).schema(read_schema).csv(paths)
         if string_pass:
             flat = _csv_apply_value_maps(flat, fmt, flat_schema)
+            if self.validation_policy != "emit_record":
+                flat = _enforce_policy(flat, self.validation_policy)
+            else:
+                flat = flat.drop("_nonconforming")
         return _csv_restore_arrays(flat, self.schema)
 
     # -- incremental (file-history) sync ---------------------------------
@@ -316,7 +366,7 @@ class FileSource:
         if self.fmt == "parquet":
             return self.spark.read.option("mergeSchema", "true").parquet(*uris)
         if self.fmt == "jsonl":
-            return self.spark.read.schema(self.schema).json(uris)
+            return self._read_jsonl(uris)
         if self.fmt == "csv":
             return self._read_csv(uris)
         return self._read_avro(uris)
@@ -422,25 +472,56 @@ def _all_strings(schema: StructType) -> StructType:
 
 def _csv_apply_value_maps(flat: DataFrame, fmt: CsvFormat, flat_schema: StructType) -> DataFrame:
     """Vectorized null/bool token mapping + cast from an all-strings frame
-    into the declared flat schema — one JVM-side projection, no Python."""
+    into the declared flat schema — one JVM-side projection, no Python.
+    A ``_nonconforming`` flag rides along (true iff any column had a
+    non-null raw token the declared type could not absorb) so the
+    validation policy can enforce without a second raw read; the caller
+    drops it."""
     from pyspark.sql.types import BooleanType, StringType
 
     cols = []
+    bad = F.lit(False)
     for f in flat_schema.fields:
         raw = F.col(f.name)
+        # try_cast, not cast: under ANSI mode (Spark 4 default) a junk
+        # token would THROW mid-scan; the contract here is null-out and
+        # let the validation policy decide (emit / skip / stop)
         if isinstance(f.dataType, BooleanType):
-            c = raw.cast("boolean")
+            c = raw.try_cast("boolean")
             if fmt.false_values:
                 c = F.when(raw.isin(*fmt.false_values), F.lit(False)).otherwise(c)
             if fmt.true_values:
                 c = F.when(raw.isin(*fmt.true_values), F.lit(True)).otherwise(c)
         else:
-            c = raw.cast(f.dataType)
+            c = raw.try_cast(f.dataType)
         is_string = isinstance(f.dataType, StringType)
         if fmt.null_values and (fmt.strings_can_be_null or not is_string):
             c = F.when(raw.isin(*fmt.null_values), F.lit(None)).otherwise(c)
+        if not is_string and not f.name.endswith("_csv"):
+            # a raw token the type could not absorb: raw present, NOT a
+            # declared null token, typed null
+            present = raw.isNotNull()
+            if fmt.null_values:
+                present = present & ~raw.isin(*fmt.null_values)
+            bad = bad | (present & c.isNull())
         cols.append(c.alias(f.name))
-    return flat.select(*cols)
+    return flat.select(*cols, bad.alias("_nonconforming"))
+
+
+def _enforce_policy(flat: DataFrame, policy: str) -> DataFrame:
+    """Apply skip_record / wait_for_discover on the typed projection (the
+    string-pass tiers, where the all-strings read cannot fail a cast).
+    wait_for_discover costs ONE bounded probe action (limit-1) — the price
+    of stop-on-first-nonconforming semantics; skip_record stays lazy."""
+    if policy == "skip_record":
+        return flat.filter(~F.col("_nonconforming")).drop("_nonconforming")
+    bad = flat.filter(F.col("_nonconforming")).limit(1).collect()
+    if bad:
+        raise ValueError(
+            "wait_for_discover: record does not conform to the declared "
+            f"schema (StopSyncPerValidationPolicy analog): {bad[0].asDict()}"
+        )
+    return flat.drop("_nonconforming")
 
 
 def _csv_data_files(paths: list[str]) -> list[str]:
