@@ -531,7 +531,12 @@ class ManifestSource:
     sync never serializes per-record JSON on the driver)."""
 
     def __init__(self, manifest: dict, transport: Transport):
-        self.manifest = manifest
+        from airbyte_spark.sources.manifest_refs import resolve_references
+
+        # catalog manifests factor shared config under `definitions:` and
+        # pull it in via $ref / "#/..." — dereference once up front
+        # (manifest_reference_resolver.py parity; no-op for plain manifests)
+        self.manifest = resolve_references(manifest)
         self.transport = transport
         # AirbyteControlMessage(CONNECTOR_CONFIG) analog: rotated single-use
         # refresh tokens land here so the platform/caller can persist the
