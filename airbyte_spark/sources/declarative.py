@@ -224,6 +224,53 @@ def infer_schema(records: list[dict], max_records: int = 200) -> dict[str, str]:
     return {k: (t or "string") for k, t in acc.items()}
 
 
+def _build_api_budget(spec: dict | None):
+    """Source-level call-rate budget from the manifest (sources/call_rate.py;
+    the reference declares ONE APIBudget per source shared by its streams).
+
+    Grammar: ``{"type": "http"|"plain", "policies": [{"type":
+    "moving_window"|"fixed_window"|"unlimited", "match": [{method/url/
+    params/headers}...], ...}], ...header names...}``.
+    """
+    if not spec:
+        return None
+    from airbyte_spark.sources.call_rate import (
+        APIBudget,
+        FixedWindowPolicy,
+        HttpAPIBudget,
+        HttpRequestMatcher,
+        MovingWindowPolicy,
+        Rate,
+        UnlimitedPolicy,
+    )
+
+    policies = []
+    for p in spec.get("policies", []):
+        matchers = [HttpRequestMatcher(**m) for m in p.get("match", [])]
+        kind = p.get("type", "moving_window")
+        if kind == "unlimited":
+            policies.append(UnlimitedPolicy(matchers))
+        elif kind == "fixed_window":
+            policies.append(FixedWindowPolicy(
+                period_s=p["period_s"], call_limit=p["call_limit"], matchers=matchers,
+            ))
+        elif kind == "moving_window":
+            policies.append(MovingWindowPolicy(
+                rates=[Rate(int(r["limit"]), float(r["interval_s"])) for r in p["rates"]],
+                matchers=matchers,
+            ))
+        else:
+            raise ValueError(f"unknown api_budget policy type {kind!r}")
+    kw = {}
+    for k in ("ratelimit_remaining_header", "ratelimit_reset_header"):
+        if k in spec:
+            kw[k] = spec[k]
+    if spec.get("type", "http") == "http":
+        return HttpAPIBudget(policies, **kw)
+    return APIBudget(policies)
+
+
+
 def _build_authenticator(
     spec: dict | None,
     transport: Transport,
@@ -298,6 +345,7 @@ class DeclarativeStream:
     schema: dict[str, str] = field(default_factory=dict)  # name -> DDL type
     min_call_interval_s: float = 0.0
     prefetch_pages: int = 0
+    api_budget: Any = None  # source-LEVEL budget, shared across streams
     sleep: Callable[[float], None] | None = None
     # {"type": "list", "values": [...], "partition_field": ...,
     #  "request_param": ...} or {"type": "substream", "parent_stream": ...,
@@ -333,6 +381,7 @@ class DeclarativeStream:
             authenticator=self.authenticator,
             min_call_interval_s=self.min_call_interval_s,
             prefetch_pages=self.prefetch_pages,
+            api_budget=self.api_budget,
             error_handler=self.error_handler,
             http_method=self.http_method,
             body_json=self.body_json if body_json is None else body_json,
@@ -557,6 +606,10 @@ class ManifestSource:
 
     def streams(self, config: dict) -> list[DeclarativeStream]:
         self._validate_config(config)
+        # ONE budget per source, shared by every stream (reference contract)
+        budget = _build_api_budget(
+            interpolate(self.manifest.get("api_budget"), config)
+        )
         out = []
         for raw in self.manifest["streams"]:
             s = interpolate(raw, config)
@@ -590,6 +643,7 @@ class ManifestSource:
                     transforms=s.get("transforms", []),
                     schema=s.get("schema", {}),
                     min_call_interval_s=s.get("min_call_interval_s", 0.0),
+                    api_budget=budget,
                     prefetch_pages=s.get("prefetch_pages", 0),
                     partition_router=s.get("partition_router"),
                     http_method=s.get("http_method", "GET"),

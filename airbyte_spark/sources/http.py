@@ -228,6 +228,10 @@ class HttpStreamSource:
     authenticator: Any = None  # object with auth_header() (sources/auth.py)
     prefetch_pages: int = 0  # >1 -> concurrent lookahead for offset/page kinds
     error_handler: ErrorHandler | None = None  # None -> legacy default policy
+    # per-endpoint rate policies (sources/call_rate.py APIBudget) — acquired
+    # before every transport call; response headers feed back via
+    # HttpAPIBudget. Composes with (does not replace) min_call_interval_s.
+    api_budget: Any = None
     http_method: str = "GET"
     body_json: dict[str, Any] = field(default_factory=dict)  # request body template
     # "json" (default: body is parsed JSON, records under records_field) or
@@ -278,6 +282,12 @@ class HttpStreamSource:
             if self.authenticator is not None:
                 headers.update(self.authenticator.auth_header())
             self._rate_wait()
+            req_desc = {
+                "method": self.http_method, "url": self.url,
+                "params": params, "headers": headers,
+            }
+            if self.api_budget is not None:
+                self.api_budget.acquire_call(req_desc)
             kw: dict[str, Any] = {"params": params, "headers": headers}
             if body:
                 kw["body"] = body
@@ -289,6 +299,10 @@ class HttpStreamSource:
             # parameter, which must survive retries unchanged
             status, resp_body = resp[0], resp[1]
             resp_headers = resp[2] if len(resp) > 2 else {}
+            if self.api_budget is not None:
+                # server rate-limit headers feed availability back into the
+                # matching policy (HttpAPIBudget; no-op on the base budget)
+                self.api_budget.update_from_response(req_desc, status, resp_headers)
             eh = self.error_handler
             if eh is not None:
                 action = eh.classify(status, resp_body)
