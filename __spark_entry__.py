@@ -733,6 +733,27 @@ def q_dedup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of ExactSubstr (operators/token_dedup.py
+    excise_duplicate_spans): every corpus-duplicated 8-token window removed
+    except its globally-first occurrence (min-(doc_id,pos) witness — a
+    total order, so the cleaned corpus is a pure function of the input).
+    Linear where pairing is quadratic: no self-join, one digest aggregate
+    + one equi-join back, positions explode bounded by hits*k. Gated via
+    md5(csv) of the cleaned token sequence per doc."""
+    from airbyte_spark.operators.token_dedup import excise_duplicate_spans
+
+    out = excise_duplicate_spans(_dup_docs(spark, sf_dir), k=8)
+    return out.select(
+        "doc_id",
+        F.md5(
+            F.expr("array_join(transform(tokens, x -> CAST(x AS STRING)), ',')")
+        ).alias("clean_md5"),
+        "n_tok",
+        "n_removed",
+    )
+
+
 def q_dedup_incremental_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup dedup (operators/incremental_dedup.py) run as a
     real two-batch ingest: originals first, then the injected copies
@@ -2359,6 +2380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_budget": q_corpus_token_budget,
         "corpus_shuffle": q_corpus_shuffle,
         "dedup_token_spans": q_dedup_token_spans,
+        "dedup_span_excision": q_dedup_span_excision,
         "dedup_incremental_flags": q_dedup_incremental_flags,
         "dedup_bloom_prefilter": q_dedup_bloom_prefilter,
         "stats_ndv_registers": q_stats_ndv_registers,
@@ -3305,6 +3327,9 @@ FROM b GROUP BY source_partition, bin
         "dedup_token_spans": _token_dedup.token_span_pairs_oracle_sql(
             "dup_docs", k=8, stride=1, min_shared=2,
             extra_cte=_DUP_DOCS.strip(),
+        ),
+        "dedup_span_excision": _token_dedup.excise_duplicate_spans_oracle_sql(
+            "dup_docs", k=8, extra_cte=_DUP_DOCS.strip(),
         ),
         "docs_quality_classifier": _text_quality.quality_classifier_oracle_sql(
             "documents", vocab_top=200,

@@ -164,3 +164,130 @@ WHERE a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING COUNT(*) >= {min_shared}
 """
+
+
+def excise_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    vocab: int = 50257,
+    cache_spans: bool = True,
+) -> DataFrame:
+    """The REMOVAL half of ExactSubstr (Lee et al. 2022 excise duplicated
+    substrings; ``token_span_pairs`` is the detection half): every k-token
+    window that occurs MORE THAN ONCE in the corpus (across documents or
+    within one) is removed except its globally-first occurrence — the
+    min-(doc_id, pos) witness, a total order, so the result is a pure
+    function of the corpus (batching/partitioning-independent).
+
+    Returns ``(doc_id, tokens array<int>, n_tok, n_removed)`` — the
+    cleaned token sequence in original order (empty when everything was
+    duplicated elsewhere), plus the removed-token count.
+
+    Scale shape: REMOVAL IS LINEAR where pairing is quadratic — there is
+    no self-join. One map-side window-digest pass (stride 1 — removal
+    needs full coverage), ONE digest aggregate for (count, witness), one
+    digest equi-join back (each occurrence contributes one hit row —
+    occurrences, never occurrence pairs, so ubiquitous boilerplate needs
+    no super-bucket cap here), a positions explode bounded by hits * k,
+    and one per-doc ordered re-collect. Shuffles carry 32-byte digests
+    and integer positions, never text.
+    """
+    arr = span_digests_sql(S, text_col, k, 1, vocab)
+    pw = df.selectExpr(
+        f"{id_col} AS doc_id", f"posexplode({arr}) AS (pos0, g)"
+    ).selectExpr("doc_id", "pos0 + 1 AS pos", "g")
+    if cache_spans:
+        pw = pw.persist()
+    dup = (
+        pw.groupBy("g")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.min(F.struct("doc_id", "pos")).alias("w"),
+        )
+        .filter(F.col("n_occ") > 1)
+        .select("g", "w")
+    )
+    hits = pw.join(dup, "g").filter(
+        (F.col("doc_id") != F.col("w.doc_id")) | (F.col("pos") != F.col("w.pos"))
+    )
+    covered = hits.select(
+        "doc_id", F.explode(F.expr(f"sequence(pos, pos + {k} - 1)")).alias("tp")
+    ).distinct()
+    toks = df.selectExpr(
+        f"{id_col} AS doc_id",
+        f"posexplode({tokens_sql(S, text_col, vocab)}) AS (tp0, tok)",
+    ).selectExpr("doc_id", "tp0 + 1 AS tp", "tok")
+    kept = (
+        toks.join(covered, ["doc_id", "tp"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(tp, tok))), s -> s.tok)")
+            .alias("tokens")
+        )
+    )
+    base = df.selectExpr(
+        f"{id_col} AS doc_id",
+        f"size({tokens_sql(S, text_col, vocab)}) AS _n_orig",
+    )
+    return (
+        base.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("tokens", F.expr("CAST(array() AS ARRAY<INT>)")).alias("tokens"),
+            F.coalesce(F.size("tokens"), F.lit(0)).cast("long").alias("n_tok"),
+            (F.col("_n_orig") - F.coalesce(F.size("tokens"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
+def excise_duplicate_spans_oracle_sql(
+    table_expr: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    vocab: int = 50257,
+    extra_cte: str = "",
+) -> str:
+    """DuckDB oracle: identical keep-first rule via row_number over
+    (doc_id, pos) within each digest; tokens gated as md5(csv) digests."""
+    d = X.DUCKDB
+    arr = span_digests_sql(d, text_col, k, 1, vocab)
+    toks = tokens_sql(d, text_col, vocab)
+    pre = f"{extra_cte}," if extra_cte else ""
+    return f"""
+WITH {pre} pw0 AS (
+  SELECT {id_col} AS doc_id, unnest({arr}) AS g,
+         generate_subscripts({arr}, 1) AS pos
+  FROM {table_expr}
+), ranked AS (
+  SELECT doc_id, pos, g,
+         COUNT(*) OVER (PARTITION BY g) AS n_occ,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+  FROM pw0
+), covered AS (
+  SELECT DISTINCT doc_id, unnest(range(pos, pos + {k})) AS tp
+  FROM ranked WHERE n_occ > 1 AND rn > 1
+), toks AS (
+  SELECT {id_col} AS doc_id, unnest({toks}) AS tok,
+         generate_subscripts({toks}, 1) AS tp
+  FROM {table_expr}
+), kept AS (
+  SELECT t.doc_id,
+         string_agg(CAST(t.tok AS VARCHAR), ',' ORDER BY t.tp) AS csv,
+         COUNT(*) AS n_tok
+  FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.tp = c.tp
+  WHERE c.tp IS NULL
+  GROUP BY t.doc_id
+), base AS (
+  SELECT {id_col} AS doc_id, len({toks}) AS n_orig FROM {table_expr}
+)
+SELECT b.doc_id,
+       md5(COALESCE(k.csv, '')) AS clean_md5,
+       CAST(COALESCE(k.n_tok, 0) AS BIGINT) AS n_tok,
+       CAST(b.n_orig - COALESCE(k.n_tok, 0) AS BIGINT) AS n_removed
+FROM base b LEFT JOIN kept k USING (doc_id)
+"""

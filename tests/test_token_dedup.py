@@ -93,3 +93,48 @@ def test_plan_is_equijoin_on_digests(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     # candidate generation is a hash/sort-merge equi-join keyed by the digest
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_excise_duplicate_spans_keep_first_semantics(spark):
+    """Hand-checkable ExactSubstr removal: the globally-first occurrence of
+    each duplicated window survives; later occurrences (cross-doc AND
+    within-doc) are cut; sub-k docs and unique text are untouched; a doc
+    that is entirely someone else's text empties out."""
+    from airbyte_spark.operators.token_dedup import (
+        excise_duplicate_spans,
+        tokens_sql,
+    )
+    from airbyte_spark.plans import textsql as X
+
+    shared = "a b c d e f g h"          # exactly one 8-token window
+    rows = [
+        (1, shared + " unique tail one two three"),  # first occurrence: kept whole
+        (2, shared),                                  # pure duplicate: empties
+        (3, "totally different words with no reuse at all"),
+        (4, "tiny doc"),                              # < k tokens: untouched
+        (5, shared + " " + shared),                   # within-doc repeat of doc1's span
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in excise_duplicate_spans(df, k=8).collect()}
+
+    n_orig = {
+        r["doc_id"]: r["n"]
+        for r in df.selectExpr(
+            "doc_id", f"size({tokens_sql(X.SPARK)}) AS n"
+        ).collect()
+    }
+    assert out[1]["n_removed"] == 0 and out[1]["n_tok"] == n_orig[1]
+    assert out[2]["n_tok"] == 0 and out[2]["n_removed"] == 8
+    assert out[3]["n_removed"] == 0
+    assert out[4]["n_removed"] == 0 and out[4]["n_tok"] == 2
+    # doc5: 16 tokens, every 8-window duplicated vs doc1/2 or internally
+    assert out[5]["n_tok"] == 0 and out[5]["n_removed"] == 16
+
+    # partitioning-independence: the witness rule is a total order
+    out7 = {
+        r["doc_id"]: (r["n_tok"], r["n_removed"], list(r["tokens"]))
+        for r in excise_duplicate_spans(df.repartition(7), k=8).collect()
+    }
+    assert out7 == {
+        k: (v["n_tok"], v["n_removed"], list(v["tokens"])) for k, v in out.items()
+    }
