@@ -194,12 +194,23 @@ def excise_duplicate_spans(
     and one per-doc ordered re-collect. Shuffles carry 32-byte digests
     and integer positions, never text.
     """
-    arr = span_digests_sql(S, text_col, k, 1, vocab)
-    pw = df.selectExpr(
-        f"{id_col} AS doc_id", f"posexplode({arr}) AS (pos0, g)"
-    ).selectExpr("doc_id", "pos0 + 1 AS pos", "g")
+    # tokenize ONCE (split + one md5 per word is the dominant CPU) and
+    # derive windows / token explode / counts from the cached array —
+    # three consumers, one tokenization pass
+    tok_arr = df.selectExpr(
+        f"{id_col} AS doc_id", f"{tokens_sql(S, text_col, vocab)} AS _toks"
+    )
     if cache_spans:
-        pw = pw.persist()
+        tok_arr = tok_arr.persist()
+    win = f"array_join(transform(slice(_toks, p, {k}), x -> CAST(x AS STRING)), ',')"
+    digests = (
+        f"CASE WHEN size(_toks) >= {k} "
+        f"THEN transform(sequence(1, size(_toks) - {k} + 1), p -> md5({win})) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    pw = tok_arr.selectExpr(
+        "doc_id", f"posexplode({digests}) AS (pos0, g)"
+    ).selectExpr("doc_id", "pos0 + 1 AS pos", "g")
     dup = (
         pw.groupBy("g")
         .agg(
@@ -215,9 +226,8 @@ def excise_duplicate_spans(
     covered = hits.select(
         "doc_id", F.explode(F.expr(f"sequence(pos, pos + {k} - 1)")).alias("tp")
     ).distinct()
-    toks = df.selectExpr(
-        f"{id_col} AS doc_id",
-        f"posexplode({tokens_sql(S, text_col, vocab)}) AS (tp0, tok)",
+    toks = tok_arr.selectExpr(
+        "doc_id", "posexplode(_toks) AS (tp0, tok)"
     ).selectExpr("doc_id", "tp0 + 1 AS tp", "tok")
     kept = (
         toks.join(covered, ["doc_id", "tp"], "left_anti")
@@ -227,10 +237,7 @@ def excise_duplicate_spans(
             .alias("tokens")
         )
     )
-    base = df.selectExpr(
-        f"{id_col} AS doc_id",
-        f"size({tokens_sql(S, text_col, vocab)}) AS _n_orig",
-    )
+    base = tok_arr.selectExpr("doc_id", "size(_toks) AS _n_orig")
     return (
         base.join(kept, "doc_id", "left")
         .select(
