@@ -180,11 +180,20 @@ class CachingTransport:
     tests and metrics.
     """
 
-    def __init__(self, transport: Transport):
+    #: default memo bound — parent streams are small by design (the whole
+    #: point of use_cache is re-reading a SMALL parent per child); a huge
+    #: cached stream must not balloon the driver, so beyond the cap the
+    #: OLDEST page is evicted FIFO (the reference's requests-cache is
+    #: disk-backed sqlite and needs no bound; this memo is in-memory)
+    MAX_ENTRIES = 10_000
+
+    def __init__(self, transport: Transport, max_entries: int | None = None):
         self.transport = transport
         self.live_calls = 0
         self.hits = 0
-        self._memo: dict[tuple, Any] = {}
+        self.evictions = 0
+        self.max_entries = self.MAX_ENTRIES if max_entries is None else int(max_entries)
+        self._memo: dict[tuple, Any] = {}  # insertion-ordered (py3.7+): FIFO
         self._lock = threading.Lock()
 
     @staticmethod
@@ -209,6 +218,9 @@ class CachingTransport:
         with self._lock:
             self.live_calls += 1
             if resp[0] < 300:
+                while len(self._memo) >= self.max_entries:
+                    self._memo.pop(next(iter(self._memo)))
+                    self.evictions += 1
                 self._memo[key] = resp
         return resp
 

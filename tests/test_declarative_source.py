@@ -433,3 +433,28 @@ def test_use_cache_parent_read_once_across_children(spark):
     assert sorted(r.x for r in out["labels"][0].collect()) == [3, 4]
     boards_calls = [c for c in t.calls if c["url"].endswith("/v1/boards")]
     assert len(boards_calls) == 1  # memo served the other two reads
+
+
+def test_caching_transport_bounded_memo():
+    """The memo evicts FIFO past max_entries — a huge cached stream cannot
+    balloon the driver; hits/evictions observable."""
+    from airbyte_spark.sources.http import CachingTransport
+
+    calls = []
+
+    def t(method, url, params=None, headers=None, body=None):
+        calls.append(url)
+        return 200, {"u": url}
+
+    c = CachingTransport(t, max_entries=2)
+    for u in ("a", "b", "a", "c", "a"):  # 'a' evicted when 'c' lands
+        c("GET", u)
+    assert c.hits == 1            # the second 'a' only
+    assert c.evictions == 2       # 'a' pushed out by 'c'; 'b' by re-cached 'a'
+    assert calls == ["a", "b", "c", "a"]
+    # errors never cache
+    def bad(method, url, params=None, headers=None, body=None):
+        return 500, {}
+    cb = CachingTransport(bad)
+    cb("GET", "x"); cb("GET", "x")
+    assert cb.live_calls == 2 and cb.hits == 0
